@@ -1,0 +1,60 @@
+"""Scalar column helpers pinning the reference's Java arithmetic edges.
+
+The reference computes everything with Java primitives; Spark SQL has
+different defaults in exactly three places (SURVEY.md §1.2):
+
+* ``tick / 128`` is *integer* division in Java
+  (reference ``spark/SparkStreamingService.java:137,194``) — Spark's ``/``
+  promotes to double, so we use ``div``.
+* ``kdRatio`` guards division by zero explicitly
+  (reference ``spark/PlayerStatsUpdater.java:34-36``).
+* ``damagePerRound`` is *unguarded* in Java (÷0 → Infinity,
+  reference ``spark/PlayerStatsUpdater.java:37``); we deliberately emit
+  NULL instead (Spark/ANSI-SQL semantics) and document the deviation —
+  NULL is representable in every sink, Infinity is not.
+
+All helpers are pure Column expressions — they stay inside whole-stage
+codegen; no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def int_div(col: Column | str, divisor: int | Column) -> Column:
+    """Java-style integer division (``tick / 128`` semantics).
+
+    ``a - (a % b)`` is exactly divisible by ``b`` and, because Spark's
+    ``%`` takes the dividend's sign (like Java), the quotient truncates
+    toward zero — matching Java ``long / long``. Pure column arithmetic,
+    stays in codegen.
+    """
+    a = (F.col(col) if isinstance(col, str) else col).cast("long")
+    b = F.lit(divisor) if isinstance(divisor, int) else divisor.cast("long")
+    return ((a - (a % b)) / b).cast("long")
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Timestamp → epoch seconds as LONG (UTC session tz).
+
+    Matches DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)`` so oracle value
+    hashes line up; also the rebuild's analog of the reference's
+    integer ``second`` column (derived ``tick/128``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_timestamp(c).cast("long")
+
+
+def guarded_ratio(num: Column, den: Column) -> Column:
+    """``den == 0 ? num : num / den`` — the reference's kdRatio guard
+    (reference ``spark/PlayerStatsUpdater.java:34-36``), as double."""
+    return F.when(den == 0, num.cast("double")).otherwise(num.cast("double") / den.cast("double"))
+
+
+def round6(col: Column) -> Column:
+    """Round a double to 6 decimals — stabilizes cross-engine value
+    hashes (Spark vs DuckDB double aggregation drift is << 1e-6 at the
+    oracle's scale factors)."""
+    return F.round(col, 6)

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference creates a bare ``local[*]`` session with all Spark defaults
+(reference ``spark/SparkStreamingService.java:76-80``) — including 200
+shuffle partitions for a ~10-key stream. Here we centralize a tuned
+configuration that is correct on ``local[N]`` test runs and remains sane
+on a real multi-executor cluster:
+
+* AQE on (runtime partition coalescing, skew-join splitting);
+* shuffle partitions sized from available cores (overridable; a cluster
+  deployment would raise this to ~2-3x total cores);
+* Arrow enabled for the few Pandas-UDF paths (vectorized transfer);
+* UTC session timezone so epoch arithmetic matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "spark-stream-analyzer",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a shared test host this reuses any active session; config options
+    that require a fresh JVM are applied only when creating one.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    n_shuffle = int(shuffle_partitions or max(int(cpus), 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # -- planner / optimizer ------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- IO ------------------------------------------------------------
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # -- python interop ------------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- determinism for the oracle ------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
