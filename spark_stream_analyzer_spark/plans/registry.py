@@ -55,6 +55,7 @@ def _load_all() -> None:
         return
     from spark_stream_analyzer_spark.plans import (  # noqa: F401
         q_reference,
+        q_wire,
     )
 
     _LOADED = True
