@@ -1,0 +1,61 @@
+"""Benchmark harness — runs the registry's queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is built and fully materialized (``collect``) once, after a
+session warm-up action, on ``local[$SPARK_GRAFT_CPUS]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_stream_analyzer_spark import get_spark
+from spark_stream_analyzer_spark.plans import registry
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="ssa-bench")
+    # warm-up: JVM + parquet footer caches, so timings measure the queries
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock of all registry queries (collect)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Oracle-checked STREAMING query — the full reference pipeline, live.
+
+Unlike the batch twins in q_wire.py, this entry actually runs Structured
+Streaming inside the driver's harness: synthesize wire lines from the
+events table, write them as two replay files (two micro-batches), stream
+them through parse → union → ``applyInPandasWithState`` snapshots →
+memory sink, then reduce the emitted per-batch snapshots to final state.
+
+Determinism notes (why this is oracle-able at all):
+
+* counters are monotone ⇒ per-key maxima over emitted snapshots = final
+  state, independent of batch interleaving;
+* every named wire event for a key carries the SAME name (``n<uid>``) ⇒
+  "first non-blank name in batch" is order-independent;
+* batch-local fields (``second``/``round``) are excluded from the output.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions.scalar import guarded_ratio, round6
+from spark_stream_analyzer_spark.plans.q_wire import _O_BASE, _base
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.wire import parse_damage_lines, parse_kill_lines
+from spark_stream_analyzer_spark.streaming.sources import file_lines_stream
+from spark_stream_analyzer_spark.streaming.stateful import snapshot_player_stats_stream
+
+
+#: bound the streamed slice so the live-streaming check costs O(1) in SF
+#: (covers ALL events at the sf0.01 correctness gate: 10k < 20k)
+EVENT_CAP = 20_000
+
+
+def _synth_uniform_lines(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Kill/damage lines with key-stable names (``n<uid>`` everywhere)."""
+    b = (
+        _base(spark, sf_dir)
+        .filter(F.col("event_id") < EVENT_CAP)
+        .withColumn("nm", F.concat(F.lit("n"), F.col("user_id")))
+    )
+    killer = F.when(F.col("event_type") == "click", F.col("nm")).otherwise("")
+    victim = F.when(F.col("event_type") == "error", F.col("nm")).otherwise("")
+    assister = (
+        F.when(F.col("event_type") == "signup", F.col("nm"))
+        .when(F.col("event_type") == "view", F.lit("0"))
+        .otherwise("")
+    )
+    kills = b.select(
+        F.col("event_id"),
+        F.concat_ws(
+            ",", F.lit("x"), F.col("tick"), F.col("rnd"), killer, F.col("pid"),
+            F.lit("x"), F.lit("x"), victim, F.col("pid"),
+            F.lit("x"), F.lit("x"), assister, F.col("pid"),
+        ).alias("value"),
+    )
+    amt = F.expr("CAST(floor(value) AS LONG) % 100")
+    damager = F.when(F.col("event_type") == "error", F.lit("")).otherwise(F.col("pid"))
+    damages = b.select(
+        F.col("event_id"),
+        F.concat_ws(
+            ",", F.lit("x"), F.col("tick"), F.col("rnd"), F.lit("x"), F.lit("x"),
+            (F.lit(100) + amt), F.lit(100), F.lit("x"), F.lit("x"), damager,
+        ).alias("value"),
+    )
+    return kills, damages
+
+
+@register(
+    "streaming_snapshot_stats",
+    oracle=f"""
+    WITH {_O_BASE},
+    agg AS (
+      SELECT pid AS steam_id,
+             CASE WHEN COUNT(CASE WHEN event_type IN ('click','error','signup') THEN 1 END) > 0
+                  THEN 'n' || CAST(user_id AS VARCHAR) ELSE '' END AS player_name,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS kills,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS deaths,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS assists,
+             ROUND(CAST(COALESCE(SUM(CASE WHEN event_type <> 'error'
+                   THEN CAST(floor(value) AS BIGINT) % 100 END), 0) AS DOUBLE), 6) AS damage
+      FROM base WHERE event_id < 20000 GROUP BY pid, user_id
+    )
+    SELECT steam_id, player_name, kills, deaths, assists, damage,
+           ROUND(CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
+                      ELSE CAST(kills AS DOUBLE) / CAST(deaths AS DOUBLE) END, 6) AS kd_ratio
+    FROM agg
+    """,
+    doc="A2 exact-parity stateful stream: live applyInPandasWithState over "
+    "2-micro-batch file replay; final state reduced from emitted snapshots",
+)
+def q_streaming_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kills, damages = _synth_uniform_lines(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="ssa_stream_")
+    kdir, ddir = f"{workdir}/kills", f"{workdir}/damages"
+    import os
+
+    os.makedirs(kdir), os.makedirs(ddir)
+    # two replay files per source = two micro-batches (maxFilesPerTrigger=1)
+    for df, outdir in ((kills, kdir), (damages, ddir)):
+        rows = df.collect()  # test-harness boundary only, NOT an engine path
+        for parity in (0, 1):
+            with open(f"{outdir}/{parity:03d}.txt", "w") as f:
+                for r in rows:
+                    if r.event_id % 2 == parity:
+                        f.write(r.value + "\n")
+
+    events = parse_kill_lines(file_lines_stream(spark, kdir)).unionByName(
+        parse_damage_lines(file_lines_stream(spark, ddir))
+    )
+    name = f"snap_{uuid.uuid4().hex[:8]}"
+    # few keys (~150 players) → a wide stateful shuffle just burns Python
+    # worker startup; narrow it for this query, then restore
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            snapshot_player_stats_stream(events)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    snaps = spark.table(name)
+    final = snaps.groupBy("steam_id").agg(
+        F.max("player_name").alias("player_name"),
+        F.max("kills").alias("kills"),
+        F.max("deaths").alias("deaths"),
+        F.max("assists").alias("assists"),
+        round6(F.max("damage")).alias("damage"),
+    )
+    return final.withColumn(
+        "kd_ratio", round6(guarded_ratio(F.col("kills"), F.col("deaths")))
+    )

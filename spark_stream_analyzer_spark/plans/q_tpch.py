@@ -1,0 +1,337 @@
+"""TPC-H-style analytics over the driver's star schema.
+
+The reference's batch analytics layer is four Postgres SQL queries for
+Grafana (reference ``sql/queries.sql``) — joins, argmax, pivot, as-of
+fill. q_reference.py rebuilds those shapes 1:1 on the events table; this
+module exercises the SAME operator classes (multi-way joins, conditional
+aggregation, semi/anti joins, rollup, windows) at the scale-substrate
+tables (lineitem/orders/...), because that is where 100 TB behavior is
+decided. These are also the bench headliners.
+
+Scale design notes (per-query details in docstrings):
+
+* dimension sides (region/nation/customer/supplier/part) get explicit
+  ``broadcast()`` hints — at real TPC-H scale customer/part stop being
+  broadcastable, but region/nation never do; AQE re-plans the rest;
+* aggregates are expressed as native conditional aggs → map-side partial
+  aggregation before the shuffle;
+* no LIMIT/top-k without a full deterministic ordering key — results must
+  be set-stable for the oracle hash;
+* doubles rounded to 6 decimals at the boundary (cross-engine fp drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_stream_analyzer_spark.functions.scalar import round6
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "tpch_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-heavy grouped aggregation; the shipdate "
+    "predicate must reach the parquet scan (pushdown check)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round6(F.sum("l_quantity")).alias("sum_qty"),
+            round6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            round6(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            round6(F.avg("l_quantity")).alias("avg_qty"),
+            round6(F.avg("l_extendedprice")).alias("avg_price"),
+            round6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_revenue_forecast",
+    oracle="""
+    SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter + global agg — the canonical "
+    "predicate-pushdown / whole-stage-codegen showcase",
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round6(F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    doc="TPC-H Q3 shape: 3-way fact join with selective dim filter; "
+    "customer side broadcast, orders⋈lineitem shuffle on orderkey",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+    )
+
+
+@register(
+    "tpch_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way snowflake join, region/nation/supplier "
+    "broadcast (bounded cardinality at every SF), local-supplier predicate",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "tpch_order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: LEFT SEMI join (EXISTS decorrelated by Catalyst)",
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS) — absent in the reference, listed as "
+    "available-native in SURVEY §2.4",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="W1 generalized: top-N per group via ranked window "
+    "(deterministic tiebreak on orderkey)",
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            round6(F.col("o_totalprice")).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "lineitem_status_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 6) AS qty_F,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 6) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A9: pivot (conditional aggregation) on bounded category columns",
+)
+def q_lineitem_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = l.groupBy("l_returnflag").pivot("l_linestatus", ["F", "O"]).agg(F.sum("l_quantity"))
+    return p.select(
+        "l_returnflag",
+        round6(F.coalesce(F.col("F"), F.lit(0.0))).alias("qty_F"),
+        round6(F.coalesce(F.col("O"), F.lit(0.0))).alias("qty_O"),
+    )
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           ROUND(SUM(o.o_totalprice), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+    """,
+    doc="grouping-sets family (absent in reference, SURVEY §2.5 'available "
+    "if needed'): ROLLUP over nation × priority",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            round6(F.sum("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_spend
+    FROM orders
+    """,
+    doc="running aggregate window over order history — the batch analog of "
+    "the streaming cumulative state (SURVEY §7 step 2a)",
+)
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        round6(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )

@@ -55,6 +55,8 @@ def _load_all() -> None:
         return
     from spark_stream_analyzer_spark.plans import (  # noqa: F401
         q_reference,
+        q_streaming,
+        q_tpch,
         q_wire,
     )
 
