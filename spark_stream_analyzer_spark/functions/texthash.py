@@ -1,0 +1,205 @@
+"""Cross-engine text/hash primitives for the LLM-data-pipeline operators.
+
+Every dedup / fingerprint / similarity operator must be verifiable by the
+driver's DuckDB oracle, so the *only* hash primitive used anywhere is
+md5 — the one hash both engines compute identically — reduced to a 60-bit
+integer (15 hex chars < 2^63, so it is overflow-safe in BIGINT
+arithmetic on both sides). Each helper here comes in two forms:
+
+* a Spark SQL expression-string builder (used via ``F.expr``) — strings,
+  not Column objects, so the identical fragment can be embedded in
+  generated DuckDB SQL where the dialects agree;
+* a DuckDB SQL fragment builder for the oracle side.
+
+All derived constants (minhash coefficients, simhash width, LSH
+hyperplanes) are generated from a fixed LCG so both sides embed the same
+literals. No randomness at runtime anywhere.
+
+Scale note: all of these are per-row array expressions (whole-stage
+codegen, no shuffle, no UDF) — at 100 TB they cost one scan; the only
+shuffles in the operators built on top are the explicit band-bucket /
+candidate-pair joins.
+"""
+
+from __future__ import annotations
+
+# Mersenne prime 2^31-1: minhash universe. a*h+b stays < 2^62 (no overflow).
+P31 = 2_147_483_647
+
+MINHASH_K = 16  #: signature length
+LSH_BANDS = 8  #: bands over the signature
+LSH_ROWS = MINHASH_K // LSH_BANDS  #: rows per band
+
+SIMHASH_BITS = 32
+
+#: word-normalization regex (both engines: lower → strip non-alnum runs)
+NONWORD = "[^a-z0-9]+"
+#: BPE-ish token pattern: alnum runs or single non-space symbol
+TOKEN_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "je", "pas", "pour"),
+    "es": ("el", "los", "las", "y", "es", "uno", "una", "que", "no", "por"),
+}
+
+
+def spark_escape(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal.
+
+    Spark's SQL parser processes backslash escapes inside '…' literals
+    (DuckDB does not), so the same regex needs doubled backslashes on the
+    Spark side only.
+    """
+    return pattern.replace("\\", "\\\\")
+
+
+def _lcg(seed: int):
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    while True:
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        yield state
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for h_j(x) = (a*x + b) mod P31."""
+    g = _lcg(0xC0FFEE)
+    return [(1 + next(g) % (P31 - 1), next(g) % P31) for _ in range(k)]
+
+
+def hyperplanes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix for sign-LSH, values in [-1, 1)."""
+    g = _lcg(0x5EED)
+    return [
+        [round((next(g) / float(1 << 64)) * 2.0 - 1.0, 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+# ---------------------------------------------------------------- Spark SQL
+
+def spark_hash60(expr: str) -> str:
+    """60-bit integer from md5 — Spark side."""
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def spark_norm_words(expr: str) -> str:
+    """lower → strip non-alnum → split → drop empties (array<string>)."""
+    return (
+        f"filter(split(trim(regexp_replace(lower({expr}), '{NONWORD}', ' ')), ' '),"
+        " w -> w != '')"
+    )
+
+
+def spark_shingles(words_expr: str, k: int = 3) -> str:
+    """Distinct k-word shingles; empty array when the doc is shorter than k."""
+    return (
+        f"array_distinct(CASE WHEN size({words_expr}) >= {k} THEN "
+        f"transform(sequence(0, size({words_expr}) - {k}),"
+        f" i -> concat_ws(' ', slice({words_expr}, i + 1, {k}))) "
+        "ELSE array() END)"
+    )
+
+
+def spark_minhash_value(hs_expr: str, a: int, b: int) -> str:
+    """One minhash slot over pre-hashed shingles (``hs``: array<bigint>, already mod P31)."""
+    return (
+        f"coalesce(array_min(transform({hs_expr},"
+        f" h -> ({a} * h + {b}) % {P31})), {P31})"
+    )
+
+
+def spark_simhash(hw_expr: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over pre-hashed tokens (``hw``: array<bigint>): per-bit ±1 vote."""
+    return (
+        f"aggregate(transform(sequence(0, {bits - 1}), i -> "
+        f"CASE WHEN aggregate({hw_expr}, cast(0 as bigint),"
+        " (acc, h) -> acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        " THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def spark_dot(a_expr: str, b_expr: str) -> str:
+    """Left-fold double dot product (bit-exact twin of :func:`duck_dot`)."""
+    return (
+        f"aggregate(zip_with({a_expr}, {b_expr},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def spark_dot_lit(a_expr: str, vec: list[float]) -> str:
+    """Dot product against a literal vector (hyperplane projections)."""
+    lits = ", ".join(f"cast({v} as double)" for v in vec)
+    return (
+        f"aggregate(zip_with({a_expr}, array({lits}),"
+        " (x, y) -> cast(x as double) * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def spark_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in stopwords)
+    return f"size(filter({words_expr}, w -> array_contains(array({arr}), w)))"
+
+
+# ---------------------------------------------------------------- DuckDB SQL
+
+def duck_hash60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def duck_norm_words(expr: str) -> str:
+    return (
+        f"list_filter(string_split(trim(regexp_replace(lower({expr}),"
+        f" '{NONWORD}', ' ', 'g')), ' '), w -> w != '')"
+    )
+
+
+def duck_shingles(words_expr: str, k: int = 3) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({words_expr}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({words_expr}) - {k} + 1),"
+        f" i -> array_to_string({words_expr}[i:i + {k - 1}], ' ')) "
+        "ELSE [] END)"
+    )
+
+
+def duck_minhash_value(hs_expr: str, a: int, b: int) -> str:
+    return (
+        f"coalesce(list_min(list_transform({hs_expr},"
+        f" h -> ({a} * h + {b}) % {P31})), {P31})"
+    )
+
+
+def duck_simhash(hw_expr: str, bits: int = SIMHASH_BITS) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(0, {bits - 1}), i -> "
+        f"CASE WHEN list_aggregate(list_transform({hw_expr},"
+        " h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0"
+        " THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum')"
+    )
+
+
+def duck_dot(a_expr: str, b_expr: str, dim: int = 64) -> str:
+    # list_reduce is a left fold like Spark's aggregate; 0.0 + x1 == x1 in
+    # IEEE754, so both sides produce bit-identical doubles.
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {a_expr}[i]::DOUBLE * {b_expr}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def duck_dot_lit(a_expr: str, vec: list[float]) -> str:
+    lits = ", ".join(f"{v}::DOUBLE" for v in vec)
+    return (
+        f"list_reduce(list_transform(generate_series(1, {len(vec)}),"
+        f" i -> {a_expr}[i]::DOUBLE * [{lits}][i]), (x, y) -> x + y)"
+    )
+
+
+def duck_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter({words_expr}, w -> list_contains([{arr}], w)))"

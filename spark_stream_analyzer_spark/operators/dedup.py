@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard, SimHash,
+embedding-cosine (EXT — beyond the reference, per the rebuild north star).
+
+Scale design (the whole point of these shapes at 100 TB):
+
+* **No all-pairs joins.** Candidate pairs come from equality joins on
+  band keys / shingles / sign-LSH buckets — each a plain hash-shuffle
+  Spark handles at any scale; exact verification runs only on candidates.
+* Signatures (minhash / simhash) are per-row array expressions —
+  whole-stage codegen, one scan, no Python.
+* Skew: ultra-frequent shingles blow up the inverted-index join
+  quadratically; ``max_df`` drops them (the standard df-cap trick).
+  AQE skew-join handles residual imbalance.
+* Dedup keys (md5-60bit) are uniform → even shuffle partitioning.
+
+Everything is md5-based (:mod:`..functions.texthash`) so each operator
+has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.operators.text import with_words
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: per doc, the canonical (min-id) copy.
+
+    One shuffle on the 60-bit text hash. At 100 TB the hash key is
+    uniform, so partitions balance; the window is equivalent to
+    groupBy(hash).agg(min(id), count) + rejoin but avoids the second
+    shuffle by reusing the same partitioning.
+    """
+    h = F.expr(TH.spark_hash60(text_col))
+    w = Window.partitionBy("text_h")
+    return (
+        df.withColumn("text_h", h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .select(
+            id_col,
+            "canonical_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            (F.col(id_col) != F.col("canonical_id")).cast("int").alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", shingle_k: int = 3, k: int = TH.MINHASH_K
+) -> DataFrame:
+    """MinHash signature columns mh0..mh{k-1} + LSH band keys.
+
+    shingle → 60-bit hash → k universal-hash minima ((a*h+b) mod 2^31-1).
+    Empty shingle set hashes to the sentinel P31 in every slot.
+    """
+    df = with_words(df, text_col).withColumn(
+        "sh", F.expr(TH.spark_shingles("words", shingle_k))
+    )
+    df = df.withColumn(
+        "hs", F.expr(f"transform(sh, s -> {TH.spark_hash60('s')} % {TH.P31})")
+    )
+    for j, (a, b) in enumerate(TH.minhash_coeffs(k)):
+        df = df.withColumn(f"mh{j}", F.expr(TH.spark_minhash_value("hs", a, b)))
+    rows = TH.LSH_ROWS
+    for band in range(TH.LSH_BANDS):
+        parts = [f"mh{band * rows + r}" for r in range(rows)]
+        df = df.withColumn(f"band{band}", F.concat_ws("-", *parts))
+    return df
+
+
+def lsh_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.02,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Candidates = pairs agreeing on ≥1 of the LSH bands (equality join on
+    (band_idx, band_key) — a hash shuffle, never an all-pairs product);
+    then exact shingle-set Jaccard on candidates only.
+    """
+    sig = minhash_signatures(df, text_col, shingle_k).select(
+        "doc_id", "sh", *[f"band{b}" for b in range(TH.LSH_BANDS)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bk"))
+                for b in range(TH.LSH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.bi", "band.bk")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_shared"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.02,
+    shingle_k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index (shingle equality) join.
+
+    Intersections come from groupBy(pair).count over the shingle postings
+    join — the classic document-similarity self-join; ``max_df`` drops
+    shingles appearing in more than max_df docs (stop-shingle cap: the
+    quadratic-blowup guard at 100 TB; must match the oracle when set).
+    """
+    docs = with_words(df, text_col).select(
+        "doc_id", F.expr(TH.spark_shingles("words", shingle_k)).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    post = docs.select("doc_id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        post = post.join(keep, "s")
+    pairs = (
+        post.alias("a")
+        .join(post.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc (per-bit ±1 vote over distinct word hashes)."""
+    df = with_words(df, text_col).withColumn(
+        "hw",
+        F.expr(f"transform(array_distinct(words), w -> {TH.spark_hash60('w')})"),
+    )
+    return df.select(
+        "doc_id",
+        F.expr(TH.spark_simhash("hw")).alias("simhash"),
+        F.size("hw").cast("long").alias("n_tokens"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, via byte-band LSH.
+
+    4 bands of 8 bits: any pair with hamming ≤ 3 must agree on ≥1 whole
+    byte (pigeonhole) → candidates from an equality join on
+    (band_idx, band_byte), never an all-pairs scan. Exact bit_count
+    verification on candidates.
+    """
+    sim = simhash_fingerprints(df, text_col).select("doc_id", "simhash")
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("bi"),
+                    F.expr(f"(simhash >> {8 * k}) & 255").alias("bk"),
+                )
+                for k in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.bi", "band.bk")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    min_cosine: float = 0.3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket candidates + exact cosine.
+
+    Bucket = sign bits of ``n_planes`` fixed hyperplane projections
+    (2^n_planes buckets); pairs are generated only within a bucket —
+    equality-join shuffle, not O(n²). Recall is tunable via multi-probe /
+    more plane sets; precision is exact (cosine verified).
+    """
+    planes = TH.hyperplanes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {TH.spark_dot_lit(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    e = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(bucket).alias("bucket"),
+        F.expr(f"sqrt({TH.spark_dot(vec_col, vec_col)})").alias("norm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(f"{TH.spark_dot('a.' + vec_col, 'b.' + vec_col)}") / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= min_cosine)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.bucket").cast("long").alias("bucket"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Multimodal-column plumbing (EXT): opaque ``binary`` payloads + typed
+metadata, processed by Arrow-batched ``mapInPandas``.
+
+The real decoders (PIL / ffmpeg / soundfile) are NOT in this container,
+so the decode step is split:
+
+* :func:`decode_image` / :func:`decode_audio` — the production entry
+  points, clearly-marked stubs raising :class:`NotImplementedError`;
+* :func:`fake_decode_stats` / :func:`fake_frame_sample` — deterministic
+  stand-ins computing the same *shapes* (per-item metadata row, 1→N frame
+  fan-out) from the real bytes, so the Spark-side plumbing — schema,
+  Arrow batch transfer, partition-parallel mapInPandas, fan-out row
+  counts — is fully real and oracle-tested.
+
+Scale notes: mapInPandas streams Arrow record batches per partition — no
+driver collect, memory bounded by spark.sql.execution.arrow.maxRecordsPerBatch;
+binary payloads stay off the driver entirely. At 100 TB, payload columns
+should live in their own parquet column chunk (they do: one column) so
+metadata-only queries never read the bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: metadata row produced per media item
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("header", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+FRAME_SIZE = 256
+MAX_FRAMES = 5
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to pixels + metadata.
+
+    STUB: image libs (PIL/cv2) are not available in this environment.
+    The pipeline shape around it is exercised via fake_decode_stats.
+    """
+    raise NotImplementedError("image decoding requires PIL/cv2 (not in this env)")
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode an audio payload to samples + metadata. STUB (see decode_image)."""
+    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not in this env)")
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 bytes of the text —
+    deterministic stand-in for image/audio blobs)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def fake_decode_stats(df: DataFrame) -> DataFrame:
+    """Per-item 'decode': payload → metadata row, via Arrow-batched
+    mapInPandas (the exact plumbing a real decoder UDF would use)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["payload"].map(len)
+            header = n % 251
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "header": header,
+                    "width": 64 + n % 193,
+                    "height": 64 + (n * 7 + header) % 129,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, DECODE_SCHEMA)
+
+
+def fake_frame_sample(df: DataFrame) -> DataFrame:
+    """1→N frame sampling: each payload explodes into ≤MAX_FRAMES frame
+    rows (offset/length bookkeeping computed from the real bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list[int]] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_bytes")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = min(MAX_FRAMES, 1 + n // FRAME_SIZE)
+                for i in range(n_frames):
+                    off = i * FRAME_SIZE
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(min(FRAME_SIZE, n - off))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

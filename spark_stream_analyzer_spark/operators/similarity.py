@@ -1,0 +1,129 @@
+"""Similarity-search operators over embedding columns (EXT).
+
+``array<float>`` embeddings → cosine top-k, two physical strategies:
+
+* **brute force** — broadcast the (small) query set, one scan over the
+  corpus computing JVM-side fold dot products, per-query top-k via a
+  ranked window. Exact; at 100 TB this is the gold standard to measure
+  ANN recall against, and is itself scan-parallel (the only shuffle is
+  the tiny per-query top-k).
+* **sign-LSH (IVF-style)** — bucket both sides by fixed hyperplane sign
+  bits, equality-join on bucket, rank within. Sub-linear candidate sets;
+  recall tunable via plane count / multi-probe. This is the 100 TB path.
+
+Dot products are left-fold doubles (texthash.spark_dot) — bit-identical
+to the DuckDB oracle's list_reduce, so ranking order matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+
+
+def _with_norm(emb: DataFrame, vec_col: str) -> DataFrame:
+    return emb.withColumn("norm", F.expr(f"sqrt({TH.spark_dot(vec_col, vec_col)})"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for rows matching ``query_pred``.
+
+    Ties break on neighbor id (deterministic for the oracle).
+    """
+    e = _with_norm(emb, vec_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = F.expr(TH.spark_dot("qvec", vec_col)) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc(id_col))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN cosine top-k: candidates restricted to the query's LSH bucket.
+
+    Same output shape as :func:`cosine_topk`; neighbors outside the
+    bucket are missed by design (recall/sped-up trade). The bucket join
+    is a plain equality shuffle → scales linearly in corpus size.
+    """
+    planes = TH.hyperplanes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {TH.spark_dot_lit(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    e = _with_norm(emb, vec_col).withColumn("bucket", F.expr(bucket))
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.expr(TH.spark_dot("qvec", vec_col)) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc(id_col))
+    return (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")))
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid stats via posexplode → (label, dim) mean.
+
+    The explode shuffles |rows|×dim small records on a uniform key — at
+    100 TB prefer dim-chunked Summarizer-style partial aggregation, but
+    the shape (no collect, bounded output = |labels|×dim) already scales.
+    """
+    exploded = emb.select(
+        label_col, F.posexplode(vec_col).alias("dim", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("mean_v")
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias("centroid_norm"),
+        F.count("*").cast("long").alias("n_dims"),
+    )

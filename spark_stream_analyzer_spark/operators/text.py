@@ -1,0 +1,125 @@
+"""Text-analysis operators for the LLM-data-pipeline surface (EXT).
+
+These are extensions beyond the reference engine (which has no text
+processing — its only string ops are CSV splits, reference
+``spark/SparkStreamingService.java:135,192``), required by the rebuild's
+north star: language-ID, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, lang, source, n_chars)``
+table.
+
+All operators are pure column expressions (whole-stage codegen, no UDFs,
+no shuffle) — at 100 TB they are a single scan pass, trivially
+partition-parallel. Every hash is the md5-derived 60-bit integer from
+:mod:`..functions.texthash`, so each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+
+
+def with_words(df: DataFrame, text_col: str = "text", out: str = "words") -> DataFrame:
+    """Normalized word tokens: lower → strip non-alnum runs → split."""
+    return df.withColumn(out, F.expr(TH.spark_norm_words(text_col)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc counting + quality metrics.
+
+    quality_score ∈ [0,1]: length credit (saturates at 50 words) +
+    alnum-cleanliness + stopword-density credit — a deterministic stand-in
+    for model-based quality filters, same shape as C4/Gopher-style rules.
+    """
+    df = with_words(df, text_col)
+    n_words = F.size("words")
+    word_len_sum = F.expr("aggregate(transform(words, w -> length(w)), 0, (a, x) -> a + x)")
+    n_tokens = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '{TH.spark_escape(TH.TOKEN_PAT)}', 0))"
+    )
+    n_sym = F.expr(f"size(regexp_extract_all(lower({text_col}), '[^a-z0-9\\\\s]', 0))")
+    n_chars = F.length(text_col)
+    en_hits = F.expr(TH.spark_stop_hits("words", TH.STOPWORDS["en"]))
+
+    zero_guard = n_words == 0
+    avg_word_len = F.when(zero_guard, F.lit(0.0)).otherwise(
+        word_len_sum.cast("double") / n_words
+    )
+    sym_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_sym.cast("double") / n_chars
+    )
+    stop_ratio = F.when(zero_guard, F.lit(0.0)).otherwise(
+        en_hits.cast("double") / n_words
+    )
+    quality = (
+        F.lit(0.4) * F.least(n_words.cast("double") / 50.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(sym_ratio * 4.0, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(sym_ratio, 6).alias("sym_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+        (quality >= 0.5).cast("int").alias("is_quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over {en, de, fr, es}, 'und' if no hits.
+
+    Ties break by fixed precedence en > de > fr > es (deterministic for
+    the oracle). Scripts outside [a-z0-9] (e.g. zh) normalize to zero
+    tokens → 'und'; a production pipeline would add CJK codepoint-range
+    votes the same way.
+    """
+    df = with_words(df, text_col)
+    hits = {
+        lang: F.expr(TH.spark_stop_hits("words", words)).alias(f"hits_{lang}")
+        for lang, words in TH.STOPWORDS.items()
+    }
+    df = df.select("doc_id", "lang", *hits.values())
+    h = {lang: F.col(f"hits_{lang}") for lang in TH.STOPWORDS}
+    pred = (
+        F.when((h["en"] > 0) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] > 0) & (h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when((h["fr"] > 0) & (h["fr"] >= h["es"]), "fr")
+        .when(h["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in TH.STOPWORDS],
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+    """Exact + content fingerprints.
+
+    ``exact_fp``: 60-bit hash of the raw text (byte-identical dup key).
+    ``content_fp``: min shingle-hash — stable under word-order-preserving
+    edits outside the minimal shingle (a 1-slot minhash), the cheap
+    near-dup prefilter key.
+    """
+    df = with_words(df, text_col).withColumn(
+        "sh", F.expr(TH.spark_shingles("words", shingle_k))
+    )
+    return df.select(
+        "doc_id",
+        F.expr(TH.spark_hash60(text_col)).alias("exact_fp"),
+        F.expr(
+            "coalesce(array_min(transform(sh, s -> "
+            + TH.spark_hash60("s")
+            + ")), cast(-1 as bigint))"
+        ).alias("content_fp"),
+        F.size("sh").cast("long").alias("n_shingles"),
+    )

@@ -1,0 +1,409 @@
+"""Oracle-checked LLM-data-pipeline queries (EXT, the north-star surface):
+dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding-cosine),
+similarity search (brute-force + sign-LSH ANN), text analysis, and
+multimodal plumbing — over the driver's ``documents`` / ``embeddings``
+tables.
+
+Every hash primitive is md5-60bit (``functions/texthash.py``), so each
+query has an *exact* DuckDB oracle — the SQL below is generated from the
+same constants (minhash coefficients, hyperplanes, stopword lists) the
+Spark side embeds. Dot products are left-fold doubles on both engines →
+bit-identical values → identical top-k ranking.
+
+The synthetic tables contain no real near-duplicates (max 3-gram Jaccard
+≈ 0.03, max cosine ≈ 0.44 at sf0.01), so pair thresholds are set low
+enough to produce non-empty, bounded result sets; the dense per-doc
+signature queries (minhash / simhash / fingerprints) are the
+high-information correctness checks regardless of data similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.operators import dedup, multimodal, similarity, text
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.tables import load_table
+
+P = TH.P31
+
+# shared DuckDB CTE: normalized words / shingles / shingle hashes
+_W = f"SELECT doc_id, text, lang, {TH.duck_norm_words('text')} AS words FROM documents"
+_S = f"SELECT doc_id, {TH.duck_shingles('words')} AS sh FROM w"
+_HS = f"SELECT doc_id, sh, list_transform(sh, x -> {TH.duck_hash60('x')} % {P}) AS hs FROM s"
+
+_COEFFS = TH.minhash_coeffs()
+_MH_COLS = ",\n       ".join(
+    f"{TH.duck_minhash_value('hs', a, b)} AS mh{j}" for j, (a, b) in enumerate(_COEFFS)
+)
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS bi, concat_ws('-', "
+    + ", ".join(f"mh{b * TH.LSH_ROWS + r}" for r in range(TH.LSH_ROWS))
+    + ") AS bk FROM sig"
+    for b in range(TH.LSH_BANDS)
+)
+
+_PLANES = TH.hyperplanes()
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN {TH.duck_dot_lit('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- text analysis
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH w AS ({_W})
+    SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '{TH.TOKEN_PAT}')) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+             ELSE list_aggregate(list_transform(words, x -> length(x)), 'sum')::DOUBLE / len(words) END, 6) AS avg_word_len,
+       ROUND(CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+             ELSE len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END, 6) AS sym_ratio,
+       ROUND(CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+             ELSE {TH.duck_stop_hits('words', TH.STOPWORDS['en'])}::DOUBLE / len(words) END, 6) AS stop_ratio,
+       ROUND(q_raw, 6) AS quality_score,
+       (q_raw >= 0.5::DOUBLE)::INT AS is_quality
+    FROM (
+      SELECT *,
+        0.4::DOUBLE * least(len(words)::DOUBLE / 50.0::DOUBLE, 1.0::DOUBLE)
+        + 0.3::DOUBLE * (1.0::DOUBLE - least(
+            (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+             ELSE len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) * 4.0::DOUBLE,
+            1.0::DOUBLE))
+        + 0.3::DOUBLE * least(
+            (CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+             ELSE {TH.duck_stop_hits('words', TH.STOPWORDS['en'])}::DOUBLE / len(words) END) * 5.0::DOUBLE,
+            1.0::DOUBLE) AS q_raw
+      FROM w)
+    """,
+    doc="EXT text analysis: token counting (word + BPE-ish), quality "
+    "scoring (length/symbol/stopword ratios) — single-scan codegen",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+_LANG_HITS = ",\n       ".join(
+    f"{TH.duck_stop_hits('words', ws)} AS hits_{lang}" for lang, ws in TH.STOPWORDS.items()
+)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH w AS ({_W}),
+    h AS (SELECT doc_id, lang, {_LANG_HITS} FROM w),
+    p AS (SELECT *,
+      CASE WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+           WHEN hits_de > 0 AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+           WHEN hits_fr > 0 AND hits_fr >= hits_es THEN 'fr'
+           WHEN hits_es > 0 THEN 'es'
+           ELSE 'und' END AS pred_lang
+      FROM h)
+    SELECT doc_id, lang,
+       CAST(hits_en AS BIGINT) AS hits_en, CAST(hits_de AS BIGINT) AS hits_de,
+       CAST(hits_fr AS BIGINT) AS hits_fr, CAST(hits_es AS BIGINT) AS hits_es,
+       pred_lang, (pred_lang = lang)::INT AS is_match
+    FROM p
+    """,
+    doc="EXT language-ID: stopword-vote heuristic with fixed-precedence "
+    "tie-break; scripts outside [a-z0-9] → 'und'",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    WITH w AS ({_W}), s0 AS ({_S}),
+    s AS (SELECT s0.doc_id, w.text, s0.sh FROM s0 JOIN w USING (doc_id))
+    SELECT doc_id,
+       {TH.duck_hash60('text')} AS exact_fp,
+       coalesce(list_min(list_transform(sh, x -> {TH.duck_hash60('x')})), (-1)::BIGINT) AS content_fp,
+       CAST(len(sh) AS BIGINT) AS n_shingles
+    FROM s
+    """,
+    doc="EXT document fingerprinting: exact 60-bit content hash + min "
+    "shingle-hash (1-slot minhash) as the near-dup prefilter key",
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+       (doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)))::INT AS is_duplicate
+    FROM documents
+    """,
+    doc="EXT exact dedup: hash-partition window, canonical = min doc_id "
+    "per content-hash equivalence class",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH w AS ({_W}), s AS ({_S}), hs AS ({_HS})
+    SELECT doc_id, {_MH_COLS},
+       CAST(len(sh) AS BIGINT) AS n_shingles
+    FROM hs
+    """,
+    doc="EXT MinHash: 16-slot signatures ((a*h+b) mod 2^31-1 over 3-gram "
+    "shingle hashes) — the dense per-doc correctness check for LSH",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        *[F.col(f"mh{j}").cast("long").alias(f"mh{j}") for j in range(TH.MINHASH_K)],
+        F.size("sh").cast("long").alias("n_shingles"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH w AS ({_W}), s AS ({_S}), hs AS ({_HS}),
+    sig AS (SELECT doc_id, sh, {_MH_COLS} FROM hs),
+    bands AS ({_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+    j AS (SELECT doc_a, doc_b,
+            len(list_intersect(sa.sh, sb.sh)) AS inter,
+            len(sa.sh) AS na, len(sb.sh) AS nb
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,
+       ROUND(CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
+             ELSE inter::DOUBLE / (na + nb - inter) END, 6) AS jaccard
+    FROM j
+    WHERE (CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
+           ELSE inter::DOUBLE / (na + nb - inter) END) >= 0.02
+    """,
+    doc="EXT MinHash-LSH near-dup: banded candidate join (8 bands × 2 "
+    "rows — never all-pairs) + exact-Jaccard verification on candidates",
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_duplicate_pairs(_docs(spark, sf_dir), min_jaccard=0.02)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH w AS ({_W}), s AS ({_S}),
+    posts AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM s)
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.02
+    """,
+    doc="EXT exact n-gram Jaccard dedup via inverted-index (shingle "
+    "postings) self-join + pair-count aggregation",
+)
+def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.02)
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    WITH w AS ({_W}),
+    hw AS (SELECT doc_id,
+             list_transform(list_distinct(words), x -> {TH.duck_hash60('x')}) AS hw
+           FROM w)
+    SELECT doc_id, {TH.duck_simhash('hw')} AS simhash,
+       CAST(len(hw) AS BIGINT) AS n_tokens
+    FROM hw
+    """,
+    doc="EXT SimHash: 32-bit per-doc fingerprint (per-bit ±1 votes over "
+    "distinct-word hashes) — dense oracle for the Hamming-dedup path",
+)
+def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH w AS ({_W}),
+    hw AS (SELECT doc_id,
+             list_transform(list_distinct(words), x -> {TH.duck_hash60('x')}) AS hw
+           FROM w),
+    sim AS (SELECT doc_id, {TH.duck_simhash('hw')} AS simhash FROM hw),
+    bands AS (
+      SELECT doc_id, simhash, 0 AS bi, (simhash >> 0) & 255 AS bk FROM sim
+      UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sim
+      UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sim
+      UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sim)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="EXT SimHash near-dup pairs: byte-band LSH candidates (pigeonhole-"
+    "exact for hamming ≤ 3) + bit_count verification",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(a.bucket AS BIGINT) AS bucket,
+       ROUND({TH.duck_dot('a.embedding', 'b.embedding')} / (a.norm * b.norm), 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {TH.duck_dot('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= 0.3
+    """,
+    doc="EXT embedding near-dup: sign-LSH bucket candidates (64 buckets) "
+    "+ exact cosine ≥ 0.3 verification — no all-pairs product",
+)
+def q_dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cosine=0.3)
+
+
+# -------------------------------------------------------------- similarity
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm
+          FROM e WHERE vec_id < 8),
+    c AS (SELECT q.query_id, e.vec_id,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e, q WHERE e.vec_id != q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, vec_id) AS rn FROM c)
+    SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+       ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT similarity search, exact baseline: broadcast query set × "
+    "corpus scan, fold-dot cosine, ranked-window top-3",
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=3)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket AS qbucket FROM e WHERE vec_id < 8),
+    c AS (SELECT q.query_id, e.vec_id, e.bucket,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, vec_id) AS rn FROM c)
+    SELECT query_id, vec_id AS neighbor_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT ANN similarity: sign-LSH (6 hyperplanes → 64 buckets) "
+    "bucket-equality join + within-bucket top-3 — the 100 TB path",
+)
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=3)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH p AS (
+      SELECT label,
+        unnest(list_transform(generate_series(1, len(embedding)),
+               i -> {'dim': i, 'v': embedding[i]::DOUBLE})) AS u
+      FROM embeddings),
+    d AS (SELECT label, (u).dim AS dim, AVG((u).v) AS mean_v FROM p GROUP BY 1, 2)
+    SELECT label, ROUND(sqrt(SUM(mean_v * mean_v)), 6) AS centroid_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM d GROUP BY label
+    """,
+    doc="EXT embedding analytics: per-label centroid via posexplode + "
+    "(label, dim) mean — bounded output, no driver collect",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+# -------------------------------------------------------------- multimodal
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 251 AS BIGINT) AS header,
+       CAST(64 + octet_length(encode(text)) % 193 AS BIGINT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 7
+                  + octet_length(encode(text)) % 251) % 129 AS BIGINT) AS height
+    FROM documents
+    """,
+    doc="EXT multimodal: binary payload → per-item metadata via Arrow-"
+    "batched mapInPandas (decode stub; plumbing + values oracle-real)",
+)
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.fake_decode_stats(multimodal.with_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n,
+            unnest(generate_series(0, least({multimodal.MAX_FRAMES},
+                   1 + n // {multimodal.FRAME_SIZE}) - 1)) AS frame_idx
+          FROM d)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {multimodal.FRAME_SIZE} AS BIGINT) AS frame_offset,
+       CAST(least({multimodal.FRAME_SIZE}, n - frame_idx * {multimodal.FRAME_SIZE}) AS BIGINT) AS frame_bytes
+    FROM f
+    """,
+    doc="EXT multimodal frame sampling: 1→N fan-out through mapInPandas "
+    "(video-frame/audio-chunk shape) with real byte offsets",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.fake_frame_sample(multimodal.with_payload(_docs(spark, sf_dir)))

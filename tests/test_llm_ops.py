@@ -1,0 +1,105 @@
+"""Unit tests for the LLM-data-pipeline operators (EXT surface) on tiny
+literal DataFrames — planted duplicates/neighbors prove the semantics the
+synthetic tables can't (they contain no real near-dups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.operators import dedup, multimodal, similarity, text
+
+
+def docs(spark, *texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="t", n_chars=len(t)) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    df = dedup.exact_dedup(docs(spark, "a b c", "x y", "a b c", "a b c"))
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[0].canonical_id == 0 and rows[0].n_copies == 3 and rows[0].is_duplicate == 0
+    assert rows[2].canonical_id == 0 and rows[2].is_duplicate == 1
+    assert rows[3].canonical_id == 0 and rows[3].is_duplicate == 1
+    assert rows[1].n_copies == 1 and rows[1].is_duplicate == 0
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    sig = dedup.minhash_signatures(docs(spark, t, t, "totally different words here ok yes"))
+    rows = {r.doc_id: r for r in sig.collect()}
+    for j in range(16):
+        assert rows[0][f"mh{j}"] == rows[1][f"mh{j}"]
+    assert any(rows[0][f"mh{j}"] != rows[2][f"mh{j}"] for j in range(16))
+
+
+def test_lsh_pairs_find_planted_near_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # high jaccard overlap
+    pairs = dedup.lsh_duplicate_pairs(
+        docs(spark, base, near, "unrelated totally other text entirely", ), min_jaccard=0.5
+    ).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].jaccard > 0.7
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0: shingles {a b c, b c d}; doc1: {a b c}; jaccard = 1/2
+    pairs = dedup.ngram_jaccard_pairs(docs(spark, "a b c d", "a b c"), min_jaccard=0.1).collect()
+    assert len(pairs) == 1
+    assert pairs[0].n_shared == 1 and pairs[0].jaccard == pytest.approx(0.5)
+
+
+def test_simhash_identical_zero_hamming_and_pairs(spark):
+    t = "one two three four five six seven eight nine ten"
+    out = dedup.simhash_pairs(docs(spark, t, t, "completely disjoint vocabulary set"), max_hamming=3).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in out] == [(0, 1, 0)]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=0),  # query
+            Row(vec_id=1, embedding=[0.9, 0.1], label=0),  # closest
+            Row(vec_id=2, embedding=[0.5, 0.5], label=0),
+            Row(vec_id=3, embedding=[0.0, 1.0], label=0),  # orthogonal
+        ]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = similarity.cosine_topk(emb, F.col("vec_id") < 1, k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert out[0].cosine > 0.99 and abs(out[2].cosine) < 1e-6
+
+
+def test_multimodal_frame_fanout_counts(spark):
+    d = multimodal.with_payload(docs(spark, "x" * 100, "y" * 600))
+    rows = multimodal.fake_frame_sample(d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 1  # 100 bytes → 1 frame
+    assert len(by_doc[1]) == 3  # 600 bytes → frames at 0/256/512
+    f = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [x.frame_offset for x in f] == [0, 256, 512]
+    assert [x.frame_bytes for x in f] == [256, 256, 88]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_token_stats_edge_cases(spark):
+    out = {r.doc_id: r for r in text.token_stats(docs(spark, "", "the the the", "你好世界")).collect()}
+    assert out[0].n_words == 0 and out[0].avg_word_len == 0.0
+    assert out[1].n_words == 3 and out[1].stop_ratio == pytest.approx(1.0)
+    assert out[2].n_words == 0 and out[2].n_chars == 4  # CJK strips to no words
+
+
+def test_language_id_votes(spark):
+    d = docs(spark, "the cat is in the house", "der hund ist nicht zu haus", "你好")
+    out = {r.doc_id: r for r in text.language_id(d).collect()}
+    assert out[0].pred_lang == "en"
+    assert out[1].pred_lang == "de"
+    assert out[2].pred_lang == "und"
