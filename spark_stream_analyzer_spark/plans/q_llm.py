@@ -218,10 +218,12 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS ({_W}), s AS ({_S}),
     posts AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    keep AS (SELECT tok FROM posts GROUP BY tok HAVING COUNT(*) <= 100),
+    fp AS (SELECT p.doc_id, p.tok FROM posts p JOIN keep USING (tok)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-              FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM s)
+              FROM fp a JOIN fp b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
     SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
        ROUND(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
     FROM pairs
@@ -230,25 +232,26 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.02
     """,
     doc="EXT exact n-gram Jaccard dedup via inverted-index (shingle "
-    "postings) self-join + pair-count aggregation",
+    "postings) self-join; df-capped universe (stop-shingle guard — the "
+    "quadratic-blowup control at 100 TB)",
 )
 def q_dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.02)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.02, max_df=100)
 
 
 @register(
     "dedup_simhash_signatures",
     oracle=f"""
-    WITH w AS ({_W}),
+    WITH w AS ({_W}), s AS ({_S}),
     hw AS (SELECT doc_id,
-             list_transform(list_distinct(words), x -> {TH.duck_hash60('x')}) AS hw
-           FROM w)
+             list_transform(sh, x -> {TH.duck_hash60('x')}) AS hw
+           FROM s)
     SELECT doc_id, {TH.duck_simhash('hw')} AS simhash,
-       CAST(len(hw) AS BIGINT) AS n_tokens
+       CAST(len(hw) AS BIGINT) AS n_features
     FROM hw
     """,
     doc="EXT SimHash: 32-bit per-doc fingerprint (per-bit ±1 votes over "
-    "distinct-word hashes) — dense oracle for the Hamming-dedup path",
+    "3-gram shingle hashes) — dense oracle for the Hamming-dedup path",
 )
 def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
@@ -257,10 +260,10 @@ def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
-    WITH w AS ({_W}),
+    WITH w AS ({_W}), s AS ({_S}),
     hw AS (SELECT doc_id,
-             list_transform(list_distinct(words), x -> {TH.duck_hash60('x')}) AS hw
-           FROM w),
+             list_transform(sh, x -> {TH.duck_hash60('x')}) AS hw
+           FROM s),
     sim AS (SELECT doc_id, {TH.duck_simhash('hw')} AS simhash FROM hw),
     bands AS (
       SELECT doc_id, simhash, 0 AS bi, (simhash >> 0) & 255 AS bk FROM sim
