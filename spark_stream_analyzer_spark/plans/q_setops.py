@@ -1,0 +1,115 @@
+"""Set operations + approximate aggregates (SURVEY §2.4/§2.5 'absent in
+reference, available native' — exercised here so the coverage claim is
+oracle-backed).
+
+Approximate operators can't hash-match an oracle value-for-value, so the
+queries emit *tolerance verdicts*: Spark computes approx vs exact and
+returns pass/fail flags; the oracle asserts the flags are all-pass. A
+wrong sketch implementation (or silently-exact fallback) fails the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _custkeys_of_year(o: DataFrame, year: int) -> DataFrame:
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("o_custkey")
+
+
+@register(
+    "repeat_customers_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    doc="INTERSECT (distinct): customers ordering in both 1996 and 1997 "
+    "— left-semi-style shuffle on the key",
+)
+def q_repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return _custkeys_of_year(o, 1996).intersect(_custkeys_of_year(o, 1997))
+
+
+@register(
+    "churned_customers_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    doc="EXCEPT (distinct): 1996 customers gone in 1997 (left-anti shape)",
+)
+def q_churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return _custkeys_of_year(o, 1996).subtract(_custkeys_of_year(o, 1997))
+
+
+@register(
+    "approx_distinct_check",
+    oracle="""
+    SELECT 'o_custkey' AS col, 1::INT AS within_2pct
+    UNION ALL SELECT 'l_partkey', 1::INT
+    ORDER BY col
+    """,
+    doc="HyperLogLog++ approx_count_distinct vs exact, 2% relative-error "
+    "verdict (the oracle-able form of an approximate aggregate)",
+)
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    checks = [
+        ("o_custkey", o, "o_custkey"),
+        ("l_partkey", l, "l_partkey"),
+    ]
+    out = None
+    for name, df, col in checks:
+        verdict = df.agg(
+            F.approx_count_distinct(col, rsd=0.01).alias("approx"),
+            F.countDistinct(col).alias("exact"),
+        ).select(
+            F.lit(name).alias("col"),
+            (
+                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.02
+            ).cast("int").alias("within_2pct"),
+        )
+        out = verdict if out is None else out.unionByName(verdict)
+    return out.orderBy("col")
+
+
+@register(
+    "approx_quantile_check",
+    oracle="SELECT 1::INT AS median_ok, 1::INT AS p95_ok",
+    doc="percentile_approx (Greenwald-Khanna sketch) vs exact percentile, "
+    "0.5% rank-tolerance verdict",
+)
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    q = l.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.495D, 0.505D, 0.945D, 0.955D))").alias("ex"),
+    )
+    return q.select(
+        ((F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[1]))
+        .cast("int")
+        .alias("median_ok"),
+        ((F.col("ap")[1] >= F.col("ex")[2]) & (F.col("ap")[1] <= F.col("ex")[3]))
+        .cast("int")
+        .alias("p95_ok"),
+    )

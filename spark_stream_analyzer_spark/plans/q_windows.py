@@ -1,0 +1,130 @@
+"""Oracle-checked event-time window queries (EXT) over the events table.
+
+These run the REAL Spark window operators (``F.window`` /
+``F.session_window``) in batch mode — the same builder functions the
+streaming tests replay through a file source (stream/batch consistency,
+the Structured Streaming paper's core promise). The DuckDB oracles
+re-derive window membership arithmetically (epoch-aligned buckets,
+generate_series fan-out for sliding, gaps-and-islands for sessions) —
+an independent formulation, so alignment/boundary bugs mismatch.
+
+Timestamps: ``ts`` is the µs-truncated event time (see
+sources/tables.py); both sides reduce window bounds to epoch
+seconds/µs longs for the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions.scalar import round6
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.tables import load_table
+from spark_stream_analyzer_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_daily",
+    oracle="""
+    SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="EXT tumbling window (1 day, epoch-aligned) × event_type — the "
+    "canonical streaming windowed agg, checked in its batch form",
+)
+def q_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tumbling_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("n_events"), round6(F.sum("value")).alias("sum_value")],
+    )
+    return out.select(
+        F.unix_timestamp("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sliding_1d_6h",
+    oracle="""
+    SELECT ((epoch_us(ts) // 1000000) // 21600 - k.k) * 21600 AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1
+    """,
+    doc="EXT sliding window (1 day, 6 h slide): every event fans out to "
+    "4 overlapping windows; oracle re-derives membership arithmetically",
+)
+def q_events_sliding_1d_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sliding_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "1 day",
+        "6 hours",
+        [],
+        [
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window.start").alias("window_start"),
+        "n_events",
+        "n_users",
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                  < 86400000000 THEN 0 ELSE 1 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, tus,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o)
+    SELECT user_id,
+           MIN(tus) AS session_start_us,
+           MAX(tus) + 86400000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="EXT session windows (24 h gap) per user via native "
+    "session_window; oracle is an independent gaps-and-islands derivation",
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = session_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "24 hours",
+        ["user_id"],
+        [F.count("*").alias("n_events")],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        "n_events",
+    )

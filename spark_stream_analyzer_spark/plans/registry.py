@@ -56,8 +56,10 @@ def _load_all() -> None:
     from spark_stream_analyzer_spark.plans import (  # noqa: F401
         q_llm,
         q_reference,
+        q_setops,
         q_streaming,
         q_tpch,
+        q_windows,
         q_wire,
     )
 

@@ -163,3 +163,96 @@ def test_lifecycle_controller(spark):
     assert st["running"] is True and "id" in st
     assert ctl.stop() is True
     assert ctl.status() == {"running": False}
+
+
+def test_windowed_agg_with_watermark_drops_late_rows(spark, tmp_path):
+    """Tumbling-window append mode with a watermark: a finalized window is
+    emitted exactly once, and a row arriving after its window was evicted
+    is dropped (EXT §2.9 — the reference accepts all late data; the
+    windows module makes the bound explicit). Note Spark only GUARANTEES
+    dropping once the window state is evicted — same-batch late merges are
+    best-effort — so the late row arrives two batches after the advancer."""
+    import os
+    import time as _time
+    import uuid
+
+    from spark_stream_analyzer_spark.streaming.windows import tumbling_agg
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+    # batch 0: two events in window [00:00, 01:00) + one at 03:10 that
+    # advances the watermark (10 min delay) far past the first window
+    _write(src, "000.txt", "2024-01-01 00:10:00,a\n2024-01-01 00:20:00,b\n2024-01-01 03:10:00,c\n")
+    # batch 1: runs with watermark 03:00 → window [00:00,01:00) finalized
+    _write(src, "001.txt", "2024-01-01 03:20:00,d\n")
+    # batch 2: late arrival for the already-evicted window → dropped
+    _write(src, "002.txt", "2024-01-01 00:30:00,late\n")
+    # file source orders batches by modification time — pin it
+    now = _time.time()
+    for i, fname in enumerate(("000.txt", "001.txt", "002.txt")):
+        os.utime(src / fname, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    lines = file_lines_stream(spark, str(src))
+    events = lines.select(
+        F.split("value", ",").getItem(0).cast("timestamp").alias("ts"),
+        F.split("value", ",").getItem(1).alias("tag"),
+    )
+    win = tumbling_agg(
+        events, "ts", "1 hour", [], [F.count("*").alias("n")], watermark="10 minutes"
+    ).select(F.unix_timestamp("window.start").alias("ws"), "n")
+
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = win.writeStream.outputMode("append").format("memory").queryName(name).start()
+    _drain(q)
+    rows = spark.table(name).collect()
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    # exactly ONE emission for the first window, with only the 2 on-time
+    # rows; the post-eviction late row neither re-emitted nor extended it
+    first = [r for r in rows if r.ws == base]
+    assert [r.n for r in first] == [2]
+    # the 03:00 window is never finalized (nothing advances the watermark
+    # past 04:00), so append mode hasn't emitted it
+    assert all(r.ws == base for r in rows)
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Stream/batch consistency for session windows: same builder, same
+    result (the engine's windows are plan-agnostic by construction)."""
+    import uuid
+
+    from spark_stream_analyzer_spark.streaming.windows import session_agg
+
+    rows = [
+        ("2024-01-01 00:00:00", "u1"),
+        ("2024-01-01 00:04:00", "u1"),  # merges (gap < 5 min)
+        ("2024-01-01 00:20:00", "u1"),  # new session
+        ("2024-01-01 00:00:00", "u2"),
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    _write(src, "000.txt", "".join(f"{t},{u}\n" for t, u in rows))
+
+    def build(df):
+        ev = df.select(
+            F.split("value", ",").getItem(0).cast("timestamp").alias("ts"),
+            F.split("value", ",").getItem(1).alias("uid"),
+        )
+        return session_agg(ev, "ts", "5 minutes", ["uid"], [F.count("*").alias("n")]).select(
+            "uid", F.unix_timestamp("session_window.start").alias("ss"), "n"
+        )
+
+    batch_df = spark.createDataFrame([(f"{t},{u}",) for t, u in rows], ["value"])
+    expected = {(r.uid, r.ss, r.n) for r in build(batch_df).collect()}
+    assert len(expected) == 3  # u1×2 sessions, u2×1
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        build(file_lines_stream(spark, str(src)))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    _drain(q)
+    got = {(r.uid, r.ss, r.n) for r in spark.table(name).collect()}
+    assert got == expected
