@@ -35,11 +35,15 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     df = with_words(df, text_col)
     n_words = F.size("words")
-    word_len_sum = F.expr("aggregate(transform(words, w -> length(w)), 0, (a, x) -> a + x)")
+    # sum of word lengths without a higher-order fold (stays in codegen)
+    word_len_sum = F.length(F.array_join("words", ""))
     n_tokens = F.expr(
         f"size(regexp_extract_all(lower({text_col}), '{TH.spark_escape(TH.TOKEN_PAT)}', 0))"
     )
-    n_sym = F.expr(f"size(regexp_extract_all(lower({text_col}), '[^a-z0-9\\\\s]', 0))")
+    # symbol count as a length delta — avoids materializing a match array
+    n_sym = F.length(F.lower(F.col(text_col))) - F.length(
+        F.expr(f"regexp_replace(lower({text_col}), '[^a-z0-9\\\\s]', '')")
+    )
     n_chars = F.length(text_col)
     en_hits = F.expr(TH.spark_stop_hits("words", TH.STOPWORDS["en"]))
 

@@ -71,9 +71,9 @@ def _emb(spark, sf_dir):
        CAST(len(words) AS BIGINT) AS n_words,
        CAST(len(regexp_extract_all(lower(text), '{TH.TOKEN_PAT}')) AS BIGINT) AS n_tokens,
        ROUND(CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
-             ELSE list_aggregate(list_transform(words, x -> length(x)), 'sum')::DOUBLE / len(words) END, 6) AS avg_word_len,
+             ELSE length(array_to_string(words, ''))::DOUBLE / len(words) END, 6) AS avg_word_len,
        ROUND(CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-             ELSE len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END, 6) AS sym_ratio,
+             ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text) END, 6) AS sym_ratio,
        ROUND(CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
              ELSE {TH.duck_stop_hits('words', TH.STOPWORDS['en'])}::DOUBLE / len(words) END, 6) AS stop_ratio,
        ROUND(q_raw, 6) AS quality_score,
@@ -83,7 +83,7 @@ def _emb(spark, sf_dir):
         0.4::DOUBLE * least(len(words)::DOUBLE / 50.0::DOUBLE, 1.0::DOUBLE)
         + 0.3::DOUBLE * (1.0::DOUBLE - least(
             (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-             ELSE len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE / length(text) END) * 4.0::DOUBLE,
+             ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text) END) * 4.0::DOUBLE,
             1.0::DOUBLE))
         + 0.3::DOUBLE * least(
             (CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
