@@ -1,0 +1,38 @@
+"""Skew-mitigation utilities for hot-key joins (100 TB concern; SURVEY §4
+'skewed keys hurt').
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew by
+splitting oversized partitions, but it only works for sort-merge joins
+with both sides shuffled. ``salted_join`` is the explicit fallback for
+the pathological case — one giant key against a broadcast-too-big dim:
+salt fans EACH big-side row into one of ``n_salt`` sub-keys and
+replicates the small side across all salts, so the hot key's rows spread
+over ``n_salt`` tasks instead of one straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column ``on`` with salt fan-out.
+
+    The salt assignment only needs to spread rows (any value is correct);
+    a row-id hash keeps it deterministic for tests. Output columns =
+    big's ∪ small's minus the duplicate join key, like a plain join.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+    salted_small = small.withColumn("_salt", salts)
+    out = salted_big.join(salted_small, [on, "_salt"], how)
+    return out.drop("_salt")

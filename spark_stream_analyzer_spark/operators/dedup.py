@@ -262,6 +262,57 @@ def simhash_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Connected components over near-dup pairs → per-doc canonical id.
+
+    The real dedup workflow's last step: near-dup PAIRS become duplicate
+    CLUSTERS (keep one doc per cluster). Min-label propagation iterated
+    to fixpoint — each round is one shuffle (groupBy min over the edge
+    list); rounds ≤ graph diameter, and the driver only sees a single
+    converged-or-not count per round (no data collect). Near-dup graphs
+    are overwhelmingly tiny cliques/chains, so this converges in a few
+    rounds at any corpus size; for adversarial long-path graphs switch to
+    path-doubling (log-rounds) — same oracle.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        # materialize once: every fixpoint round re-joins the edge list, and
+        # recomputing the upstream candidate-pair pipeline per round would
+        # dominate the whole computation
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(64):  # hard bound; convergence checked each round
+        neigh = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(edges.a)
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("a", "id")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     min_cosine: float = 0.3,

@@ -184,9 +184,8 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+#: full MinHash-LSH near-dup pairs oracle (shared with the clusters query)
+_LSH_PAIRS_SQL = f"""
     WITH w AS ({_W}), s AS ({_S}), hs AS ({_HS}),
     sig AS (SELECT doc_id, sh, {_MH_COLS} FROM hs),
     bands AS ({_BANDS_SQL}),
@@ -205,7 +204,12 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j
     WHERE (CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
            ELSE inter::DOUBLE / (na + nb - inter) END) >= 0.02
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_LSH_PAIRS_SQL,
     doc="EXT MinHash-LSH near-dup: banded candidate join (8 bands × 2 "
     "rows — never all-pairs) + exact-Jaccard verification on candidates",
 )
@@ -302,6 +306,81 @@ def q_dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     return dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cosine=0.3)
 
 
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.b AS id, rr.r FROM reach rr JOIN edges e ON e.a = rr.id)
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="EXT dedup clustering: connected components over near-dup pairs "
+    "(iterative min-label fixpoint; oracle = independent recursive-CTE "
+    "transitive closure) — the keep-one-per-cluster step",
+)
+def q_dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.lsh_duplicate_pairs(_docs(spark, sf_dir), min_jaccard=0.02)
+    return dedup.duplicate_clusters(pairs)
+
+
+_Q_KEEP_SQL = f"""
+      SELECT doc_id,
+        CASE WHEN 0.4::DOUBLE * least(len(words)::DOUBLE / 50.0::DOUBLE, 1.0::DOUBLE)
+          + 0.3::DOUBLE * (1.0::DOUBLE - least(
+              (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+               ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text) END) * 4.0::DOUBLE,
+              1.0::DOUBLE))
+          + 0.3::DOUBLE * least(
+              (CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+               ELSE {TH.duck_stop_hits('words', TH.STOPWORDS['en'])}::DOUBLE / len(words) END) * 5.0::DOUBLE,
+              1.0::DOUBLE) >= 0.5::DOUBLE THEN 1 ELSE 0 END AS is_quality,
+        CASE WHEN {TH.duck_stop_hits('words', TH.STOPWORDS['en'])} > 0
+              AND {TH.duck_stop_hits('words', TH.STOPWORDS['en'])} >= {TH.duck_stop_hits('words', TH.STOPWORDS['de'])}
+              AND {TH.duck_stop_hits('words', TH.STOPWORDS['en'])} >= {TH.duck_stop_hits('words', TH.STOPWORDS['fr'])}
+              AND {TH.duck_stop_hits('words', TH.STOPWORDS['en'])} >= {TH.duck_stop_hits('words', TH.STOPWORDS['es'])}
+             THEN 1 ELSE 0 END AS is_en,
+        CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_dup
+      FROM w
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH w AS ({_W}),
+    flags AS ({_Q_KEEP_SQL})
+    SELECT doc_id, is_quality::INT AS is_quality, is_en::INT AS is_en,
+       is_dup::INT AS is_dup,
+       (is_quality = 1 AND is_en = 1 AND is_dup = 0)::INT AS keep
+    FROM flags
+    """,
+    doc="EXT end-to-end curation: quality filter ∘ language filter ∘ "
+    "exact dedup composed into one per-doc keep/drop verdict — the "
+    "training-data pipeline in miniature (single scan + one hash window)",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    quality = text.token_stats(docs).select("doc_id", "is_quality")
+    lang = text.language_id(docs).select(
+        "doc_id", (F.col("pred_lang") == "en").cast("int").alias("is_en")
+    )
+    dups = dedup.exact_dedup(docs).select("doc_id", F.col("is_duplicate").alias("is_dup"))
+    out = quality.join(lang, "doc_id").join(dups, "doc_id")
+    return out.select(
+        "doc_id",
+        "is_quality",
+        "is_en",
+        "is_dup",
+        ((F.col("is_quality") == 1) & (F.col("is_en") == 1) & (F.col("is_dup") == 0))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 @register(
@@ -350,6 +429,34 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=3)
+
+
+_PROBES = ", ".join(["qb"] + [f"xor(qb, {1 << i})" for i in range(len(_PLANES))])
+
+
+@register(
+    "similarity_ann_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket AS qb FROM e WHERE vec_id < 8),
+    p AS (SELECT query_id, qvec, qnorm, unnest([{_PROBES}]) AS probe FROM q),
+    c AS (SELECT p.query_id, e.vec_id,
+            {TH.duck_dot('p.qvec', 'e.embedding')} / (p.qnorm * e.norm) AS cos_raw
+          FROM e JOIN p ON e.bucket = p.probe AND e.vec_id != p.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, vec_id) AS rn FROM c)
+    SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+       ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT multi-probe ANN: query probes its bucket + all 1-bit-flip "
+    "neighbors (recall recovery at bounded candidate cost)",
+)
+def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_multiprobe_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=3)
 
 
 @register(
