@@ -118,17 +118,6 @@ def spark_minhash_value(hs_expr: str, a: int, b: int) -> str:
     )
 
 
-def spark_simhash(hw_expr: str, bits: int = SIMHASH_BITS) -> str:
-    """SimHash over pre-hashed tokens (``hw``: array<bigint>): per-bit ±1 vote."""
-    return (
-        f"aggregate(transform(sequence(0, {bits - 1}), i -> "
-        f"CASE WHEN aggregate({hw_expr}, cast(0 as bigint),"
-        " (acc, h) -> acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0"
-        " THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
-
-
 def spark_dot(a_expr: str, b_expr: str) -> str:
     """Left-fold double dot product (bit-exact twin of :func:`duck_dot`)."""
     return (
