@@ -84,6 +84,12 @@ def lsh_duplicate_pairs(
     Candidates = pairs agreeing on ≥1 of the LSH bands (equality join on
     (band_idx, band_key) — a hash shuffle, never an all-pairs product);
     then exact shingle-set Jaccard on candidates only.
+
+    The signature subtree feeds both band sides and both verify sides;
+    Spark's ReusedExchange already de-duplicates the identical shuffle
+    subplans, so no explicit materialization (measured: localCheckpoint
+    of the wide shingle arrays was 2× SLOWER than exchange reuse). At
+    cluster scale the two-phase form writes signatures to a table first.
     """
     sig = minhash_signatures(df, text_col, shingle_k).select(
         "doc_id", "sh", *[f"band{b}" for b in range(TH.LSH_BANDS)]
@@ -228,9 +234,12 @@ def simhash_pairs(
     4 bands of 8 bits: any pair with hamming ≤ 3 must agree on ≥1 whole
     byte (pigeonhole) → candidates from an equality join on
     (band_idx, band_byte), never an all-pairs scan. Exact bit_count
-    verification on candidates.
+    verification on candidates. Fingerprints materialize once
+    (localCheckpoint) — both self-join sides reuse them.
     """
-    sim = simhash_fingerprints(df, text_col).select("doc_id", "simhash")
+    sim = simhash_fingerprints(df, text_col).select(
+        "doc_id", "simhash"
+    ).localCheckpoint(eager=True)
     bands = sim.select(
         "doc_id",
         "simhash",
