@@ -128,3 +128,40 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_window.end").alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, MAX(value) AS pv FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           ROUND(r.pv, 6) AS last_purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    doc="EXT as-of join (J5 generalized): each click joined to the "
+    "user's latest at-or-before purchase via the union+window trick "
+    "(one shuffle+sort, no per-row subquery); oracle uses DuckDB's "
+    "NATIVE ASOF JOIN — two independent implementations must agree",
+)
+def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    out = asof_join_backward(
+        clicks, purchases, by="user_id", ts_col="ts", value_col="pv",
+        out_col="last_purchase_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        round6(F.col("last_purchase_value")).alias("last_purchase_value"),
+    )

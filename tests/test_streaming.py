@@ -256,3 +256,98 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     _drain(q)
     got = {(r.uid, r.ss, r.n) for r in spark.table(name).collect()}
     assert got == expected
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream⋈static dim join — the in-pipeline form of the reference's
+    per-row sink lookup (J6): the dim is joinable on every micro-batch
+    without state."""
+    import uuid
+
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    _write(src, "000.txt", "S_A,5\nS_B,7\nS_X,1\n")
+
+    dim = spark.createDataFrame(
+        [("S_A", "Alice", "t1"), ("S_B", "Bob", "t2")], ["steam_id", "name", "team"]
+    )
+    lines = file_lines_stream(spark, str(src))
+    ev = lines.select(
+        F.split("value", ",").getItem(0).alias("steam_id"),
+        F.split("value", ",").getItem(1).cast("long").alias("amount"),
+    )
+    joined = ev.join(F.broadcast(dim), "steam_id", "left").select(
+        "steam_id", "amount", F.coalesce("name", F.lit("?")).alias("name")
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    _drain(q)
+    got = {(r.steam_id, r.amount, r.name) for r in spark.table(name).collect()}
+    assert got == {("S_A", 5, "Alice"), ("S_B", 7, "Bob"), ("S_X", 1, "?")}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one row
+    per key across micro-batches while the key is inside the watermark —
+    the streaming face of the dedup operator family."""
+    import uuid
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    _write(src, "000.txt", "2024-01-01 00:00:01,k1\n2024-01-01 00:00:02,k1\n2024-01-01 00:00:03,k2\n")
+    _write(src, "001.txt", "2024-01-01 00:00:04,k1\n2024-01-01 00:00:05,k3\n")
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(src / "000.txt", (now - 30, now - 30))
+    os.utime(src / "001.txt", (now, now))
+
+    lines = file_lines_stream(spark, str(src))
+    ev = lines.select(
+        F.split("value", ",").getItem(0).cast("timestamp").alias("ts"),
+        F.split("value", ",").getItem(1).alias("k"),
+    ).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["k"])
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    _drain(q)
+    ks = sorted(r.k for r in spark.table(name).collect())
+    assert ks == ["k1", "k2", "k3"]  # k1's three copies collapsed to one
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream⋈stream equi-join with time bound: kills enriched with the
+    damage amount recorded for the same player within 60 s — both sides
+    watermarked so join state is evictable (bounded at scale)."""
+    import uuid
+
+    kdir, ddir = tmp_path / "kj", tmp_path / "dj"
+    kdir.mkdir(), ddir.mkdir()
+    _write(kdir, "000.txt", "2024-01-01 00:00:10,S_A\n2024-01-01 00:05:00,S_B\n")
+    _write(ddir, "000.txt", "2024-01-01 00:00:30,S_A,40\n2024-01-01 00:20:00,S_B,9\n")
+
+    kills = file_lines_stream(spark, str(kdir)).select(
+        F.split("value", ",").getItem(0).cast("timestamp").alias("k_ts"),
+        F.split("value", ",").getItem(1).alias("k_sid"),
+    ).withWatermark("k_ts", "10 minutes")
+    dmgs = file_lines_stream(spark, str(ddir)).select(
+        F.split("value", ",").getItem(0).cast("timestamp").alias("d_ts"),
+        F.split("value", ",").getItem(1).alias("d_sid"),
+        F.split("value", ",").getItem(2).cast("long").alias("amount"),
+    ).withWatermark("d_ts", "10 minutes")
+
+    joined = kills.join(
+        dmgs,
+        F.expr(
+            "k_sid = d_sid AND d_ts BETWEEN k_ts AND k_ts + INTERVAL 60 seconds"
+        ),
+    ).select("k_sid", "amount")
+
+    name = f"ssj2_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    _drain(q)
+    got = {(r.k_sid, r.amount) for r in spark.table(name).collect()}
+    # S_A's damage lands 20s after the kill → joins; S_B's is 15min late → no
+    assert got == {("S_A", 40)}
