@@ -11,6 +11,7 @@ like the driver's hash). Usage::
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -47,7 +48,21 @@ def rows_multiset(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="verify-local")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-fidelity mode: plain session, all Spark defaults — the
+        # grading harness does NOT use our tuned get_spark()
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify-vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
