@@ -165,3 +165,31 @@ def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         round6(F.col("last_purchase_value")).alias("last_purchase_value"),
     )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
+    FROM events GROUP BY event_type
+    """,
+    doc="EXT semi-structured extraction: schema-enforced from_json over "
+    "the JSON props column (the scalable form — typed struct, no "
+    "per-row schema inference), aggregated by event type",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "struct<k:long>").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_over_50"),
+        )
+    )
