@@ -1,0 +1,62 @@
+"""Public operator API — batch/streaming-agnostic DataFrame transforms.
+
+Reference-core (SURVEY §2): event normalization + keyed player stats.
+EXT (north star): as-of join, text analysis, dedup family, similarity
+search, multimodal plumbing.
+"""
+
+from spark_stream_analyzer_spark.operators.asof import asof_join_backward
+from spark_stream_analyzer_spark.operators.dedup import (
+    duplicate_clusters,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_duplicate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from spark_stream_analyzer_spark.operators.events import union_streams
+from spark_stream_analyzer_spark.operators.multimodal import (
+    fake_decode_stats,
+    fake_frame_sample,
+    with_payload,
+)
+from spark_stream_analyzer_spark.operators.player_stats import player_stats
+from spark_stream_analyzer_spark.operators.similarity import (
+    cosine_topk,
+    label_centroids,
+    lsh_multiprobe_topk,
+    lsh_topk,
+)
+from spark_stream_analyzer_spark.operators.text import (
+    fingerprints,
+    language_id,
+    token_stats,
+    with_words,
+)
+
+__all__ = [
+    "asof_join_backward",
+    "cosine_topk",
+    "duplicate_clusters",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "fake_decode_stats",
+    "fake_frame_sample",
+    "fingerprints",
+    "label_centroids",
+    "language_id",
+    "lsh_duplicate_pairs",
+    "lsh_multiprobe_topk",
+    "lsh_topk",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "player_stats",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "token_stats",
+    "union_streams",
+    "with_payload",
+    "with_words",
+]
