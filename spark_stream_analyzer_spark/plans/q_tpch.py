@@ -481,3 +481,45 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", round6(F.col("c_acctbal")).alias("acctbal"))
     )
+
+
+@register(
+    "revenue_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping-sets (all 4 subtotal combinations) — completes the "
+    "grouping-sets family next to revenue_rollup",
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        round6(F.sum("l_extendedprice")).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "price_quartiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="ordered-set aggregate class: EXACT interpolated percentiles per "
+    "group (continuous definition matches DuckDB quantile_cont)",
+)
+def q_price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return l.groupBy("l_returnflag").agg(q.alias("q")).select(
+        "l_returnflag",
+        round6(F.col("q")[0]).alias("p25"),
+        round6(F.col("q")[1]).alias("p50"),
+        round6(F.col("q")[2]).alias("p75"),
+    )

@@ -193,3 +193,58 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_over_50"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_us / 1000000.0), 6) AS avg_gap_s,
+           CAST(MAX(gap_us) // 1000000 AS BIGINT) AS max_gap_s
+    FROM g GROUP BY event_type
+    """,
+    doc="lead/lag window class (SURVEY §2.7 'absent in reference, "
+    "available native'): per-user inter-arrival gaps via lag, "
+    "aggregated by event type",
+)
+def q_events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = ev.withColumn("gap_us", F.col("tus") - F.lag("tus").over(w))
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        round6(F.avg(F.col("gap_us") / 1_000_000.0)).alias("avg_gap_s"),
+        F.expr("max(gap_us) DIV 1000000").alias("max_gap_s"),
+    )
+
+
+@register(
+    "events_trailing_hour_activity",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts) // 1000000
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+    doc="RANGE-frame window class: per-user trailing-1-hour event count "
+    "over an event-time range frame (not rows) — the rate-limiter shape",
+)
+def q_events_trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).withColumn(
+        "sec", F.expr("unix_micros(ts) DIV 1000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_hour")
+    )
