@@ -137,6 +137,17 @@ def spark_dot_lit(a_expr: str, vec: list[float]) -> str:
     )
 
 
+def spark_l2sq_lit(a_expr: str, vec: list[float]) -> str:
+    """Squared L2 distance to a literal vector (left-fold, bit-exact twin
+    of :func:`duck_l2sq` when the operands match)."""
+    lits = ", ".join(f"cast({v!r} as double)" for v in vec)
+    return (
+        f"aggregate(zip_with({a_expr}, array({lits}),"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def spark_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{w}'" for w in stopwords)
     return f"size(filter({words_expr}, w -> array_contains(array({arr}), w)))"
@@ -194,6 +205,15 @@ def duck_dot_lit(a_expr: str, vec: list[float]) -> str:
     return (
         f"list_reduce(list_transform(generate_series(1, {len(vec)}),"
         f" i -> {a_expr}[i]::DOUBLE * [{lits}][i]), (x, y) -> x + y)"
+    )
+
+
+def duck_l2sq(a_expr: str, b_expr: str, dim: int = 64) -> str:
+    """Squared L2 between two list columns, sequential fold over dims."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> ({a_expr}[i]::DOUBLE - {b_expr}[i]::DOUBLE)"
+        f" * ({a_expr}[i]::DOUBLE - {b_expr}[i]::DOUBLE)), (x, y) -> x + y)"
     )
 
 

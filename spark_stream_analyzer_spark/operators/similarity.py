@@ -156,6 +156,52 @@ def lsh_multiprobe_topk(
     )
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means assignment after ``iters`` rounds — the training
+    step of an IVF coarse quantizer for ANN at scale.
+
+    Deterministic by construction: init centroids are the first ``k``
+    vectors by id (no RNG); recomputed centroids are quantized to 6
+    decimals each round so the oracle's independently-computed means land
+    on the same grid. Per round: one scan for assignment (distances to k
+    broadcast-as-literal centroids, argmin with id tie-break), one
+    posexplode shuffle for the (cluster, dim) means, and a k×dim collect
+    to the driver — the same driver-sized exchange MLlib's k-means does;
+    data rows never leave executors. Empty clusters drop out (standard
+    Lloyd's behavior).
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col))
+    init = e.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    cents: dict[int, list[float]] = {int(r[0]): [float(x) for x in r[1]] for r in init}
+    dim = len(next(iter(cents.values())))
+    assign = None
+    for t in range(iters):
+        structs = [
+            f"struct({TH.spark_l2sq_lit(vec_col, cents[cid])} AS d,"
+            f" CAST({cid} AS BIGINT) AS c)"
+            for cid in sorted(cents)
+        ]
+        amin = F.expr(f"array_min(array({', '.join(structs)}))")
+        assign = e.withColumn("cluster_id", amin["c"])
+        if t < iters - 1:
+            means = (
+                assign.select("cluster_id", F.posexplode(vec_col).alias("dim", "v"))
+                .groupBy("cluster_id", "dim")
+                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+            ).collect()
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(int(r.cluster_id), {})[int(r.dim)] = float(r.c)
+            cents = {cid: [d[i] for i in range(dim)] for cid, d in by_cid.items()}
+    return assign.select(id_col, "cluster_id")
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

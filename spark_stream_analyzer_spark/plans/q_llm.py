@@ -479,6 +479,38 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
 
 
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+    d1 AS (SELECT e.vec_id, c0.cid, {TH.duck_l2sq('e.embedding', 'c0.cvec')} AS d
+           FROM e CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    x AS (SELECT a1.cid,
+            unnest(list_transform(generate_series(1, 64),
+                   i -> {{'dim': i, 'v': e.embedding[i]::DOUBLE}})) AS u
+          FROM a1 JOIN e ON e.vec_id = a1.vec_id),
+    m1 AS (SELECT cid, (u).dim AS dim, ROUND(AVG((u).v), 6) AS c
+           FROM x GROUP BY cid, (u).dim),
+    cl AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+    d2 AS (SELECT e.vec_id, cl.cid, {TH.duck_l2sq('e.embedding', 'cl.cvec')} AS d
+           FROM e CROSS JOIN cl),
+    a2 AS (SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2
+    """,
+    doc="EXT iterative ML: 2-round Lloyd's k-means (k=8, id-seeded, "
+    "round6-quantized centroids) — the IVF coarse-quantizer training "
+    "step; oracle unrolls both rounds independently in SQL",
+)
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+
+
 # -------------------------------------------------------------- multimodal
 
 @register(

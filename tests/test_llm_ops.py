@@ -103,3 +103,23 @@ def test_language_id_votes(spark):
     assert out[0].pred_lang == "en"
     assert out[1].pred_lang == "de"
     assert out[2].pred_lang == "und"
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    import itertools
+
+    from pyspark.sql import Row as R
+
+    # two tight planted clusters around (1,0) and (0,1); ids 0/1 seed them
+    pts = [(0, [1.0, 0.0]), (1, [0.0, 1.0])] + [
+        (i, [1.0 + 0.01 * (i % 3), 0.01 * (i % 2)]) for i in range(2, 8)
+    ] + [(i, [0.01 * (i % 2), 1.0 + 0.01 * (i % 3)]) for i in range(8, 14)]
+    emb = spark.createDataFrame(
+        [R(vec_id=i, embedding=v, label=0) for i, v in pts]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    from spark_stream_analyzer_spark.operators.similarity import kmeans_assign
+
+    out = {r.vec_id: r.cluster_id for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert all(out[i] == 0 for i in itertools.chain([0], range(2, 8)))
+    assert all(out[i] == 1 for i in itertools.chain([1], range(8, 14)))
