@@ -25,6 +25,8 @@ from spark_stream_analyzer_spark.operators.multimodal import (
 from spark_stream_analyzer_spark.operators.player_stats import player_stats
 from spark_stream_analyzer_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
+    kmeans_assign,
     label_centroids,
     lsh_multiprobe_topk,
     lsh_topk,
@@ -45,6 +47,8 @@ __all__ = [
     "fake_decode_stats",
     "fake_frame_sample",
     "fingerprints",
+    "ivf_topk",
+    "kmeans_assign",
     "label_centroids",
     "language_id",
     "lsh_duplicate_pairs",

@@ -202,6 +202,48 @@ def kmeans_assign(
     return assign.select(id_col, "cluster_id")
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the query's k-means cell.
+
+    The coarse quantizer is :func:`kmeans_assign`; candidates come from
+    an equality join on cell id (same scale shape as sign-LSH, but cells
+    adapt to the data distribution — better recall per probe on clustered
+    corpora). nprobe=1 here; multi-cell probing extends the join the same
+    way multi-probe LSH does.
+    """
+    cells = kmeans_assign(emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    e = _with_norm(emb, vec_col).join(cells, id_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("cluster_id").alias("qcell"),
+    )
+    cos = F.expr(TH.spark_dot("qvec", vec_col)) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc(id_col))
+    return (
+        e.join(F.broadcast(q), (F.col("cluster_id") == F.col("qcell")) & (F.col(id_col) != F.col("query_id")))
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster_id").cast("long").alias("cell"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

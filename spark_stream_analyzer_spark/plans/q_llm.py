@@ -459,6 +459,55 @@ def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_multiprobe_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=3)
 
 
+_KMEANS_CELLS_SQL = f"""
+    ke AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM ke WHERE vec_id < 8),
+    d1 AS (SELECT ke.vec_id, c0.cid, {TH.duck_l2sq('ke.embedding', 'c0.cvec')} AS d
+           FROM ke CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    x AS (SELECT a1.cid,
+            unnest(list_transform(generate_series(1, 64),
+                   i -> {{'dim': i, 'v': ke.embedding[i]::DOUBLE}})) AS u
+          FROM a1 JOIN ke ON ke.vec_id = a1.vec_id),
+    m1 AS (SELECT cid, (u).dim AS dim, ROUND(AVG((u).v), 6) AS c
+           FROM x GROUP BY cid, (u).dim),
+    cl AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+    d2 AS (SELECT ke.vec_id, cl.cid, {TH.duck_l2sq('ke.embedding', 'cl.cvec')} AS d
+           FROM ke CROSS JOIN cl),
+    a2 AS (SELECT vec_id, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d2) WHERE rn = 1)
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_KMEANS_CELLS_SQL},
+    e AS (SELECT ke.vec_id, ke.embedding, a2.cid AS cell,
+            sqrt({TH.duck_dot('ke.embedding', 'ke.embedding')}) AS norm
+          FROM ke JOIN a2 ON a2.vec_id = ke.vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            cell AS qcell FROM e WHERE vec_id < 8),
+    c AS (SELECT q.query_id, e.vec_id, e.cell,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e JOIN q ON e.cell = q.qcell AND e.vec_id != q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, vec_id) AS rn FROM c)
+    SELECT query_id, vec_id AS neighbor_id, CAST(cell AS BIGINT) AS cell,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT IVF ANN: search only the query's k-means cell (data-adaptive "
+    "coarse quantizer, nprobe=1) — completes the ANN family next to "
+    "sign-LSH and multi-probe",
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=3)
+
+
 @register(
     "embedding_label_centroids",
     oracle="""
