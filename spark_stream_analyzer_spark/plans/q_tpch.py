@@ -523,3 +523,62 @@ def q_price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("q")[1]).alias("p50"),
         round6(F.col("q")[2]).alias("p75"),
     )
+
+
+@register(
+    "customer_spend_ranks",
+    oracle="""
+    WITH s AS (SELECT o_custkey, SUM(o_totalprice) AS spend
+               FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           ROUND(spend, 6) AS spend,
+           CAST(rank() OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY ROUND(spend, 0) DESC) AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile
+    FROM s
+    """,
+    doc="ranking window family (rank / dense_rank / ntile) over per-"
+    "customer spend — completes SURVEY §2.7's 'available native' row. "
+    "NB: a GLOBAL ranking window is inherently a single-reducer sort; at "
+    "100 TB use per-group ranks (top_orders_per_customer) or sketch "
+    "quantiles (approx_quantile_check) instead — kept here because the "
+    "output (one row per customer) is dim-sized, not fact-sized",
+)
+def q_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w_full = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w_coarse = Window.orderBy(F.desc(F.round("spend", 0)))
+    return s.select(
+        "o_custkey",
+        round6(F.col("spend")).alias("spend"),
+        F.rank().over(w_full).cast("long").alias("rnk"),
+        F.dense_rank().over(w_coarse).cast("long").alias("drnk"),
+        F.ntile(4).over(w_full).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 6) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="calendar extraction (year/month) grouped revenue — datetime "
+    "function family over the orders timeline",
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            round6(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
