@@ -21,7 +21,7 @@ Two forms (SURVEY §2.5 A2):
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
