@@ -582,3 +582,235 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.sum("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "tpch_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(COALESCE(SUM(l.l_extendedprice), 0) / 7.0, 6) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated scalar-aggregate subquery over the "
+    "fact table. Decorrelated by hand into a per-part aggregate join "
+    "(what Catalyst/DuckDB do internally): the per-part threshold table "
+    "is |part|-sized -> broadcast; the fact table is scanned exactly "
+    "twice (once for thresholds, once for probes), never per-row",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    cap = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(cap), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            round6(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_or_brand_revenue",
+    oracle="""
+    SELECT ROUND(COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)), 0), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive predicate groups "
+    "spanning both join sides. The common part of each disjunct that "
+    "touches only one table (brand IN (...), quantity <= 30) is "
+    "extracted by Catalyst (CNF conversion) and pushed below the join; "
+    "the residual OR evaluates post-join inside codegen",
+)
+def q_or_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#11") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#22") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            round6(
+                F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_important_part_value",
+    oracle="""
+    WITH v AS (SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+               FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, ROUND(part_value, 6) AS part_value
+    FROM v
+    WHERE part_value > (SELECT SUM(part_value) * 0.0006 FROM v)
+    """,
+    doc="TPC-H Q11 shape: HAVING against a global scalar aggregate. The "
+    "scalar side is a one-row DataFrame broadcast-cross-joined into the "
+    "per-part aggregate — no driver collect, no second fact scan (the "
+    "per-part aggregate feeds both the total and the filter; Spark "
+    "reuses the exchange)",
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    v = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+    )
+    threshold = v.agg((F.sum("part_value") * 0.0006).alias("value_threshold"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("value_threshold"))
+        .select("l_partkey", round6(F.col("part_value")).alias("part_value"))
+    )
+
+
+@register(
+    "tpch_top_revenue_supplier",
+    oracle="""
+    WITH r AS (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+               GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 6) AS total_revenue
+    FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM r)
+    """,
+    doc="TPC-H Q15 shape: argmax against a derived revenue view (view -> "
+    "global MAX scalar -> equality filter -> dim join). The quarter's "
+    "per-supplier aggregate is computed once and feeds both the MAX and "
+    "the probe side; supplier dim is broadcast",
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    r = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = r.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", round6(F.col("total_revenue")).alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_lone_return_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS on the same self-joined "
+    "fact (LEFT SEMI then LEFT ANTI, both hash joins on l_orderkey with "
+    "a non-equi residual suppkey<>suppkey). The 'only supplier who "
+    "returned items on a finished multi-supplier order' blame query",
+)
+def q_lone_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = l.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_dominant_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supplier_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+      JOIN (SELECT l_partkey, SUM(l_quantity) AS part_qty
+            FROM lineitem GROUP BY l_partkey) pt
+        ON pt.l_partkey = ps.l_partkey
+      WHERE ps.supplier_qty > 0.15 * pt.part_qty)
+    """,
+    doc="TPC-H Q20 shape: IN-subquery against nested aggregates (LEFT "
+    "SEMI join of the dim against a two-level rollup of the fact). The "
+    "per-(part,supplier) aggregate is the reused building block; its "
+    "re-aggregation to per-part totals avoids a second fact scan",
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supplier_qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("supplier_qty").alias("part_qty"))
+    dominant = (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("supplier_qty") > 0.15 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )

@@ -248,3 +248,48 @@ def q_events_trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFra
     return ev.select(
         "event_id", "user_id", F.count("*").over(w).alias("n_last_hour")
     )
+
+
+@register(
+    "events_purchase_followup_range",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_followup,
+           ROUND(COALESCE(SUM(e.value), 0), 6) AS followup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >  p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+    doc="range/interval join class (SURVEY §2.6 'absent in reference, "
+    "available native'): per purchase, activity in the following hour. "
+    "The equi key (user_id) keeps this a hash/sort-merge join with a "
+    "band residual — never a cross product; at 100 TB both sides "
+    "shuffle-partition by user_id and the band predicate evaluates "
+    "in-partition (add a coarse time-bucket key to the join if a single "
+    "user's history exceeds one partition)",
+)
+def q_events_purchase_followup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select("user_id", "ts", "value", "event_id")
+    return (
+        p.join(
+            e,
+            (e.user_id == p.p_user)
+            & (e.ts > p.p_ts)
+            & (e.ts <= p.p_ts + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("event_id").alias("n_followup"),
+            round6(F.coalesce(F.sum("value"), F.lit(0.0))).alias("followup_value"),
+        )
+    )
