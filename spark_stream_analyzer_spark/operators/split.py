@@ -1,0 +1,116 @@
+"""Deterministic dataset splitting / sampling (EXT — training-data
+pipeline ops beyond the reference, per the rebuild north star).
+
+Random splits via ``rand()`` are useless for a corpus pipeline: they
+change under re-runs, backfills, partition re-ordering, and engine
+swaps. Everything here keys off a salted md5 of the row's stable id
+(:mod:`..functions.texthash` hash60), which gives:
+
+* **reproducibility** — same row → same bucket, on any engine (the
+  DuckDB oracles run the identical md5 expression);
+* **scale** — pure per-row map, no shuffle, no driver state; a 100 TB
+  split is exactly as parallel as the scan that reads it;
+* **stability under growth** — appending new rows never reassigns
+  existing ones (the property ``randomSplit`` lacks).
+
+The exact-size variant (``hash_rank_sample_k``) needs one shuffle per
+stratum (a ranked window), which is the unavoidable price of an exact
+count; at 100 TB prefer the fraction form unless exactness is a hard
+requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+
+#: bucket space for fraction→threshold conversion (0.1% granularity)
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Uniform bucket in [0, N_BUCKETS) from a salted md5 of the id.
+
+    The salt namespaces independent decisions (split vs sample) so they
+    are statistically independent of each other.
+    """
+    keyed = f"concat('{salt}:', cast({id_col} as string))"
+    return F.expr(f"{TH.spark_hash60(keyed)} % {N_BUCKETS}")
+
+
+def duck_hash_bucket(id_col: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` (oracle side)."""
+    keyed = f"concat('{salt}:', CAST({id_col} AS VARCHAR))"
+    return f"({TH.duck_hash60(keyed)} % {N_BUCKETS})"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Assign train/val/test by hash threshold (test = the remainder).
+
+    Adds ``bucket`` and ``split`` columns. Stateless map — composes with
+    any upstream filter without re-shuffling.
+    """
+    b = hash_bucket(id_col, salt)
+    t1 = int(train * N_BUCKETS)
+    t2 = int((train + val) * N_BUCKETS)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < t1, "train")
+        .when(F.col("bucket") < t2, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of each stratum, deterministically.
+
+    The salt is combined with the stratum so per-stratum selections are
+    independent; rows keep/drop independently of data order. The
+    deterministic twin of ``df.sampleBy`` (which is seed-stable but not
+    engine-portable or append-stable).
+    """
+    keyed = f"concat('{salt}:', {strata_col}, ':', cast({id_col} as string))"
+    b = F.expr(f"{TH.spark_hash60(keyed)} % {N_BUCKETS}")
+    return df.withColumn("bucket", b).filter(
+        F.col("bucket") < int(fraction * N_BUCKETS)
+    )
+
+
+def hash_rank_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "topk",
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum: the k smallest salted hashes.
+
+    A deterministic reservoir sample. One ranked window per stratum
+    (hash shuffle on the stratum key; ties broken by id so the result is
+    total-order stable). At scale the window's sort is per-stratum, and
+    Spark's TopK (rank <= k) pushes the limit into the sort.
+    """
+    keyed = f"concat('{salt}:', cast({id_col} as string))"
+    h = F.expr(TH.spark_hash60(keyed))
+    w = Window.partitionBy(strata_col).orderBy(F.col("h"), F.col(id_col))
+    return (
+        df.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("h", "rk")
+    )

@@ -598,3 +598,78 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_frame_sample(multimodal.with_payload(_docs(spark, sf_dir)))
+
+
+# ------------------------------------------------------- split / sampling
+
+from spark_stream_analyzer_spark.operators import split as splitops  # noqa: E402
+
+
+@register(
+    "corpus_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(b AS BIGINT) AS bucket,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {splitops.duck_hash_bucket('doc_id', 'split')} AS b
+          FROM documents)
+    """,
+    doc="EXT deterministic train/val/test split: salted-md5 bucket "
+    "thresholds (80/10/10). Pure per-row map — zero shuffle at any "
+    "scale, append-stable (new docs never reassign old ones), and "
+    "engine-portable (the oracle runs the identical md5 expression)",
+)
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splitops.hash_split(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"), "split"
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(b AS BIGINT) AS bucket
+    FROM (SELECT doc_id, source,
+            {splitops.duck_hash_bucket("concat(source, ':', doc_id)", 'sample')} AS b
+          FROM documents)
+    WHERE b < 2000
+    """,
+    doc="EXT deterministic stratified sampling: keep ~20% per source via "
+    "per-stratum salted hash threshold — the reproducible twin of "
+    "sampleBy (stable under re-runs, backfills, and engine swaps)",
+)
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = splitops.stratified_hash_sample(_docs(spark, sf_dir), fraction=0.2)
+    return out.select(
+        "doc_id", "source", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+@register(
+    "corpus_sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY {TH.duck_hash60("concat('topk:', CAST(doc_id AS VARCHAR))")}, doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 10
+    """,
+    doc="EXT exact-size per-stratum sample: the k smallest salted "
+    "hashes per source (deterministic reservoir). One per-stratum "
+    "ranked window; rank<=k folds into Spark's TopK sort at scale",
+)
+def q_corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    keyed = "concat('topk:', cast(doc_id as string))"
+    h = F.expr(TH.spark_hash60(keyed))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

@@ -123,3 +123,38 @@ def test_kmeans_separates_planted_clusters(spark):
     out = {r.vec_id: r.cluster_id for r in kmeans_assign(emb, k=2, iters=2).collect()}
     assert all(out[i] == 0 for i in itertools.chain([0], range(2, 8)))
     assert all(out[i] == 1 for i in itertools.chain([1], range(8, 14)))
+
+
+def test_hash_split_deterministic_and_append_stable(spark):
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators import split as splitops
+
+    d1 = spark.createDataFrame([R(doc_id=i) for i in range(200)])
+    a = {r.doc_id: r.split for r in splitops.hash_split(d1).collect()}
+    # appending rows must not reassign existing ones (anti-randomSplit)
+    d2 = spark.createDataFrame([R(doc_id=i) for i in range(400)])
+    b = {r.doc_id: r.split for r in splitops.hash_split(d2).collect()}
+    assert all(b[i] == a[i] for i in range(200))
+    # rough 80/10/10 proportions
+    n_train = sum(1 for s in b.values() if s == "train")
+    assert 0.7 < n_train / 400 < 0.9
+    assert set(b.values()) == {"train", "val", "test"}
+
+
+def test_hash_rank_sample_exact_k(spark):
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators import split as splitops
+
+    d = spark.createDataFrame(
+        [R(doc_id=i, source=f"s{i % 4}") for i in range(100)]
+    )
+    out = splitops.hash_rank_sample_k(d, k=5, strata_col="source").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 4
+    # deterministic: same selection on re-run
+    out2 = splitops.hash_rank_sample_k(d, k=5, strata_col="source").collect()
+    assert {(r.source, r.doc_id) for r in out2} == {(r.source, r.doc_id) for r in out}
