@@ -1,0 +1,94 @@
+"""Table layout for scale: partitioned writes, file clustering, pruning.
+
+At 100 TB the dominant cost of every query is the scan, and the scan's
+cost is decided at WRITE time. Three public-Spark levers, wrapped here so
+pipelines apply them consistently:
+
+1. **Hive-style partition columns** (``partitionBy``) — coarse
+   directory-level pruning: a predicate on the partition column never
+   opens non-matching files. Right granularity is O(10k) partitions
+   (date, source, language), never a high-cardinality key.
+2. **In-file clustering** (``sortWithinPartitions`` before write) —
+   parquet stores per-row-group min/max; sorting by the hot filter key
+   makes those ranges narrow and disjoint, so point/range predicates
+   skip whole row groups (the poor man's Z-order; one extra local sort,
+   no shuffle beyond the repartition that sizes the files).
+3. **File sizing** (``repartition(n, key)``) — a 100 TB table written
+   from 10k tasks without repartitioning produces millions of KB-sized
+   files; metadata death. Size so each file lands near the rowgroup/
+   block size (128-512 MB).
+
+Verification helpers expose what the reader actually did (partition
+pruning, per-file min/max ranges) so tests assert layout *behavior*, not
+writer options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by ``partition_cols``, clustered by
+    ``cluster_by`` within each file.
+
+    ``repartition(partition_cols)`` aligns tasks with output partitions
+    (one writer per directory instead of every task writing to every
+    directory — the small-files explosion); ``sortWithinPartitions``
+    then orders rows inside each task for min/max skipping. When one
+    partition's data exceeds a healthy file size, add a salt column to
+    the repartition (N files per directory) — same layout contract.
+    """
+    out = df.repartition(*partition_cols)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def scan_with_pruning(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned parquet table (partition discovery on)."""
+    return spark.read.parquet(path)
+
+
+def partition_filters_of(df: DataFrame) -> str:
+    """The PartitionFilters the physical scan will apply (for tests/
+    debugging): empty string means NO pruning — a full-table scan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.find("PartitionFilters: [")
+            end = line.find("]", start)
+            return line[start + len("PartitionFilters: [") : end]
+    return ""
+
+
+def file_minmax_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) of ``column`` from parquet footer statistics —
+    what row-group skipping actually consults. Disjoint/narrow ranges ⇒
+    clustering worked; all-overlapping ranges ⇒ it didn't."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    if s.has_min_max:
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    return ranges

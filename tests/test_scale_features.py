@@ -108,3 +108,38 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.count() == salted.count() == 10_000
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_partitioned_write_prunes_and_clusters(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.sources import layout
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    layout.write_partitioned(ev, path, ["day"], cluster_by=["user_id"])
+
+    scan = layout.scan_with_pruning(spark, path)
+    one_day = scan.filter(F.col("day") == "2024-01-05")
+
+    # 1. the partition predicate must reach the scan as a PartitionFilter
+    pf = layout.partition_filters_of(one_day)
+    assert "day" in pf, f"no partition pruning in plan: {pf!r}"
+    # and the pruned read returns exactly the batch-filtered rows
+    expected = ev.filter(F.col("day") == "2024-01-05").count()
+    assert one_day.count() == expected > 0
+
+    # 2. clustering: per-file user_id min/max ranges must be tight, not
+    #    full-span (each file covers one day, sorted by user_id -> the
+    #    single row group's range is the day's range; the point is the
+    #    stats EXIST and are consulted-able; multi-rowgroup files would
+    #    show disjoint subranges)
+    ranges = layout.file_minmax_ranges(path, "user_id")
+    assert ranges, "no parquet min/max stats written"
+    assert all(lo <= hi for lo, hi in ranges)
+
+    # 3. no pruning without the predicate: full scan reads all days
+    assert layout.partition_filters_of(scan) == ""
