@@ -145,3 +145,80 @@ def snapshot_player_stats_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_snapshot_processor():
+    """StatefulProcessor twin of :func:`_make_update_snapshots` for the
+    Spark 4.x ``transformWithState`` API (closure-built for the same
+    pickle-by-value reason). Same fold, same emitted row."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    state_ddl = "kills BIGINT, deaths BIGINT, assists BIGINT, damage DOUBLE, name STRING"
+
+    class SnapshotProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._player = handle.getValueState("player", state_ddl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (steam_id,) = key
+            if self._player.exists():
+                kills, deaths, assists, damage, name = self._player.get()
+            else:
+                kills, deaths, assists, damage, name = 0, 0, 0, 0.0, ""
+            cur_second = 0
+            cur_round = 0
+            for pdf in rows:
+                kills += int((pdf["type"] == "kill").sum())
+                deaths += int((pdf["type"] == "death").sum())
+                assists += int((pdf["type"] == "assist").sum())
+                dmg = pdf.loc[pdf["type"] == "damage", "amount"].sum()
+                damage += float(0.0 if pd.isna(dmg) else dmg)
+                cur_second = max(cur_second, int(pdf["second"].max()))
+                cur_round = max(cur_round, int(pdf["round"].max()))
+                if not name:
+                    nonblank = pdf.loc[pdf["player"] != "", "player"]
+                    if len(nonblank):
+                        name = str(nonblank.iloc[0])
+            self._player.update((kills, deaths, assists, damage, name))
+            kd = float(kills) if deaths == 0 else kills / deaths
+            dpr = None if cur_round == 0 else damage / cur_round
+            yield pd.DataFrame(
+                [
+                    {
+                        "steam_id": steam_id,
+                        "player_name": name,
+                        "second": cur_second,
+                        "kills": kills,
+                        "deaths": deaths,
+                        "assists": assists,
+                        "damage": damage,
+                        "kd_ratio": kd,
+                        "damage_per_round": dpr,
+                    }
+                ]
+            )
+
+        def close(self):
+            pass
+
+    return SnapshotProcessor()
+
+
+def snapshot_player_stats_stream_tws(events: DataFrame) -> DataFrame:
+    """:func:`snapshot_player_stats_stream` on the ``transformWithState``
+    API (PySpark ≥ 4.0) — arbitrary named state (value/list/map), timers,
+    and TTL, where ``applyInPandasWithState`` offers one value slot.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — which is the right provider
+    at scale anyway (state off the JVM heap, incremental checkpoints).
+    """
+    return events.groupBy("steam_id").transformWithStateInPandas(
+        statefulProcessor=_make_snapshot_processor(),
+        outputStructType=SNAPSHOT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_stream_analyzer_spark.operators.events import union_streams
@@ -367,3 +368,47 @@ def test_kafka_source_builder_or_skip(spark):
         pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
     # reference parity: value column + startingOffsets/failOnDataLoss set
     assert "value" in df.columns and df.isStreaming
+
+
+def test_transform_with_state_parity(spark, tmp_path):
+    """The transformWithState (Spark 4.x) twin emits the same snapshots
+    as the applyInPandasWithState form: cumulative counters, batch-local
+    maxima, state-persisted names.
+
+    Gated: the TWS state server speaks protobuf to the Python worker;
+    skip where google.protobuf isn't installed (this container)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from spark_stream_analyzer_spark.streaming.stateful import (
+        snapshot_player_stats_stream_tws,
+    )
+
+    src = tmp_path / "src_tws"
+    src.mkdir()
+    _write(src, "000.txt", KILL_B0 + DMG_B0)
+    _write(src, "001.txt", "x,38400,3,x,x,100,90,x,x,S_A\n")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = parse_kill_lines(file_lines_stream(spark, str(src))).unionByName(
+            parse_damage_lines(file_lines_stream(spark, str(src)))
+        )
+        q = to_memory(snapshot_player_stats_stream_tws(events), "t_tws")
+        _drain(q)
+        rows = spark.sql(
+            "SELECT * FROM t_tws WHERE steam_id = 'S_A' ORDER BY second"
+        ).collect()
+        assert len(rows) == 2
+        b0, b1 = rows
+        assert b0.second == 100 and b1.second == 300
+        assert b0.kills == 1 and b1.kills == 1
+        assert abs(b0.damage - 30.0) < 1e-9 and abs(b1.damage - 40.0) < 1e-9
+        assert b0.player_name == "Alice" and b1.player_name == "Alice"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
