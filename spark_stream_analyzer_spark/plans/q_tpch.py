@@ -814,3 +814,38 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+    SELECT l_returnflag, measure,
+           ROUND(SUM(val), 6) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    ) GROUP BY l_returnflag, measure
+    """,
+    doc="UNPIVOT (wide->long melt) — the inverse of A9's pivot, "
+    "completing the reshape family. Spark's unpivot is a zero-shuffle "
+    "row expander (Expand node, 3 rows out per row in, still one scan "
+    "+ one agg shuffle); the oracle spells it as UNION ALL which is the "
+    "same logical expansion",
+)
+def q_lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.unpivot(
+            ids=["l_returnflag"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+        .groupBy("l_returnflag", "measure")
+        .agg(round6(F.sum("val")).alias("total"), F.count("*").alias("n"))
+    )
