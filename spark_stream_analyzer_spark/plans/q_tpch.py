@@ -849,3 +849,317 @@ def q_lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "measure")
         .agg(round6(F.sum("val")).alias("total"), F.count("*").alias("n"))
     )
+
+
+@register(
+    "tpch_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ROUND(c.unit_cost, 6) AS unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+    """,
+    doc="TPC-H Q2 shape: correlated min-subquery ('cheapest supplier per "
+    "part within a region'), decorrelated into a per-part MIN aggregate "
+    "joined back on (partkey, cost). No partsupp table in this schema, so "
+    "the observed unit cost MIN(l_extendedprice/l_quantity) per "
+    "(part, supplier) stands in for ps_supplycost. The region restriction "
+    "is applied once, before both the candidate and the MIN side, via "
+    "broadcast dim joins; the cost aggregate feeds both sides so Spark "
+    "reuses the exchange instead of scanning the fact twice",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(euro_supp.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            round6(F.col("unit_cost")).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 6) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume. The "
+    "symmetric OR predicate spans two different dim joins, so it cannot "
+    "be pushed into either alone; both nation joins are broadcast and "
+    "the disjunction is evaluated post-join, before the grouped agg. "
+    "Fact-to-fact (lineitem<->orders) remains the only real shuffle",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select("s_suppkey", "supp_nation")),
+               l.l_suppkey == F.col("s_suppkey"))
+        .join(o.join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select("c_custkey", "cust_nation")),
+                     o.o_custkey == F.col("c_custkey")).select("o_orderkey", "cust_nation"),
+              l.l_orderkey == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — an 8-relation join "
+    "tree (fact + 5 broadcast dims + fact-to-fact) feeding a ratio of "
+    "conditional aggregates. All dims broadcast; the only shuffles are "
+    "lineitem<->orders on orderkey and the final 2-key agg. The CASE/sum "
+    "ratio form keeps it one pass (no self-join on the filtered subset)",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    amer_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nat = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+               s.s_nationkey == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .join(o.join(F.broadcast(amer_cust), o.o_custkey == F.col("c_custkey"), "left_semi")
+               .select("o_orderkey", "o_orderdate"),
+              l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            round6(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 6) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: product-type profit by nation and year. "
+    "Substring LIKE filter on the part dim (broadcast after filter), "
+    "revenue-minus-cost arithmetic mixing columns from three relations "
+    "(0.5*p_retailprice*l_quantity stands in for ps_supplycost — no "
+    "partsupp table in this schema), then a 2-key agg. The LIKE filter "
+    "cannot be pushed to a parquet min/max zone, but the broadcast semi "
+    "shape means only matching partkeys ride the fact scan",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    supp_nat = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(round6(F.sum(amount)).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue — "
+    "the global top-k family (Spark plans TakeOrderedAndProject: per- "
+    "partition heap + single driver merge of 20-row heads, never a full "
+    "sort). Ordering is on the ROUNDED revenue with custkey tiebreak so "
+    "the k-boundary is deterministic across engines despite fp drift",
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                          .select("c_custkey", "c_name", "c_acctbal", "n_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "tpch_priority_line_counts",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: fact-to-fact join feeding complementary "
+    "conditional counts (l_shipmode does not exist in this schema; "
+    "l_linestatus plays the grouping role). The shipdate range reaches "
+    "the lineitem parquet scan; the priority CASE runs post-join inside "
+    "one map-side-combined agg",
+)
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o.select("o_orderkey", "o_orderpriority"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
