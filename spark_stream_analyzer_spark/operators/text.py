@@ -127,3 +127,71 @@ def fingerprints(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> D
         ).alias("content_fp"),
         F.size("sh").cast("long").alias("n_shingles"),
     )
+
+
+def term_stats(df: DataFrame, text_col: str = "text", min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary: per-term total count + document frequency.
+
+    The canonical high-cardinality aggregation (word-count at corpus
+    scale). One ``explode`` (Generate — row expansion, no shuffle), then
+    a (doc_id, term) partial aggregate and a per-term re-aggregate —
+    doc_freq falls out of the first level as a plain COUNT(*), so there
+    is no expensive distinct aggregate anywhere. At 100 TB the term key
+    space is Zipf-skewed; map-side partial aggregation absorbs the hot
+    heads ("the", "a") before the shuffle, which is why this shape
+    survives skew without salting.
+    """
+    terms = with_words(df, text_col).select(
+        "doc_id", F.explode("words").alias("term")
+    )
+    per_doc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tc").alias("term_count"),
+            F.count("*").alias("doc_freq"),
+        )
+        .filter(F.col("term_count") >= min_count)
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tfidf = (tc / n_words) * ln((N + 1) / (doc_freq + 1)); ranking is on
+    the ROUNDED score with a term tiebreak so the k-boundary is
+    deterministic across engines. Three aggregates over one exploded
+    scan (per-doc-term tf, per-doc length, per-term doc_freq), a join
+    back on term (shuffle — vocab ≪ corpus but not broadcastable at
+    scale), a one-row broadcast of the corpus size, and a per-doc TopK
+    window.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    terms = with_words(df, text_col).select(
+        "doc_id", F.explode("words").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    n_words = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_words"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = (
+        tf.join(n_words, "doc_id")
+        .join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tc").cast("double") / F.col("n_words"))
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("doc_freq") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -673,3 +673,54 @@ def q_corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "text_vocab_stats",
+    oracle=f"""
+    WITH w AS ({_W}),
+    t AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY doc_id, term)
+    SELECT term,
+           CAST(SUM(tc) AS BIGINT) AS term_count,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM tf GROUP BY term HAVING SUM(tc) >= 2
+    """,
+    doc="EXT corpus vocabulary: per-term total count + document "
+    "frequency — the canonical high-cardinality aggregation. doc_freq "
+    "is a plain COUNT(*) over the (doc,term) level, so no distinct "
+    "aggregate; map-side partial agg absorbs the Zipf head before the "
+    "single term shuffle",
+)
+def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH w AS ({_W}),
+    t AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY doc_id, term),
+    nw AS (SELECT doc_id, SUM(tc) AS n_words FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM w),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND((tf.tc::DOUBLE / nw.n_words)
+                   * ln((n.n_docs + 1)::DOUBLE / (dfreq.doc_freq + 1)), 6) AS tfidf
+      FROM tf JOIN nw USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="EXT TF-IDF top-3 characteristic terms per document. Three "
+    "aggregates over one exploded scan, a vocab join back on term, a "
+    "one-row corpus-size broadcast, and a per-doc TopK window ranked on "
+    "the rounded score (term tiebreak) so the k-boundary is "
+    "deterministic across engines",
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(_docs(spark, sf_dir))
