@@ -85,10 +85,18 @@ def spark_hash60(expr: str) -> str:
 
 
 def spark_norm_words(expr: str) -> str:
-    """lower → strip non-alnum → split → drop empties (array<string>)."""
+    """lower → strip non-alnum → split → drop empties (array<string>).
+
+    ``array_remove`` instead of a ``filter(... w -> w != '')`` lambda:
+    higher-order functions are CodegenFallback in Spark (interpreted
+    per row, and they knock the whole projection out of whole-stage
+    codegen); ``array_remove`` is a plain collection expression with
+    codegen, and empties only ever arise as the '' token of a blank
+    document (NONWORD collapses separator runs to single spaces).
+    """
     return (
-        f"filter(split(trim(regexp_replace(lower({expr}), '{NONWORD}', ' ')), ' '),"
-        " w -> w != '')"
+        f"array_remove(split(trim(regexp_replace(lower({expr}), '{NONWORD}', ' ')),"
+        " ' '), '')"
     )
 
 
@@ -149,8 +157,21 @@ def spark_l2sq_lit(a_expr: str, vec: list[float]) -> str:
 
 
 def spark_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
-    arr = ", ".join(f"'{w}'" for w in stopwords)
-    return f"size(filter({words_expr}, w -> array_contains(array({arr}), w)))"
+    """Count of tokens (with multiplicity) that are in the stopword set.
+
+    Counted by regex over the space-joined token string rather than a
+    ``filter`` lambda (higher-order functions are CodegenFallback —
+    interpreted, and they un-codegen the surrounding projection). Tokens
+    are clean ``[a-z0-9]+`` runs separated by single spaces, so
+    ``(?:^| )word(?= |$)`` matches exactly the stopword tokens; the
+    lookahead keeps the trailing separator unconsumed so consecutive
+    stopwords all match.
+    """
+    alt = "|".join(stopwords)
+    return (
+        f"size(regexp_extract_all(array_join({words_expr}, ' '),"
+        f" '(?:^| )(?:{alt})(?= |$)', 0))"
+    )
 
 
 # ---------------------------------------------------------------- DuckDB SQL

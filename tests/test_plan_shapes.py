@@ -1,0 +1,110 @@
+"""Physical-plan regression tests — the 100 TB contract, checked at sf0.001.
+
+Correctness says a query returns the right rows; these tests pin the
+*shape* that makes it survive a 1000× scale-up: filters reaching the
+parquet scan, column pruning, broadcast (not shuffled) dim joins,
+map-side partial aggregation, and bounded-heap global top-k. A refactor
+that silently breaks one of these still passes the oracle gate — this
+file is what catches it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_stream_analyzer_spark.plans.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark):
+    plan = plan_of(spark, "tpch_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = plan_of(spark, "tpch_pricing_summary")
+    # ReadSchema must not include unused wide columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_revenue_forecast_is_scan_plus_agg_only(spark):
+    plan = plan_of(spark, "tpch_revenue_forecast")
+    assert "hashpartitioning" not in plan  # global agg: partial + SinglePartition exchange
+    assert "PushedFilters" in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(spark, "tpch_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_grouped_agg_has_partial_aggregation(spark):
+    plan = plan_of(spark, "tpch_pricing_summary")
+    # two HashAggregate nodes (partial then final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_k_uses_bounded_heap_not_full_sort(spark):
+    plan = plan_of(spark, "tpch_returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_planned_for_exists_shapes(spark):
+    plan = plan_of(spark, "tpch_lone_return_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_unpivot_expands_without_extra_shuffle(spark):
+    plan = plan_of(spark, "lineitem_unpivot_measures")
+    assert "Expand" in plan
+    assert plan.count("Exchange (") == 1  # only the final agg's shuffle
+
+
+def test_wire_parsers_have_no_python_udf(spark):
+    for name in ("wire_parse_kills", "wire_parse_damages", "wire_parse_players"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_ops_stay_in_codegen(spark):
+    # single-scan column expressions: no shuffle, no Python; token stats
+    # and language-ID must be FULLY codegen (no CodegenFallback HOFs —
+    # every plan node starred). Fingerprints keep their zip_with shingle
+    # lambdas (measured faster than the alternatives), so they are only
+    # held to the no-shuffle/no-Python bar.
+    for name in ("text_token_stats", "text_language_id", "text_fingerprints"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for name in ("text_token_stats", "text_language_id"):
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            if line.strip().startswith("== "):
+                continue
+            # every plan-tree node line must carry the codegen star
+            if "Project (" in line or "Filter (" in line:
+                assert "* " in line, f"{name}: interpreted node: {line}"
+
+
+def test_vocab_has_no_distinct_expand(spark):
+    # doc_freq must come from two-level agg, not a COUNT DISTINCT expand
+    plan = plan_of(spark, "text_vocab_stats")
+    assert "Expand" not in plan
+
+
+def test_asof_join_is_window_not_cross_product(spark):
+    plan = plan_of(spark, "events_asof_last_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
