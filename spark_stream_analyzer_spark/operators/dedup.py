@@ -156,6 +156,15 @@ def ngram_jaccard_pairs(
         # sizes), so Jaccard stays consistent over the filtered space.
         keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         post = post.join(keep, "s")
+    # One explicit hash exchange on the shingle key. The capped-postings
+    # subplan appears three times below (self-join side a, side b, set
+    # sizes); without this, each consumer re-runs the regex+shingle
+    # explode from the parquet scan (~6 redundant scans observed).
+    # Identical Exchange subplans dedup via ReuseExchange — the shingle
+    # CPU is paid once, the shuffle written once and read three times —
+    # and hashpartitioning(s) already satisfies the pair join's
+    # distribution requirement, replacing the join's own two shuffles.
+    post = post.repartition("s")
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         post.alias("a")
@@ -302,19 +311,17 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        new_label = F.least("label", F.coalesce("nmin", "label"))
+        updated = labels.join(neigh, "id", "left").select(
+            "id",
+            new_label.alias("label"),
+            # carry the convergence bit instead of re-joining old vs new
+            # labels afterwards — one fewer join + action per round
+            (new_label < F.col("label")).alias("moved"),
         )
         updated = updated.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("moved").limit(1).count()
+        labels = updated.select("id", "label")
         if changed == 0:
             break
     return labels.select(
