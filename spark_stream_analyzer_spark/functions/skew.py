@@ -36,3 +36,35 @@ def salted_join(
     salted_small = small.withColumn("_salt", salts)
     out = salted_big.join(salted_small, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-level (salted) aggregation for hot group keys.
+
+    ``aggs`` maps output column → (input column, fn) where fn ∈
+    {sum, count, min, max} — the decomposable aggregates (count re-sums
+    at the merge level). Level 1 aggregates on (keys..., salt) so a hot
+    key's rows spread over ``n_salt`` reducers; level 2 merges the
+    ≤ n_salt partial rows per key.
+
+    Spark's own map-side partial aggregation already does this when the
+    hot key is spread across input partitions; explicit salting is for
+    the residual case — a high-cardinality AND hot-key mix where the
+    hash-agg map spills and one reducer still receives a mega-key's
+    partials alongside millions of others.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    level1 = [
+        {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[fn](col).alias(out)
+        for out, (col, fn) in aggs.items()
+    ]
+    level2 = [merge_fn[fn](out).alias(out) for out, (_, fn) in aggs.items()]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    return salted.groupBy(*keys, "_salt").agg(*level1).groupBy(*keys).agg(*level2)

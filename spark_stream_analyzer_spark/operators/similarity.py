@@ -266,3 +266,42 @@ def label_centroids(
         F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias("centroid_norm"),
         F.count("*").cast("long").alias("n_dims"),
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction stats.
+
+    The storage-compression half of an ANN index build (IVF-SQ8 style):
+    symmetric per-vector scale = max(|x|)/127, codes =
+    round-half-up(x/scale), plus quantization MSE so recall impact is
+    measurable. ``floor(x/scale + 0.5)`` rather than ``round()`` because
+    the two engines disagree on rounding mode at exact .5 while floor on
+    identical doubles is bit-deterministic. Pure per-row vector
+    expressions — one scan, no shuffle; at 100 TB the codes column is
+    what ships to the index (4× smaller than float32), the floats stay
+    in cold storage.
+    """
+    maxabs = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    df = emb.withColumn("scale_raw", F.expr(f"{maxabs} / 127.0d"))
+    df = df.withColumn(
+        "codes",
+        F.expr(
+            f"case when scale_raw = 0d then transform({vec_col}, x -> 0) "
+            f"else transform({vec_col}, x -> "
+            "cast(floor(cast(x as double) / scale_raw + 0.5d) as int)) end"
+        ),
+    )
+    sq_err = (
+        f"aggregate(zip_with({vec_col}, codes, "
+        "(x, c) -> (cast(x as double) - c * scale_raw) * (cast(x as double) - c * scale_raw)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return df.select(
+        id_col,
+        F.size(vec_col).cast("long").alias("dim"),
+        F.round("scale_raw", 6).alias("scale"),
+        F.expr("aggregate(codes, cast(0 as bigint), (acc, c) -> acc + c)").alias("code_sum"),
+        F.expr("array_min(codes)").cast("long").alias("code_min"),
+        F.expr("array_max(codes)").cast("long").alias("code_max"),
+        F.round(F.expr(sq_err) / F.size(vec_col), 6).alias("mse"),
+    )

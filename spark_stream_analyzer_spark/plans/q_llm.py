@@ -724,3 +724,35 @@ def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding,
+            list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+              / 127.0 AS scale_raw
+          FROM embeddings),
+    c AS (SELECT vec_id, embedding, scale_raw,
+            CASE WHEN scale_raw = 0 THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding, x ->
+                        CAST(floor(x::DOUBLE / scale_raw + 0.5) AS INT)) END AS codes
+          FROM e)
+    SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(scale_raw, 6) AS scale,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+       CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+       ROUND(list_aggregate(list_transform(list_zip(embedding, codes),
+             p -> (p[1]::DOUBLE - p[2] * scale_raw)
+                * (p[1]::DOUBLE - p[2] * scale_raw)), 'sum')
+             / len(embedding), 6) AS mse
+    FROM c
+    """,
+    doc="EXT embedding storage path: per-vector int8 scalar quantization "
+    "(IVF-SQ8 building block) with reconstruction-error stats; "
+    "round-half-up via floor so both engines quantize bit-identically",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(_emb(spark, sf_dir))

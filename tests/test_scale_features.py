@@ -110,6 +110,31 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_agg_matches_plain_agg(spark):
+    """Two-level salted aggregation must be value-identical to the plain
+    groupBy for decomposable aggregates, and its plan must show the two
+    aggregation levels (key+salt, then key)."""
+    from spark_stream_analyzer_spark.functions.skew import salted_agg
+
+    # 90% of rows share one hot key
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("v").alias("c"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    salted = salted_agg(
+        df, ["k"],
+        {"s": ("v", "sum"), "c": ("v", "count"), "lo": ("v", "min"), "hi": ("v", "max")},
+        n_salt=8,
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert "_salt" in salted._jdf.queryExecution().analyzed().toString()
+
+
 def test_partitioned_write_prunes_and_clusters(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
