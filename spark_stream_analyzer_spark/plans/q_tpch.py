@@ -1163,3 +1163,31 @@ def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "orders_global_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 6) AS totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+    FROM orders
+    """,
+    doc="fact-sized GLOBAL ranking without a single-reducer sort: range-"
+    "repartition on the full ordering key, rank locally per partition, "
+    "add broadcast cumulative partition offsets (operators/rank.py). The "
+    "only single-partition work is the <=shuffle-partitions-row offset "
+    "table — contrast customer_spend_ranks, which documents the naive "
+    "Window.orderBy as dim-sized-only",
+)
+def q_orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.rank import global_rank
+
+    o = _t(spark, sf_dir, "orders")
+    ranked = global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+    return ranked.select(
+        "o_orderkey", round6(F.col("o_totalprice")).alias("totalprice"), "rnk"
+    )

@@ -108,3 +108,8 @@ def test_asof_join_is_window_not_cross_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_global_rank_uses_range_partitioning(spark):
+    plan = plan_of(spark, "orders_global_rank")
+    assert "rangepartitioning" in plan  # fact side: range exchange, not SinglePartition
