@@ -1,0 +1,69 @@
+"""Registry-wide physical-plan lint.
+
+Every one of the ~84 registry queries must be free of the two patterns
+that do not survive any scale-up:
+
+* ``CartesianProduct`` — an unconstrained cross product (a broadcast
+  nested-loop against a provably tiny side is fine and planned as
+  ``BroadcastNestedLoopJoin``, so it is not flagged);
+* row-at-a-time Python (``BatchEvalPython``) anywhere, and Arrow-batched
+  Python (``ArrowEvalPython`` / ``MapInPandas``) outside the multimodal
+  stubs, whose decode step is Python by design (the Spark-side plumbing
+  is the product there).
+
+test_plan_shapes.py pins per-query positives (pushdown, broadcast,
+partial agg); this file is the registry-wide negative sweep, so a new
+query can't quietly ship a scale antipattern.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_stream_analyzer_spark.plans.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+# Arrow mapInPandas is the designed physical form for binary decode.
+ARROW_PYTHON_OK = {"multimodal_decode_stats", "multimodal_frame_sample"}
+
+# Live Structured Streaming queries run their plan through a memory-sink
+# round trip; the returned DF is the sink table scan, so there is no
+# meaningful batch plan to lint (their physical form is covered by
+# streaming tests).
+SKIP = {"streaming_snapshot_stats"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, build in queries().items():
+        if name in SKIP:
+            continue
+        df = build(spark, SF)
+        out[name] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"unconstrained cross products in: {offenders}"
+
+
+def test_no_rowwise_python_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_arrow_python_only_in_multimodal(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if n not in ARROW_PYTHON_OK
+        and ("ArrowEvalPython" in p or "MapInPandas" in p)
+    ]
+    assert not offenders, f"unexpected Python stages in: {offenders}"
