@@ -74,3 +74,58 @@ def test_minhash_identity_and_shingle_bounds(spark, words):
     assert [rows[0][f"mh{j}"] for j in range(16)] == [rows[1][f"mh{j}"] for j in range(16)]
     n_sh = rows[0].asDict()["sh"]
     assert len(n_sh) <= max(0, len(words) - 2)  # ≤ n-k+1 with k=3 (distinct may shrink)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_int8_quantization_invariants(spark, vectors):
+    """Codes stay in [-127, 127] and per-element reconstruction error is
+    bounded by scale/2 — for arbitrary float vectors, zero vectors
+    included."""
+    from spark_stream_analyzer_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vectors)],
+        "vec_id: long, embedding: array<float>",
+    )
+    for r in quantize_int8(df).collect():
+        assert -127 <= r.code_min <= r.code_max <= 127
+        scale = max(abs(float(x)) for x in vectors[r.vec_id]) / 127.0
+        # mse <= (scale/2)^2 since every element's error is <= scale/2
+        assert r.mse <= (scale / 2.0) ** 2 + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=0, max_size=12), min_size=1, max_size=8))
+def test_tfidf_topk_is_ranked_and_bounded(spark, docs):
+    """Per doc: at most k rows, scores non-increasing in output rank
+    order, and every returned term occurs in that document."""
+    from spark_stream_analyzer_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id: long, text: string",
+    )
+    rows = tfidf_top_terms(df, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert len(rs) <= 3
+        scores = [r.tfidf for r in sorted(rs, key=lambda r: (-r.tfidf, r.term))]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert r.term in docs[doc_id]
