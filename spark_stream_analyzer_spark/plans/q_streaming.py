@@ -143,3 +143,71 @@ def q_streaming_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.withColumn(
         "kd_ratio", round6(guarded_ratio(F.col("kills"), F.col("deaths")))
     )
+
+
+@register(
+    "streaming_windowed_counts",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT sec // 86400 * 86400 AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY 1, 2
+    """,
+    doc="EXT event-time windows, LIVE: tumbling daily counts through a "
+    "real watermarked stream — file replay in two deliberately "
+    "event-time-interleaved micro-batches (odd/even event ids), "
+    "window+watermark agg in update mode, memory sink reduced by "
+    "per-window max (counts are monotone, so the reduction is batch-"
+    "interleaving-independent). The watermark delay is span-sized: late "
+    "rows are merged, never dropped — the reference's accept-all-late "
+    "semantics (SURVEY §2.9) with the watermark machinery engaged; the "
+    "oracle re-derives the same windows as epoch floor-division",
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    lines = b.select(
+        "event_id",
+        F.concat_ws(",", F.col("sec"), F.col("event_type")).alias("value"),
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_winstream_")
+    os.makedirs(f"{workdir}/in")
+    rows = lines.collect()  # test-harness boundary only, NOT an engine path
+    for parity in (0, 1):
+        with open(f"{workdir}/in/{parity:03d}.txt", "w") as f:
+            for r in rows:
+                if r.event_id % 2 == parity:
+                    f.write(r.value + "\n")
+
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[1].alias("event_type"),
+    )
+    name = f"winc_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            parsed.withWatermark("ts", "36500 days")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    snaps = spark.table(name)
+    return snaps.groupBy(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"), "event_type"
+    ).agg(F.max("n").alias("n"))

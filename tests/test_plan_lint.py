@@ -31,7 +31,7 @@ ARROW_PYTHON_OK = {"multimodal_decode_stats", "multimodal_frame_sample"}
 # round trip; the returned DF is the sink table scan, so there is no
 # meaningful batch plan to lint (their physical form is covered by
 # streaming tests).
-SKIP = {"streaming_snapshot_stats"}
+SKIP = {"streaming_snapshot_stats", "streaming_windowed_counts"}
 
 
 @pytest.fixture(scope="module")
