@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -117,3 +118,71 @@ def fake_frame_sample(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_TARGET = 512
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_bytes", LongType()),
+        StructField("stride", LongType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def fake_resize(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Binary→binary 'resize': stride-downsample each payload to ≤ target
+    bytes (stand-in for image resize / audio downsample), returning the
+    bookkeeping row. The resized bytes themselves are computed (and
+    byte-checked in unit tests against a Python reference) but only the
+    metadata is emitted — at scale the payload goes to a payload sink,
+    not the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list[int]] = {k: [] for k in ("doc_id", "in_bytes", "stride", "out_bytes")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, -(-n // target))  # ceil(n/target)
+                resized = payload[::stride]
+                out["doc_id"].append(doc_id)
+                out["in_bytes"].append(n)
+                out["stride"].append(stride)
+                out["out_bytes"].append(len(resized))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def fake_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Content-dependent feature extraction: payload → dim-float vector.
+
+    Each dimension is an md5-derived 60-bit hash of (salt_j + payload),
+    scaled to [0, 1) — a deterministic stand-in for a vision/audio
+    encoder whose output the DuckDB oracle can recompute EXACTLY from
+    the text twin of the payload (``functions/texthash.duck_hash60``),
+    unlike a real model. Emitted as one column per dimension (f0..f{n})
+    so the cross-engine value hash covers every component."""
+    import hashlib
+
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"f{j}", DoubleType()) for j in range(dim)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {"doc_id": list(pdf["doc_id"])}
+            for j in range(dim):
+                salt = f"feat{j}:".encode()
+                cols[f"f{j}"] = [
+                    (int(hashlib.md5(salt + p).hexdigest()[:15], 16) % 10_000) / 10_000.0
+                    for p in pdf["payload"]
+                ]
+            yield pd.DataFrame(cols)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, schema)

@@ -756,3 +756,49 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(_emb(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    s AS (SELECT doc_id, n,
+            greatest(1, (n + {multimodal.RESIZE_TARGET} - 1) // {multimodal.RESIZE_TARGET}) AS stride
+          FROM d)
+    SELECT doc_id, CAST(n AS BIGINT) AS in_bytes, CAST(stride AS BIGINT) AS stride,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE (n + stride - 1) // stride END AS BIGINT) AS out_bytes
+    FROM s
+    """,
+    doc="EXT multimodal resize: binary→binary stride downsample through "
+    "mapInPandas (image-resize/audio-downsample shape); bookkeeping "
+    "oracle from byte lengths, byte-exactness pinned by a unit test",
+)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.fake_resize(multimodal.with_payload(_docs(spark, sf_dir)))
+
+
+_FEAT_COLS = ",\n       ".join(
+    "ROUND(({h} % 10000) / 10000.0, 6) AS f{j}".format(
+        h=TH.duck_hash60(f"'feat{j}:' || text"), j=j
+    )
+    for j in range(multimodal.FEATURE_DIM)
+)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+       {_FEAT_COLS}
+    FROM documents
+    """,
+    doc="EXT multimodal feature extraction: payload → 8-dim float vector "
+    "in Python (mapInPandas, the encoder-model slot); md5-derived "
+    "features so the oracle recomputes them exactly from the text twin",
+)
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.fake_features(multimodal.with_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        *[F.round(F.col(f"f{j}"), 6).alias(f"f{j}") for j in range(multimodal.FEATURE_DIM)],
+    )

@@ -90,6 +90,35 @@ def test_decode_stub_raises():
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_multimodal_resize_matches_python_slicing(spark):
+    """The emitted bookkeeping must agree with an actual payload[::stride]
+    slice — byte-exactness of the binary→binary path."""
+    texts = ("x" * 7, "y" * 512, "z" * 513, "w" * 5000, "")
+    d = multimodal.with_payload(docs(spark, *texts))
+    rows = {r.doc_id: r for r in multimodal.fake_resize(d).collect()}
+    for i, t in enumerate(texts):
+        payload = t.encode()
+        stride = max(1, -(-len(payload) // multimodal.RESIZE_TARGET))
+        assert rows[i].in_bytes == len(payload)
+        assert rows[i].stride == stride
+        assert rows[i].out_bytes == len(payload[::stride])
+        assert rows[i].out_bytes <= multimodal.RESIZE_TARGET
+
+
+def test_multimodal_features_match_hashlib(spark):
+    import hashlib
+
+    d = multimodal.with_payload(docs(spark, "hello world", ""))
+    rows = {r.doc_id: r for r in multimodal.fake_features(d).collect()}
+    for i, t in enumerate(("hello world", "")):
+        for j in range(multimodal.FEATURE_DIM):
+            expect = (
+                int(hashlib.md5(f"feat{j}:".encode() + t.encode()).hexdigest()[:15], 16)
+                % 10_000
+            ) / 10_000.0
+            assert getattr(rows[i], f"f{j}") == expect
+
+
 def test_token_stats_edge_cases(spark):
     out = {r.doc_id: r for r in text.token_stats(docs(spark, "", "the the the", "你好世界")).collect()}
     assert out[0].n_words == 0 and out[0].avg_word_len == 0.0

@@ -25,7 +25,12 @@ from spark_stream_analyzer_spark.plans.registry import queries
 SF = "/root/testdata/sf0.001"
 
 # Arrow mapInPandas is the designed physical form for binary decode.
-ARROW_PYTHON_OK = {"multimodal_decode_stats", "multimodal_frame_sample"}
+ARROW_PYTHON_OK = {
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize_stats",
+    "multimodal_feature_extract",
+}
 
 # Live Structured Streaming queries run their plan through a memory-sink
 # round trip; the returned DF is the sink table scan, so there is no
