@@ -1191,3 +1191,78 @@ def q_orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "o_orderkey", round6(F.col("o_totalprice")).alias("totalprice"), "rnk"
     )
+
+
+@register(
+    "order_part_baskets",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS basket_size,
+           array_to_string(list(l_partkey ORDER BY l_partkey, l_linenumber), ',') AS parts
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="array-aggregation family (collect_list): per-order part basket, "
+    "emitted as a canonically-sorted joined string so the cross-engine "
+    "value hash is representation-independent. One groupBy shuffle; the "
+    "array stays executor-side (never a driver collect). Partial "
+    "aggregation still applies — lists concatenate associatively",
+)
+def q_order_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("basket_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_partkey", "l_linenumber"))
+                    ),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("parts"),
+        )
+    )
+
+
+@register(
+    "part_cooccurrence_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    doc="co-occurrence mining (market-basket / association shape): "
+    "within-order part pairs via a self-join on the order key over the "
+    "DISTINCT (order, part) projection, support-thresholded. Pair count "
+    "per order is basket_size², bounded by order width (max 7 lines in "
+    "TPC-H), so the self-join is linear in orders — the same "
+    "bucket-bounded-blowup argument as LSH candidate pairs. The distinct "
+    "projection and both join sides share one exchange (repartition on "
+    "the join key)",
+)
+def q_part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = (
+        l.select("l_orderkey", "l_partkey").distinct().repartition("l_orderkey")
+    )
+    return (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
