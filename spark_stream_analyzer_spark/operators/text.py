@@ -195,3 +195,33 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", "tfidf")
     )
+
+
+#: PII-ish patterns for corpus scrubbing (email, URL, long digit runs).
+#: Deliberately simple/deterministic — the production slot for a real
+#: PII model; same contract: text in, redacted text + counts out.
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digits": r"\d{6,}",
+}
+
+
+def redact(df: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    """Scrub PII-ish spans, keeping per-kind match counts.
+
+    Chained ``regexp_replace`` (one pass per pattern, all codegen, no
+    shuffle); counts come from ``regexp_extract_all`` BEFORE replacement
+    so they report what was removed. At 100 TB this is scan-bound like
+    every other text op.
+    """
+    expr = F.col(text_col)
+    for kind, pat in REDACT_PATTERNS.items():
+        df = df.withColumn(
+            f"n_{kind}",
+            F.expr(
+                f"size(regexp_extract_all({text_col}, '{TH.spark_escape(pat)}', 0))"
+            ).cast("long"),
+        )
+        expr = F.regexp_replace(expr, pat, f"<{kind}>")
+    return df.withColumn(out, expr)

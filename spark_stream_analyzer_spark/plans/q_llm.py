@@ -802,3 +802,55 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[F.round(F.col(f"f{j}"), 6).alias(f"f{j}") for j in range(multimodal.FEATURE_DIM)],
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH w AS ({_W}),
+    t AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY doc_id, term),
+    r AS (SELECT doc_id,
+            MAX(tc) AS top_term_count,
+            SUM(tc) AS n_words,
+            COUNT(*) AS n_distinct
+          FROM tf GROUP BY doc_id)
+    SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(top_term_count AS BIGINT) AS top_term_count,
+       ROUND(top_term_count::DOUBLE / n_words, 6) AS rep_ratio,
+       ROUND(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
+       (top_term_count::DOUBLE / n_words > 0.2)::INT AS is_repetitive
+    FROM r
+    """,
+    doc="EXT repetition-based quality signal (Gopher-style filter): "
+    "max-term-frequency and distinct-token ratios per doc. Same "
+    "explode → (doc,term) partial agg → per-doc re-agg shape as the "
+    "vocabulary — no distinct aggregate, map-side combine absorbs "
+    "repeats (the very thing being measured). Empty docs drop out "
+    "(no terms), matching the oracle",
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        text.with_words(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("words").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tc"))
+    )
+    rep = F.col("top_term_count").cast("double") / F.col("n_words")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tc").alias("n_words"),
+            F.max("tc").alias("top_term_count"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "top_term_count",
+            F.round(rep, 6).alias("rep_ratio"),
+            F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6).alias("distinct_ratio"),
+            (rep > 0.2).cast("int").alias("is_repetitive"),
+        )
+    )

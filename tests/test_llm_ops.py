@@ -187,3 +187,17 @@ def test_hash_rank_sample_exact_k(spark):
     # deterministic: same selection on re-run
     out2 = splitops.hash_rank_sample_k(d, k=5, strata_col="source").collect()
     assert {(r.source, r.doc_id) for r in out2} == {(r.source, r.doc_id) for r in out}
+
+
+def test_redact_scrubs_planted_pii(spark):
+    planted = (
+        "contact bob.smith+x@example.co.uk or see https://ex.com/a?b=1 id 1234567890",
+        "clean text with short 123 digits",
+        "",
+    )
+    rows = {r.doc_id: r for r in text.redact(docs(spark, *planted)).collect()}
+    assert rows[0].n_email == 1 and rows[0].n_url == 1 and rows[0].n_digits == 1
+    assert rows[0].redacted == "contact <email> or see <url> id <digits>"
+    assert rows[1].n_email == rows[1].n_url == rows[1].n_digits == 0
+    assert rows[1].redacted == planted[1]
+    assert rows[2].redacted == ""
