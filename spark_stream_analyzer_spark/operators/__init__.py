@@ -19,10 +19,13 @@ from spark_stream_analyzer_spark.operators.dedup import (
 from spark_stream_analyzer_spark.operators.events import union_streams
 from spark_stream_analyzer_spark.operators.multimodal import (
     fake_decode_stats,
+    fake_features,
     fake_frame_sample,
+    fake_resize,
     with_payload,
 )
 from spark_stream_analyzer_spark.operators.player_stats import player_stats
+from spark_stream_analyzer_spark.operators.rank import global_rank
 from spark_stream_analyzer_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
@@ -30,10 +33,14 @@ from spark_stream_analyzer_spark.operators.similarity import (
     label_centroids,
     lsh_multiprobe_topk,
     lsh_topk,
+    quantize_int8,
 )
 from spark_stream_analyzer_spark.operators.text import (
     fingerprints,
     language_id,
+    redact,
+    term_stats,
+    tfidf_top_terms,
     token_stats,
     with_words,
 )
@@ -45,8 +52,11 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "fake_decode_stats",
+    "fake_features",
     "fake_frame_sample",
+    "fake_resize",
     "fingerprints",
+    "global_rank",
     "ivf_topk",
     "kmeans_assign",
     "label_centroids",
@@ -57,8 +67,12 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "player_stats",
+    "quantize_int8",
+    "redact",
     "simhash_fingerprints",
     "simhash_pairs",
+    "term_stats",
+    "tfidf_top_terms",
     "token_stats",
     "union_streams",
     "with_payload",
