@@ -1266,3 +1266,45 @@ def q_part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+@register(
+    "customer_name_fuzzy_pairs",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON substr(a.c_name, length(a.c_name) - 1, 2) = substr(b.c_name, length(b.c_name) - 1, 2)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="fuzzy-matching (entity-resolution) family: edit-distance pair "
+    "join with a blocking key — the same candidate-bounding discipline "
+    "as LSH dedup, here via a cheap deterministic block (name suffix) "
+    "instead of a hash family. Levenshtein runs only inside blocks "
+    "(candidates = sum block², never n²); both engines implement the "
+    "classic distance, so the integer values hash-match exactly",
+)
+def q_customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, length(c_name) - 1, 2)").alias("blk"),
+    )
+    a = c.alias("a")
+    b = c.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("c_name").alias("b_name"),
+        F.col("blk").alias("b_blk"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("b_blk")) & (F.col("c_custkey") < F.col("b_custkey")))
+        .withColumn("dist", F.levenshtein(F.col("c_name"), F.col("b_name")).cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("b_custkey").alias("cust_b"),
+            "dist",
+        )
+    )
