@@ -150,21 +150,21 @@ def ngram_jaccard_pairs(
     docs = with_words(df, text_col).select(
         "doc_id", F.expr(TH.spark_shingles("words", shingle_k)).alias("sh")
     )
-    post = docs.select("doc_id", F.explode("sh").alias("s"))
+    # One explicit hash exchange on the shingle key, placed BEFORE the
+    # df-cap: every downstream consumer (the cap aggregate, the cap
+    # filter join, both self-join sides, the set sizes) hangs off this
+    # one subplan, so the regex+shingle explode runs once and the
+    # shuffle is written once, read by all (identical Exchange subplans
+    # dedup via ReuseExchange; without it each consumer re-ran the
+    # explode from the parquet scan — ~6 redundant scans observed).
+    # hashpartitioning(s) also already satisfies the cap join's and the
+    # pair join's distribution requirements, so neither adds a shuffle.
+    post = docs.select("doc_id", F.explode("sh").alias("s")).repartition("s")
     if max_df is not None:
         # df-cap: drop stop-shingles from the UNIVERSE (postings AND set
         # sizes), so Jaccard stays consistent over the filtered space.
         keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         post = post.join(keep, "s")
-    # One explicit hash exchange on the shingle key. The capped-postings
-    # subplan appears three times below (self-join side a, side b, set
-    # sizes); without this, each consumer re-runs the regex+shingle
-    # explode from the parquet scan (~6 redundant scans observed).
-    # Identical Exchange subplans dedup via ReuseExchange — the shingle
-    # CPU is paid once, the shuffle written once and read three times —
-    # and hashpartitioning(s) already satisfies the pair join's
-    # distribution requirement, replacing the join's own two shuffles.
-    post = post.repartition("s")
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         post.alias("a")
