@@ -293,3 +293,60 @@ def q_events_purchase_followup_range(spark: SparkSession, sf_dir: str) -> DataFr
             round6(F.coalesce(F.sum("value"), F.lit(0.0))).alias("followup_value"),
         )
     )
+
+
+@register(
+    "events_user_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+    v AS (SELECT user_id, MIN(tus) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.tus) AS t_click
+          FROM e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.tus >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.tus) AS t_purchase
+          FROM e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.tus >= c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, CAST(v.t_view AS BIGINT) AS t_view,
+           CAST(c.t_click AS BIGINT) AS t_click,
+           CAST(p.t_purchase AS BIGINT) AS t_purchase
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="sequential conversion funnel (view → first click after the "
+    "first view → first purchase after that click): ordered multi-stage "
+    "pattern matching as cascaded conditional MIN aggregates. Each stage "
+    "is one agg + one equi-join on user_id — every join key is the same, "
+    "so on a cluster all three stages share one partitioning (no "
+    "re-shuffle after the first); never a per-user sort or UDF",
+)
+def q_events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts")).alias("tus"),
+    ).repartition("user_id")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
