@@ -1,8 +1,12 @@
 """Benchmark harness — runs the registry's queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept well under typical capture windows —
+round 1's 92-query line was truncated by the driver and failed to parse):
 ``{"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}``
+   "queries": {<5 slowest>: sec, ...}, "n_queries": N, "sf": 0.1}``
+
+Full per-query timings and row counts are written to ``BENCH_DETAIL.json``
+next to this file.
 
 Each query is built and fully materialized (``collect``) once, after a
 session warm-up action, on ``local[$SPARK_GRAFT_CPUS]``.
@@ -32,6 +36,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     qs = registry.queries()
     # run live-streaming queries LAST: their Python state workers / state
     # store machinery would otherwise pollute subsequent batch timings
@@ -42,19 +47,45 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = len(df.collect())
             timings[name] = round(time.perf_counter() - t0, 3)
+            rows[name] = n
             print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    n_failed = sum(1 for t in timings.values() if t < 0)
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total wall-clock of all registry queries (collect)",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": n_failed,
+                "queries": timings,
+                "rows": rows,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "total wall-clock of all registry queries (collect)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n_failed": n_failed,
                 "sf": sf,
             }
         )
