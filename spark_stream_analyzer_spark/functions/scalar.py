@@ -26,14 +26,15 @@ from pyspark.sql import functions as F
 def int_div(col: Column | str, divisor: int | Column) -> Column:
     """Java-style integer division (``tick / 128`` semantics).
 
-    ``a - (a % b)`` is exactly divisible by ``b`` and, because Spark's
-    ``%`` takes the dividend's sign (like Java), the quotient truncates
-    toward zero — matching Java ``long / long``. Pure column arithmetic,
-    stays in codegen.
+    Uses Spark's native integral ``div`` operator: long-typed all the
+    way, truncates toward zero like Java ``long / long``, and — unlike a
+    double-division round-trip — exact for |values| ≥ 2^53 (a double
+    mantissa cannot represent every long). Pure column arithmetic, stays
+    in codegen.
     """
     a = (F.col(col) if isinstance(col, str) else col).cast("long")
     b = F.lit(divisor) if isinstance(divisor, int) else divisor.cast("long")
-    return ((a - (a % b)) / b).cast("long")
+    return F.call_function("div", a, b)
 
 
 def epoch_seconds(col: Column | str) -> Column:

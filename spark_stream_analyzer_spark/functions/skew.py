@@ -25,12 +25,27 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on column ``on`` with salt fan-out.
 
-    The salt assignment only needs to spread rows (any value is correct);
-    a row-id hash keeps it deterministic for tests. Output columns =
-    big's ∪ small's minus the duplicate join key, like a plain join.
+    ``how`` is restricted to inner/left/left_semi: the small side is
+    replicated ``n_salt`` times, so right/full-outer would emit ``n_salt``
+    duplicates for each unmatched small-side key.
+
+    The salt assignment only needs to spread big-side rows (each row gets
+    exactly ONE salt, so join results are exact); it is derived from a
+    hash of the row's content, which is stable under task retries —
+    unlike ``monotonically_increasing_id``, whose values depend on
+    runtime partitioning. Caveat: fully identical big-side rows land on
+    the same salt, so salting cannot spread a key whose rows are exact
+    duplicates (rare in fact tables with line-level ids). Output columns
+    = big's ∪ small's minus the duplicate join key, like a plain join.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "replicated small side would duplicate unmatched right rows"
+        )
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt)),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
     salted_small = small.withColumn("_salt", salts)
@@ -57,6 +72,13 @@ def salted_agg(
     the residual case — a high-cardinality AND hot-key mix where the
     hash-agg map spills and one reducer still receives a mega-key's
     partials alongside millions of others.
+
+    The salt here stays ``monotonically_increasing_id``-based ON PURPOSE
+    (unlike :func:`salted_join`): for decomposable aggregates ANY
+    per-row salt assignment yields the same merged result (a retried map
+    task regenerates its shuffle output wholesale, so partials are never
+    double-counted), and a row-id salt spreads even fully-duplicate rows
+    of a hot key, which a content hash would concentrate on one salt.
     """
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     level1 = [

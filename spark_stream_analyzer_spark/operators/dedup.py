@@ -328,6 +328,18 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         labels = updated.select("id", "label")
         if changed == 0:
             break
+    else:
+        # a component with diameter > 64 would silently get split labels,
+        # which then mismatch the transitive-closure oracle — surface it
+        import warnings
+
+        warnings.warn(
+            "duplicate_clusters: min-label propagation hit the 64-round "
+            "bound without converging (component diameter > 64); labels "
+            "are NOT a fixpoint — consider path-doubling for this graph",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -177,7 +177,9 @@ def kmeans_assign(
     Lloyd's behavior).
     """
     e = emb.select(F.col(id_col), F.col(vec_col))
-    init = e.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    # first k rows BY ORDER of id — not `id < k`, which silently
+    # under-seeds when the id space is sparse (e.g. post-filter corpora)
+    init = e.orderBy(id_col).limit(k).collect()
     cents: dict[int, list[float]] = {int(r[0]): [float(x) for x in r[1]] for r in init}
     dim = len(next(iter(cents.values())))
     assign = None

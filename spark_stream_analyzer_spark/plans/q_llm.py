@@ -461,7 +461,7 @@ def q_similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_CELLS_SQL = f"""
     ke AS (SELECT vec_id, embedding FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM ke WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM ke ORDER BY vec_id LIMIT 8),
     d1 AS (SELECT ke.vec_id, c0.cid, {TH.duck_l2sq('ke.embedding', 'c0.cvec')} AS d
            FROM ke CROSS JOIN c0),
     a1 AS (SELECT vec_id, cid FROM
@@ -532,7 +532,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_kmeans_assign",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 8),
     d1 AS (SELECT e.vec_id, c0.cid, {TH.duck_l2sq('e.embedding', 'c0.cvec')} AS d
            FROM e CROSS JOIN c0),
     a1 AS (SELECT vec_id, cid FROM

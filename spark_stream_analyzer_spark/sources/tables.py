@@ -39,7 +39,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects outright. We read nanos as raw longs
-    (runtime-settable legacy conf — works under any caller's session) and
+    (runtime-settable legacy conf — works under any caller's session;
+    the conf deliberately stays set for the session so every later
+    events read under the same SparkSession decodes consistently) and
     expose BOTH a µs-truncated proper ``ts`` timestamp (for event-time
     windows/watermarks) and the exact ``ts_ns`` long.
     """
@@ -54,7 +56,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
     else:  # already a timestamp (future driver versions may write µs)
-        df = df.withColumn("ts_ns", (F.unix_timestamp("ts") * F.lit(1_000_000_000)).cast("long"))
+        # unix_micros keeps sub-second precision; unix_timestamp would
+        # silently truncate to whole seconds
+        df = df.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1_000)
+        )
     return df
 
 

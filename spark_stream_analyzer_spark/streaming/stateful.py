@@ -97,6 +97,7 @@ def _make_update_snapshots():
         )
         cur_second = 0
         cur_round = 0
+        batch_name = ""
         for pdf in pdfs:
             kills += int((pdf["type"] == "kill").sum())
             deaths += int((pdf["type"] == "death").sum())
@@ -105,10 +106,14 @@ def _make_update_snapshots():
             damage += float(0.0 if pd.isna(dmg) else dmg)
             cur_second = max(cur_second, int(pdf["second"].max()))
             cur_round = max(cur_round, int(pdf["round"].max()))
-            if not name:
+            if not batch_name:
                 nonblank = pdf.loc[pdf["player"] != "", "player"]
                 if len(nonblank):
-                    name = str(nonblank.iloc[0])
+                    batch_name = str(nonblank.iloc[0])
+        # batch-first name precedence (reference PlayerStatsUpdater.java:24-30
+        # recomputes the first non-blank name per batch; stored name is only
+        # the fallback when the whole batch is blank)
+        name = batch_name or name
         state.update((kills, deaths, assists, damage, name))
         kd = float(kills) if deaths == 0 else kills / deaths
         dpr = None if cur_round == 0 else damage / cur_round
@@ -169,6 +174,7 @@ def _make_snapshot_processor():
                 kills, deaths, assists, damage, name = 0, 0, 0, 0.0, ""
             cur_second = 0
             cur_round = 0
+            batch_name = ""
             for pdf in rows:
                 kills += int((pdf["type"] == "kill").sum())
                 deaths += int((pdf["type"] == "death").sum())
@@ -177,10 +183,12 @@ def _make_snapshot_processor():
                 damage += float(0.0 if pd.isna(dmg) else dmg)
                 cur_second = max(cur_second, int(pdf["second"].max()))
                 cur_round = max(cur_round, int(pdf["round"].max()))
-                if not name:
+                if not batch_name:
                     nonblank = pdf.loc[pdf["player"] != "", "player"]
                     if len(nonblank):
-                        name = str(nonblank.iloc[0])
+                        batch_name = str(nonblank.iloc[0])
+            # batch-first name precedence (see _make_update_snapshots)
+            name = batch_name or name
             self._player.update((kills, deaths, assists, damage, name))
             kd = float(kills) if deaths == 0 else kills / deaths
             dpr = None if cur_round == 0 else damage / cur_round

@@ -201,3 +201,24 @@ def test_redact_scrubs_planted_pii(spark):
     assert rows[1].n_email == rows[1].n_url == rows[1].n_digits == 0
     assert rows[1].redacted == planted[1]
     assert rows[2].redacted == ""
+
+
+def test_kmeans_seeds_from_sparse_id_space(spark):
+    """Seeding must take the first k rows BY ORDER of id — an `id < k`
+    filter would find zero seeds here (ids start at 1000)."""
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.similarity import kmeans_assign
+
+    pts = [(1000, [1.0, 0.0]), (2001, [0.0, 1.0])] + [
+        (3000 + i, [1.0 + 0.01 * (i % 3), 0.01 * (i % 2)]) for i in range(6)
+    ] + [(4000 + i, [0.01 * (i % 2), 1.0 + 0.01 * (i % 3)]) for i in range(6)]
+    emb = spark.createDataFrame(
+        [R(vec_id=i, embedding=v) for i, v in pts]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = {r.vec_id: r.cluster_id for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert len(out) == len(pts)
+    # seeds are ids 1000 and 2001; planted clusters must split along them
+    assert all(out[3000 + i] == out[1000] for i in range(6))
+    assert all(out[4000 + i] == out[2001] for i in range(6))
+    assert out[1000] != out[2001]

@@ -129,3 +129,24 @@ def test_tfidf_topk_is_ranked_and_bounded(spark, docs):
         assert scores == sorted(scores, reverse=True)
         for r in rs:
             assert r.term in docs[doc_id]
+
+
+def test_int_div_matches_java_semantics_at_full_long_range(spark):
+    """Truncate-toward-zero like Java long division, exact beyond 2^53
+    (where a double round-trip silently loses low bits)."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.functions.scalar import int_div
+
+    cases = [
+        (7, 2), (-7, 2), (7, -2), (-7, -2), (0, 5), (1, 128),
+        (2**62 + 3, 3), (-(2**62 + 3), 3), (2**63 - 1, 7),
+        (9007199254740995, 2), (-(2**63) + 1, 128), (10**18 + 1, 10**6),
+    ]
+    rows = [
+        (a, b, abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1))
+        for a, b in cases
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, expected long")
+    bad = df.filter(int_div(F.col("a"), F.col("b")) != F.col("expected"))
+    assert bad.count() == 0

@@ -168,3 +168,23 @@ def test_partitioned_write_prunes_and_clusters(spark, sf_dir, tmp_path):
 
     # 3. no pruning without the predicate: full scan reads all days
     assert layout.partition_filters_of(scan) == ""
+
+
+def test_salted_join_left_keeps_unmatched_and_rejects_right(spark):
+    """Left join: unmatched big rows survive exactly once (the replicated
+    small side must not duplicate them); right/full are rejected."""
+    import pytest
+
+    from spark_stream_analyzer_spark.functions.skew import salted_join
+
+    fact = spark.range(0, 1_000).select(
+        (F.col("id") % 150).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = fact.join(dim, "k", "left").select("k", "v", "w")
+    salted = salted_join(fact, dim, "k", n_salt=8, how="left").select("k", "v", "w")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    for bad in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", how=bad)

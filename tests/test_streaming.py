@@ -106,6 +106,26 @@ def test_snapshot_stream_exact_parity_quirks(spark, tmp_path):
     assert b0.player_name == "Alice" and b1.player_name == "Alice"
 
 
+def test_snapshot_stream_name_is_batch_first(spark, tmp_path):
+    """Reference PlayerStatsUpdater recomputes the first non-blank name
+    PER BATCH, falling back to stored state only when the whole batch is
+    blank — a later batch carrying a new name must win."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "000.txt", "x,12800,1,Old,S_X,x,x,Bob,S_B,x,x,0,S_C\n")
+    _write(src, "001.txt", "x,25600,2,New,S_X,x,x,Bob,S_B,x,x,0,S_C\n")
+
+    events = parse_kill_lines(file_lines_stream(spark, str(src))).unionByName(
+        parse_damage_lines(file_lines_stream(spark, str(src)))
+    )
+    q = to_memory(snapshot_player_stats_stream(events), "t_snap_name")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT * FROM t_snap_name WHERE steam_id = 'S_X' ORDER BY second"
+    ).collect()
+    assert [r.player_name for r in rows] == ["Old", "New"]
+
+
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
     src.mkdir()
