@@ -31,6 +31,26 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+#: the exact relation the spark-sql-kafka connector's ``load()`` returns —
+#: used by tests to machine-check the config-swap claim without a broker
+KAFKA_RAW_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset BIGINT, timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def lines_from_kafka_frames(raw: DataFrame) -> DataFrame:
+    """Kafka raw frames → ``value:string`` lines.
+
+    The ONLY kafka-specific transformation in the pipeline (everything
+    downstream is source-agnostic): decode the binary payload, drop the
+    metadata columns. Factored out so tests can drive it with a
+    :data:`KAFKA_RAW_SCHEMA`-shaped stream and prove the swapped-in
+    source feeds the identical downstream plan.
+    """
+    return raw.selectExpr("CAST(value AS STRING) AS value")
+
+
 def kafka_lines_stream(
     spark: SparkSession,
     brokers: str,
@@ -40,9 +60,10 @@ def kafka_lines_stream(
 ) -> DataFrame:
     """Kafka topic → ``value:string`` lines (reference source settings).
 
-    Requires the spark-sql-kafka connector on the classpath; not available
-    in the test environment, so this is exercised only via its (identical)
-    file-source twin.
+    Requires the spark-sql-kafka connector on the classpath; where absent
+    (this environment has no broker or connector jar), the post-``load()``
+    chain is still exercised end-to-end by replaying wire lines through a
+    :data:`KAFKA_RAW_SCHEMA`-shaped stream (``tests/test_streaming.py``).
     """
     df = (
         spark.readStream.format("kafka")
@@ -52,4 +73,4 @@ def kafka_lines_stream(
         .option("failOnDataLoss", str(fail_on_data_loss).lower())
         .load()
     )
-    return df.selectExpr("CAST(value AS STRING) AS value")
+    return lines_from_kafka_frames(df)

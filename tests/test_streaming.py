@@ -374,10 +374,59 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     assert got == {("S_A", 40)}
 
 
-def test_kafka_source_builder_or_skip(spark):
-    """Kafka source (reference S1/S2) is config-swappable; without a
-    broker we can only assert the plan builds against the connector.
-    Skips when the kafka connector jars are absent from the runtime."""
+def test_kafka_frame_twin_feeds_identical_pipeline(spark, tmp_path):
+    """Machine-check the config-swap claim (reference S1/S2) without a
+    broker: replay the wire lines through a stream shaped EXACTLY like
+    the kafka connector's load() relation (binary value + metadata
+    columns), run the kafka-specific projection + the real parser, and
+    assert end-to-end equality with the plain file-source twin."""
+    from spark_stream_analyzer_spark.streaming.sources import (
+        KAFKA_RAW_SCHEMA,
+        lines_from_kafka_frames,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "000.txt", KILL_B0 + KILL_B1)
+
+    # file replay dressed up as kafka frames: binary payload + metadata
+    frames = file_lines_stream(spark, str(src)).selectExpr(
+        "CAST(NULL AS BINARY) AS key",
+        "encode(value, 'UTF-8') AS value",
+        "'game.kills' AS topic",
+        "CAST(0 AS INT) AS partition",
+        "CAST(crc32(value) AS BIGINT) AS offset",
+        "current_timestamp() AS timestamp",
+        "CAST(0 AS INT) AS timestampType",
+    )
+    # names+types must line up with the connector relation (nullability
+    # differs trivially: literal-derived columns are non-nullable)
+    assert [(f.name, f.dataType) for f in frames.schema.fields] == [
+        (f.name, f.dataType)
+        for f in spark.createDataFrame([], KAFKA_RAW_SCHEMA).schema.fields
+    ]
+
+    lines = lines_from_kafka_frames(frames)
+    # the kafka-specific projection's output is plan-compatible with the
+    # file source: same schema, so the downstream pipeline is untouched
+    assert lines.schema == file_lines_stream(spark, str(src)).schema
+
+    q = to_memory(parse_kill_lines(lines), "t_kafka_twin", output_mode="append")
+    _drain(q)
+    got = {
+        (r.steam_id, r.type, r.second, r.round)
+        for r in spark.table("t_kafka_twin").collect()
+    }
+    want = {
+        (r.steam_id, r.type, r.second, r.round)
+        for r in parse_kill_lines(spark.read.text(str(src))).collect()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_kafka_connector_builder_when_available(spark):
+    """When the spark-sql-kafka connector jar IS on the classpath, the
+    real builder must produce the same ``value:string`` relation."""
     import pytest
 
     from spark_stream_analyzer_spark.streaming.sources import kafka_lines_stream
@@ -386,7 +435,6 @@ def test_kafka_source_builder_or_skip(spark):
         df = kafka_lines_stream(spark, "localhost:29092", "game.kills")
     except Exception as e:  # pragma: no cover - env-dependent
         pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
-    # reference parity: value column + startingOffsets/failOnDataLoss set
     assert "value" in df.columns and df.isStreaming
 
 
