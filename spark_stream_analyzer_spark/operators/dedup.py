@@ -389,3 +389,48 @@ def embedding_near_dup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    eval_fraction: float = 0.05,
+    salt: str = "decontam",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing an n-gram with the
+    eval split (the training-pipeline step that keeps test sets out of
+    training data).
+
+    The eval set is carved out by the same deterministic salted-hash
+    split as :mod:`.split` (reproducible, engine-portable, append-
+    stable). Collisions come from an inverted-index equality join on the
+    k-word shingle — the same candidate discipline as
+    :func:`ngram_jaccard_pairs`, with the same optional ``max_df``
+    stop-shingle cap for 100 TB corpora (a shingle in "every" doc adds
+    no decontamination signal and dominates the join). Per contaminated
+    train doc: how many distinct shingles collide and how many distinct
+    eval docs they hit.
+    """
+    from spark_stream_analyzer_spark.operators.split import N_BUCKETS, hash_bucket
+
+    thresh = int(eval_fraction * N_BUCKETS)
+    base = with_words(df, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        (hash_bucket(id_col, salt) < thresh).alias("is_eval"),
+        F.expr(TH.spark_shingles("words", shingle_k)).alias("sh"),
+    )
+    # one exchange on the shingle key feeds the optional cap aggregate,
+    # the cap filter join, and both sides of the train×eval join
+    post = base.select("doc_id", "is_eval", F.explode("sh").alias("s")).repartition("s")
+    if max_df is not None:
+        keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        post = post.join(keep, "s")
+    ev = post.filter(F.col("is_eval")).select("s", F.col("doc_id").alias("eval_id"))
+    tr = post.filter(~F.col("is_eval")).select("s", "doc_id")
+    return tr.join(ev, "s").groupBy("doc_id").agg(
+        F.countDistinct("s").cast("long").alias("n_shared"),
+        F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
+    )

@@ -854,3 +854,27 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rep > 0.2).cast("int").alias("is_repetitive"),
         )
     )
+
+
+@register(
+    "corpus_decontamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {TH.duck_norm_words('text')} AS words,
+                 ({splitops.duck_hash_bucket('doc_id', 'decontam')} < 500) AS is_eval
+               FROM documents),
+    s AS (SELECT doc_id, is_eval, unnest({TH.duck_shingles('words', 4)}) AS s FROM w),
+    tr AS (SELECT doc_id, s FROM s WHERE NOT is_eval),
+    ev AS (SELECT doc_id AS eval_id, s FROM s WHERE is_eval)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared,
+           CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """,
+    doc="EXT benchmark decontamination: train docs sharing a 4-gram with "
+    "the (deterministic 5% hash-split) eval set — inverted-index shingle "
+    "join, same candidate discipline and optional df-cap as n-gram "
+    "dedup; never an all-pairs product",
+)
+def q_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.contamination_check(_docs(spark, sf_dir))

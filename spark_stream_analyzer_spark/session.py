@@ -38,6 +38,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # -- memory --------------------------------------------------------
+        # Spark's 1g default heap is sized for a driver-only process, but
+        # local[N] hosts ALL executor tasks in this one JVM: 32 concurrent
+        # tasks x a few hundred MB of shuffle/agg pages blows 1g instantly.
+        # ~512m/core keeps execution memory per task in the range a real
+        # executor would provide. Only applies when this call creates the
+        # JVM (driver memory cannot change on a live session).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(int(cpus) // 2, 4)}g"),
+        )
         # -- planner / optimizer ------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

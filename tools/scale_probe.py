@@ -1,0 +1,132 @@
+"""Empirical scale probe for the dedup/ANN families (SCALING.md evidence).
+
+Builds 1x and 10x corpora from $SPARK_GRAFT_SF_DIR's documents/embeddings
+and times each family at both scales. The candidate-generation argument
+(pairs come from equality joins on band/bucket/posting keys, never n²)
+predicts ~linear runtime in corpus size; this measures it.
+
+Copies are PERTURBED so the 10x corpus has the same near-dup structure
+per copy as the original, rather than 10-cliques of identical documents
+(which would measure pair-output blowup, not candidate-generation
+scaling): text gets a per-copy character rotation (changes most
+shingles), embeddings get a per-copy cyclic dimension shift (destroys
+cross-copy cosine similarity).
+
+Usage: python tools/scale_probe.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark import get_spark
+from spark_stream_analyzer_spark.plans import registry
+
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_duplicate_clusters",
+    "similarity_ann_lsh",
+    "similarity_ann_multiprobe",
+    "similarity_ivf_topk",
+]
+
+# distinct single-char rotations per copy; copy 0 is the original corpus
+_ROT_SRC = "etaoinshr"
+
+
+def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    dim_expr = "size(embedding)"
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/x1", exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{base}/x1/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{base}/x1/embeddings.parquet")
+
+    doc_copies = []
+    emb_copies = []
+    for k in range(factor):
+        if k == 0:
+            doc_copies.append(docs)
+            emb_copies.append(emb)
+            continue
+        rot = _ROT_SRC[k % len(_ROT_SRC)]
+        doc_copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs)).withColumn(
+                "text", F.translate(F.col("text"), _ROT_SRC[0], rot)
+            )
+        )
+        emb_copies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb)).withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(sequence(0, {dim_expr} - 1), i -> "
+                    f"element_at(embedding, CAST(pmod(i + {k}, {dim_expr}) + 1 AS INT)))"
+                ).cast("array<float>"),
+            )
+        )
+    big_docs = doc_copies[0]
+    for d in doc_copies[1:]:
+        big_docs = big_docs.unionByName(d)
+    big_emb = emb_copies[0]
+    for e in emb_copies[1:]:
+        big_emb = big_emb.unionByName(e)
+    big_docs.write.mode("overwrite").parquet(f"{base}/x{factor}/documents.parquet")
+    big_emb.write.mode("overwrite").parquet(f"{base}/x{factor}/embeddings.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = registry.queries()
+    out: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {sf_dir}: {name}: {out[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/ssa_scale_probe")
+    factor = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+
+    spark = get_spark(app_name="ssa-scale-probe")
+    build_corpora(spark, sf_dir, base, factor)
+    t1 = time_queries(spark, f"{base}/x1")
+    t1b = time_queries(spark, f"{base}/x1")  # warm second run: steadier 1x
+    t1 = {k: min(t1[k], t1b[k]) for k in t1}
+    tN = time_queries(spark, f"{base}/x{factor}")
+
+    report = {
+        "sf_dir": sf_dir,
+        "factor": factor,
+        "x1_sec": t1,
+        f"x{factor}_sec": tN,
+        "scaling": {k: round(tN[k] / t1[k], 2) for k in t1},
+    }
+    line = json.dumps(report)
+    print(line)
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(line)
+
+
+if __name__ == "__main__":
+    main()
