@@ -288,13 +288,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     """Connected components over near-dup pairs → per-doc canonical id.
 
     The real dedup workflow's last step: near-dup PAIRS become duplicate
-    CLUSTERS (keep one doc per cluster). Min-label propagation iterated
-    to fixpoint — each round is one shuffle (groupBy min over the edge
-    list); rounds ≤ graph diameter, and the driver only sees a single
-    converged-or-not count per round (no data collect). Near-dup graphs
-    are overwhelmingly tiny cliques/chains, so this converges in a few
-    rounds at any corpus size; for adversarial long-path graphs switch to
-    path-doubling (log-rounds) — same oracle.
+    CLUSTERS (keep one doc per cluster). Min-label propagation with a
+    path-doubling shortcut, iterated to fixpoint:
+
+    * neighbor step — each node takes the min label over its edges (one
+      groupBy-min shuffle over the edge list per round);
+    * doubling step — each node also takes its LABEL's label
+      (``labels ⋈ labels`` self-join), so label chains halve every
+      round: convergence in O(log diameter) rounds instead of
+      O(diameter), which is what makes adversarial long-path graphs
+      (diameter ≫ the round bound) safe, not just the tiny cliques real
+      near-dup graphs produce.
+
+    The driver only sees a single converged-or-not count per round (no
+    data collect); a warning fires in the (now pathological, > 2^64-ish
+    chain) case the bound is still hit.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -315,13 +323,23 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
-        new_label = F.least("label", F.coalesce("nmin", "label"))
-        updated = labels.join(neigh, "id", "left").select(
-            "id",
-            new_label.alias("label"),
-            # carry the convergence bit instead of re-joining old vs new
-            # labels afterwards — one fewer join + action per round
-            (new_label < F.col("label")).alias("moved"),
+        # path doubling: label-of-label (id→label composed with itself)
+        hop = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.id")
+        ).select(F.col("x.id").alias("id"), F.col("y.label").alias("lmin"))
+        new_label = F.least(
+            "label", F.coalesce("nmin", "label"), F.coalesce("lmin", "label")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .join(hop, "id", "left")
+            .select(
+                "id",
+                new_label.alias("label"),
+                # carry the convergence bit instead of re-joining old vs new
+                # labels afterwards — one fewer join + action per round
+                (new_label < F.col("label")).alias("moved"),
+            )
         )
         updated = updated.localCheckpoint(eager=True)  # cut lineage growth
         changed = updated.filter("moved").limit(1).count()
@@ -329,14 +347,14 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         if changed == 0:
             break
     else:
-        # a component with diameter > 64 would silently get split labels,
-        # which then mismatch the transitive-closure oracle — surface it
+        # labels are NOT a fixpoint here and would mismatch the
+        # transitive-closure oracle — surface it loudly
         import warnings
 
         warnings.warn(
-            "duplicate_clusters: min-label propagation hit the 64-round "
-            "bound without converging (component diameter > 64); labels "
-            "are NOT a fixpoint — consider path-doubling for this graph",
+            "duplicate_clusters: propagation hit the 64-round bound "
+            "without converging despite path doubling; labels are NOT "
+            "a fixpoint",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -114,3 +114,53 @@ def hash_rank_sample_k(
         .filter(F.col("rk") <= k)
         .drop("h", "rk")
     )
+
+
+def token_pack_shards(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    order_cols: list[Column] | None = None,
+    budget: int = 2000,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Pack documents into fixed token-budget shards (sequence-packing
+    for training-data pipelines): shard = which budget-sized window the
+    doc's FIRST token falls in, scanning docs in ``order_cols`` order.
+
+    A naive global window (``Window.orderBy`` with no partition) moves
+    the whole corpus through one reducer; this uses the same
+    decomposition as :func:`..rank.global_rank`, generalized from
+    row-count offsets to token-sum offsets:
+
+    1. ``repartitionByRange`` on the total order (disjoint ordered
+       ranges per partition);
+    2. local running token sum inside each partition;
+    3. add the broadcast per-partition token totals' prefix sum — the
+       only single-partition step is a ≤ num-partitions-row window.
+
+    Exact same result as the single-reducer window, one range shuffle +
+    one tiny agg of cost. ``order_cols`` must be a total order.
+    """
+    order_cols = order_cols if order_cols is not None else [F.col("doc_id")]
+    d = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
+    totals = d.groupBy("_pid").agg(F.sum(tokens_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_token_pos = (
+        F.sum(tokens_col).over(w_local) + F.col("_off") - F.col(tokens_col)
+    ).cast("long")
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            shard_col,
+            F.call_function("div", first_token_pos, F.lit(int(budget)).cast("long")),
+        )
+        .drop("_pid", "_off")
+    )

@@ -222,3 +222,44 @@ def test_kmeans_seeds_from_sparse_id_space(spark):
     assert all(out[3000 + i] == out[1000] for i in range(6))
     assert all(out[4000 + i] == out[2001] for i in range(6))
     assert out[1000] != out[2001]
+
+
+def test_token_pack_shards_matches_sequential_definition(spark):
+    """The range-partition + offset decomposition must equal the naive
+    sequential packing exactly, across many partitions."""
+    import random
+
+    from spark_stream_analyzer_spark.operators.split import token_pack_shards
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(1, 500)) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(16)
+    got = {
+        r.doc_id: r.shard
+        for r in token_pack_shards(df, budget=1000).collect()
+    }
+    cum = 0
+    for i, n in rows:
+        assert got[i] == cum // 1000, (i, n, cum)
+        cum += n
+    assert len({*got.values()}) > 1
+
+
+def test_duplicate_clusters_long_chain_converges_via_path_doubling(spark):
+    """A 300-node chain has diameter >> the 64-round bound; plain
+    1-hop min-label propagation could not converge it, path doubling
+    must (in ~log2(300) rounds), with no non-convergence warning."""
+    import warnings
+
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [R(doc_a=i, doc_b=i + 1) for i in range(299)]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {r.doc_id: r.cluster_id for r in duplicate_clusters(chain).collect()}
+    assert len(out) == 300
+    assert set(out.values()) == {0}
