@@ -7,6 +7,7 @@ search, multimodal plumbing.
 
 from spark_stream_analyzer_spark.operators.asof import asof_join_backward
 from spark_stream_analyzer_spark.operators.dedup import (
+    contamination_check,
     duplicate_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -35,6 +36,12 @@ from spark_stream_analyzer_spark.operators.similarity import (
     lsh_topk,
     quantize_int8,
 )
+from spark_stream_analyzer_spark.operators.split import (
+    hash_rank_sample_k,
+    hash_split,
+    stratified_hash_sample,
+    token_pack_shards,
+)
 from spark_stream_analyzer_spark.operators.text import (
     fingerprints,
     language_id,
@@ -47,6 +54,7 @@ from spark_stream_analyzer_spark.operators.text import (
 
 __all__ = [
     "asof_join_backward",
+    "contamination_check",
     "cosine_topk",
     "duplicate_clusters",
     "embedding_near_dup_pairs",
@@ -57,6 +65,8 @@ __all__ = [
     "fake_resize",
     "fingerprints",
     "global_rank",
+    "hash_rank_sample_k",
+    "hash_split",
     "ivf_topk",
     "kmeans_assign",
     "label_centroids",
@@ -71,8 +81,10 @@ __all__ = [
     "redact",
     "simhash_fingerprints",
     "simhash_pairs",
+    "stratified_hash_sample",
     "term_stats",
     "tfidf_top_terms",
+    "token_pack_shards",
     "token_stats",
     "union_streams",
     "with_payload",

@@ -316,30 +316,33 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    for _ in range(64):  # hard bound; convergence checked each round
+    for rnd in range(64):  # hard bound; convergence checked each round
         neigh = (
             edges.join(labels, edges.b == labels.id)
             .groupBy(edges.a)
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
-        # path doubling: label-of-label (id→label composed with itself)
-        hop = labels.alias("x").join(
-            labels.alias("y"), F.col("x.label") == F.col("y.id")
-        ).select(F.col("x.id").alias("id"), F.col("y.label").alias("lmin"))
-        new_label = F.least(
-            "label", F.coalesce("nmin", "label"), F.coalesce("lmin", "label")
-        )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .join(hop, "id", "left")
-            .select(
-                "id",
-                new_label.alias("label"),
-                # carry the convergence bit instead of re-joining old vs new
-                # labels afterwards — one fewer join + action per round
-                (new_label < F.col("label")).alias("moved"),
+        step = labels.join(neigh, "id", "left")
+        if rnd == 0:
+            # round 0: every label == its id, so label-of-label is the
+            # identity — skip the hop join this round
+            new_label = F.least("label", F.coalesce("nmin", "label"))
+        else:
+            # path doubling: label-of-label (id→label composed with itself)
+            hop = labels.alias("x").join(
+                labels.alias("y"), F.col("x.label") == F.col("y.id")
+            ).select(F.col("x.id").alias("id"), F.col("y.label").alias("lmin"))
+            new_label = F.least(
+                "label", F.coalesce("nmin", "label"), F.coalesce("lmin", "label")
             )
+            step = step.join(hop, "id", "left")
+        updated = step.select(
+            "id",
+            new_label.alias("label"),
+            # carry the convergence bit instead of re-joining old vs new
+            # labels afterwards — one fewer join + action per round
+            (new_label < F.col("label")).alias("moved"),
         )
         updated = updated.localCheckpoint(eager=True)  # cut lineage growth
         changed = updated.filter("moved").limit(1).count()
@@ -440,9 +443,19 @@ def contamination_check(
         (hash_bucket(id_col, salt) < thresh).alias("is_eval"),
         F.expr(TH.spark_shingles("words", shingle_k)).alias("sh"),
     )
-    # one exchange on the shingle key feeds the optional cap aggregate,
-    # the cap filter join, and both sides of the train×eval join
-    post = base.select("doc_id", "is_eval", F.explode("sh").alias("s")).repartition("s")
+    # materialize the postings ONCE, already partitioned on the shingle
+    # key: plain exchange-reuse does not fire here because Catalyst
+    # pushes the is_eval filters below the repartition, making the two
+    # subtrees differ — the checkpoint (same precedent as simhash_pairs)
+    # runs the explode once, and both filtered sides inherit the hash
+    # partitioning, so the train×eval join adds NO further shuffle
+    # (verified in tests/test_plan_shapes.py). At 100 TB the two-phase
+    # form writes the postings table instead.
+    post = (
+        base.select("doc_id", "is_eval", F.explode("sh").alias("s"))
+        .repartition("s")
+        .localCheckpoint(eager=False)
+    )
     if max_df is not None:
         keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         post = post.join(keep, "s")

@@ -113,3 +113,40 @@ def test_asof_join_is_window_not_cross_product(spark):
 def test_global_rank_uses_range_partitioning(spark):
     plan = plan_of(spark, "orders_global_rank")
     assert "rangepartitioning" in plan  # fact side: range exchange, not SinglePartition
+
+
+def test_token_shards_never_single_partitions_the_corpus(spark):
+    """Sequence packing must range-partition the fact side; the only
+    SinglePartition exchange allowed is the tiny per-partition offsets
+    window (<= num-partitions rows)."""
+    plan = plan_of(spark, "corpus_token_shards")
+    assert "rangepartitioning" in plan
+    # the offsets' window is the one sanctioned single-partition step
+    assert plan.count("SinglePartition") <= 1
+
+
+def executed_plan_of(spark, name: str) -> str:
+    """Final AQE plan — ReuseExchange only materializes at runtime."""
+    df = queries()[name](spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_decontamination_materializes_postings_once(spark):
+    """The shingle postings are checkpointed once (Catalyst would push
+    the is_eval filters below a shared repartition, defeating plain
+    exchange reuse); both join sides read the materialized RDD and
+    candidates come from an equality join, never a product."""
+    plan = executed_plan_of(spark, "corpus_decontamination")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_join_on_hashed_keys_with_reuse(spark):
+    plan = executed_plan_of(spark, "customer_name_fuzzy_pairs")
+    assert "xxhash64" in plan
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
