@@ -210,16 +210,20 @@ def ivf_topk(
     k: int = 3,
     n_cells: int = 8,
     iters: int = 2,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: search only the query's k-means cell.
+    """IVF ANN: search the query's ``nprobe`` nearest k-means cells.
 
     The coarse quantizer is :func:`kmeans_assign`; candidates come from
     an equality join on cell id (same scale shape as sign-LSH, but cells
-    adapt to the data distribution — better recall per probe on clustered
-    corpora). nprobe=1 here; multi-cell probing extends the join the same
-    way multi-probe LSH does.
+    adapt to the data distribution — better recall per probe on
+    clustered corpora). ``nprobe=1`` probes only the query's own cell;
+    ``nprobe>1`` adds its next-nearest cells by centroid distance
+    (centroids = per-cell means of the final assignment, an
+    n_cells×dim-sized broadcast), the standard IVF recall knob — probe
+    cost grows linearly in nprobe, never in corpus size.
     """
     cells = kmeans_assign(emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     e = _with_norm(emb, vec_col).join(cells, id_col)
@@ -229,10 +233,54 @@ def ivf_topk(
         F.col("norm").alias("qnorm"),
         F.col("cluster_id").alias("qcell"),
     )
+    if nprobe > 1:
+        # per-cell centroid vectors (tiny: n_cells rows), broadcast to
+        # rank every cell per query; the query's own cell always probes
+        # first (rank 0 via the is-own-cell flag) for nprobe=1 parity
+        cents = (
+            e.select("cluster_id", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "c"))
+                ).alias("dc")
+            )
+            .select(
+                F.col("cluster_id").alias("probe_cell"),
+                F.expr("transform(dc, x -> x.c)").alias("cvec"),
+            )
+        )
+        l2 = (
+            "aggregate(zip_with(qvec, cvec, (x, y) -> "
+            "(cast(x as double) - y) * (cast(x as double) - y)), "
+            "cast(0 as double), (acc, v) -> acc + v)"
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("probe_cell") == F.col("qcell")),
+            F.asc("d2"),
+            F.asc("probe_cell"),
+        )
+        probes = (
+            q.join(F.broadcast(cents))
+            .withColumn("d2", F.expr(l2))
+            .withColumn("pr", F.row_number().over(w_probe))
+            .filter(F.col("pr") <= nprobe)
+            .select("query_id", "qvec", "qnorm", "probe_cell")
+        )
+        join_cond = (F.col("cluster_id") == F.col("probe_cell")) & (
+            F.col(id_col) != F.col("query_id")
+        )
+    else:
+        probes = q.select("query_id", "qvec", "qnorm", F.col("qcell").alias("probe_cell"))
+        join_cond = (F.col("cluster_id") == F.col("probe_cell")) & (
+            F.col(id_col) != F.col("query_id")
+        )
     cos = F.expr(TH.spark_dot("qvec", vec_col)) / (F.col("qnorm") * F.col("norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc(id_col))
     return (
-        e.join(F.broadcast(q), (F.col("cluster_id") == F.col("qcell")) & (F.col(id_col) != F.col("query_id")))
+        e.join(F.broadcast(probes), join_cond)
         .withColumn("cos_raw", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

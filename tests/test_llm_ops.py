@@ -263,3 +263,32 @@ def test_duplicate_clusters_long_chain_converges_via_path_doubling(spark):
         out = {r.doc_id: r.cluster_id for r in duplicate_clusters(chain).collect()}
     assert len(out) == 300
     assert set(out.values()) == {0}
+
+
+def test_ivf_nprobe_improves_recall_toward_bruteforce(spark):
+    """nprobe=n_cells must recover the exact brute-force top-k (every
+    cell probed); nprobe=1 recall is <= nprobe=2 <= ... monotone."""
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rnd = __import__("random").Random(13)
+    emb = spark.createDataFrame(
+        [R(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    pred = F.col("vec_id") < 4
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, pred, k=3))
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = pairs(ivf_topk(emb, pred, k=3, n_cells=4, nprobe=nprobe))
+        recalls.append(len(got & exact) / len(exact))
+    full = pairs(ivf_topk(emb, pred, k=3, n_cells=4, nprobe=4))
+    assert full == exact
+    assert recalls == sorted(recalls)
