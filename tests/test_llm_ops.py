@@ -292,3 +292,45 @@ def test_ivf_nprobe_improves_recall_toward_bruteforce(spark):
     full = pairs(ivf_topk(emb, pred, k=3, n_cells=4, nprobe=4))
     assert full == exact
     assert recalls == sorted(recalls)
+
+
+def test_contamination_check_planted_overlap_and_df_cap(spark):
+    """A train doc sharing a 4-gram with an eval doc is flagged with the
+    right counts; max_df drops stop-shingles from the collision universe."""
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.dedup import contamination_check
+    from spark_stream_analyzer_spark.operators.split import N_BUCKETS, hash_bucket
+
+    # find ids that hash into / out of the 5% eval bucket deterministically
+    probe = spark.createDataFrame([R(doc_id=i) for i in range(200)]).select(
+        "doc_id", hash_bucket("doc_id", "decontam").alias("b")
+    )
+    buckets = {r.doc_id: r.b for r in probe.collect()}
+    eval_id = next(i for i in range(200) if buckets[i] < 500)
+    train_ids = [i for i in range(200) if buckets[i] >= 500][:3]
+
+    secret = "alpha beta gamma delta"          # the leaked 4-gram
+    common = "zz yy xx ww"                     # planted stop-shingle
+    rows = [
+        R(doc_id=eval_id, text=f"{secret} filler words here"),
+        R(doc_id=train_ids[0], text=f"prefix {secret} suffix"),
+        R(doc_id=train_ids[1], text=f"{common} unrelated content entirely"),
+        R(doc_id=train_ids[2], text=f"{common} other words again totally"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in contamination_check(df).collect()}
+    assert set(out) == {train_ids[0]}
+    assert out[train_ids[0]].n_shared == 1 and out[train_ids[0]].n_eval_docs == 1
+
+    # make `common` an eval-side shingle too, then cap it away
+    rows2 = [
+        R(doc_id=eval_id, text=f"{secret} {common}"),
+        R(doc_id=train_ids[1], text=f"{common} unrelated content entirely"),
+        R(doc_id=train_ids[2], text=f"{common} other words again totally"),
+    ]
+    df2 = spark.createDataFrame(rows2)
+    uncapped = {r.doc_id for r in contamination_check(df2).collect()}
+    assert uncapped == {train_ids[1], train_ids[2]}
+    capped = {r.doc_id for r in contamination_check(df2, max_df=2).collect()}
+    assert capped == set()  # the 3-doc shingle is over the cap
