@@ -324,9 +324,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             .withColumnRenamed("a", "id")
         )
         step = labels.join(neigh, "id", "left")
-        if rnd == 0:
-            # round 0: every label == its id, so label-of-label is the
-            # identity — skip the hop join this round
+        if rnd < 2:
+            # round 0: label == id, so label-of-label is the identity;
+            # round 1: cliques/stars (the overwhelmingly common near-dup
+            # shapes) are already converged and only confirming — the
+            # hop join starts at round 2, where only genuinely deep
+            # components are still moving and doubling earns its cost
             new_label = F.least("label", F.coalesce("nmin", "label"))
         else:
             # path doubling: label-of-label (id→label composed with itself)
