@@ -12,10 +12,12 @@ from spark_stream_analyzer_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     lsh_duplicate_pairs,
+    lsh_pairs_against_index,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
+    write_signature_index,
 )
 from spark_stream_analyzer_spark.operators.events import union_streams
 from spark_stream_analyzer_spark.operators.multimodal import (
@@ -72,6 +74,7 @@ __all__ = [
     "label_centroids",
     "language_id",
     "lsh_duplicate_pairs",
+    "lsh_pairs_against_index",
     "lsh_multiprobe_topk",
     "lsh_topk",
     "minhash_signatures",
@@ -89,4 +92,5 @@ __all__ = [
     "union_streams",
     "with_payload",
     "with_words",
+    "write_signature_index",
 ]

@@ -468,3 +468,95 @@ def contamination_check(
         F.countDistinct("s").cast("long").alias("n_shared"),
         F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
     )
+
+
+def write_signature_index(
+    df: DataFrame, path: str, text_col: str = "text", shingle_k: int = 3
+) -> None:
+    """Persist the MinHash signature index (the two-phase / incremental
+    dedup pattern for large corpora).
+
+    At 100 TB, recomputing shingles+signatures for the WHOLE corpus on
+    every dedup run is the dominant cost; production pipelines compute
+    signatures once per document and store them. The index holds
+    ``doc_id, sh, band0..band{B-1}`` — everything
+    :func:`lsh_pairs_against_index` needs, nothing else.
+    """
+    (
+        minhash_signatures(df, text_col, shingle_k)
+        .select("doc_id", "sh", *[f"band{b}" for b in range(TH.LSH_BANDS)])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _band_posts(sig: DataFrame) -> DataFrame:
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bk"))
+                for b in range(TH.LSH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.bi", "band.bk")
+
+
+def lsh_pairs_against_index(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    min_jaccard: float = 0.02,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a persisted signature index
+    — the incremental (daily-ingest) dedup shape.
+
+    Candidates come from new-batch bands ⋈ index bands (an equality
+    join whose left side is batch-sized, so the whole run costs
+    O(batch + matching-bucket rows), never O(corpus²) and never a
+    corpus rescan); exact shingle-set Jaccard verifies candidates using
+    the stored ``sh`` arrays. Pairs are (new doc, index doc); append
+    the new batch's signatures to the index afterwards (same
+    :func:`write_signature_index` output schema) to keep it current —
+    new×new pairs then surface on the next run, or immediately by
+    indexing the batch before querying it.
+
+    Returns ``doc_a``/``doc_b`` with ``doc_a`` = the new document.
+    """
+    idx = spark.read.parquet(index_path)
+    new_sig = (
+        minhash_signatures(new_docs, text_col, shingle_k)
+        .select("doc_id", "sh", *[f"band{b}" for b in range(TH.LSH_BANDS)])
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        _band_posts(new_sig)
+        .alias("a")
+        .join(
+            _band_posts(idx).alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = idx.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_shared"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -334,3 +334,34 @@ def test_contamination_check_planted_overlap_and_df_cap(spark):
     assert uncapped == {train_ids[1], train_ids[2]}
     capped = {r.doc_id for r in contamination_check(df2, max_df=2).collect()}
     assert capped == set()  # the 3-doc shingle is over the cap
+
+
+def test_incremental_lsh_matches_batch_recompute(spark, tmp_path, sf_dir):
+    """Index the first 400 docs, query the rest incrementally: the pairs
+    involving (new, old) docs must equal the full-corpus LSH pairs
+    restricted to those doc combinations — no rescan, no recompute."""
+    from spark_stream_analyzer_spark.operators.dedup import (
+        lsh_duplicate_pairs,
+        lsh_pairs_against_index,
+        write_signature_index,
+    )
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "sig_index")
+    write_signature_index(old, idx)
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_shared, r.jaccard)
+        for r in lsh_pairs_against_index(spark, new, idx, min_jaccard=0.02).collect()
+    }
+    full = lsh_duplicate_pairs(docs, min_jaccard=0.02).collect()
+    want = {
+        (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b), r.n_shared, r.jaccard)
+        for r in full
+        if (r.doc_a < 400) != (r.doc_b < 400)
+    }
+    # incremental emits (new, old) = (doc_a>=400, doc_b<400)
+    assert got == want and len(got) > 0
