@@ -20,6 +20,7 @@ from spark_stream_analyzer_spark.operators.dedup import (
     write_signature_index,
 )
 from spark_stream_analyzer_spark.operators.events import union_streams
+from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
 from spark_stream_analyzer_spark.operators.multimodal import (
     fake_decode_stats,
     fake_features,
@@ -66,6 +67,7 @@ __all__ = [
     "fake_frame_sample",
     "fake_resize",
     "fingerprints",
+    "fuzzy_pairs",
     "global_rank",
     "hash_rank_sample_k",
     "hash_split",

@@ -1291,47 +1291,11 @@ def q_part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "definition, independent of the blocking scheme",
 )
 def q_customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
+
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # deletion neighborhood: the name itself + each single-char deletion,
-    # hashed to 64-bit join keys (a hash collision can only ADD a
-    # candidate, which levenshtein then rejects — never lose a pair);
-    # the explicit repartition roots BOTH join sides in one exchange
-    # (ReuseExchange), so the explode runs once — measured 4.5x faster
-    # than the unpartitioned string-key join at sf0.1 (9.2s -> 2.0s)
-    keys = c.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(concat(array(c_name), "
-                    "transform(sequence(1, length(c_name)), i -> "
-                    "concat(substring(c_name, 1, i - 1), "
-                    "substring(c_name, i + 1, length(c_name))))), "
-                    "s -> xxhash64(s))"
-                )
-            )
-        ).alias("blk"),
-    ).repartition("blk")
-    b = keys.select(
-        F.col("c_custkey").alias("b_custkey"),
-        F.col("c_name").alias("b_name"),
-        F.col("blk").alias("b_blk"),
-    )
-    return (
-        keys.join(
-            b,
-            (F.col("blk") == F.col("b_blk"))
-            & (F.col("c_custkey") < F.col("b_custkey")),
-        )
-        .withColumn(
-            "dist", F.levenshtein(F.col("c_name"), F.col("b_name")).cast("long")
-        )
-        .filter(F.col("dist") <= 1)
-        .select(
-            F.col("c_custkey").alias("cust_a"),
-            F.col("b_custkey").alias("cust_b"),
-            "dist",
-        )
-        .distinct()
+    return fuzzy_pairs(c, "c_custkey", "c_name").select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        "dist",
     )

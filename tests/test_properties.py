@@ -150,3 +150,45 @@ def test_int_div_matches_java_semantics_at_full_long_range(spark):
     df = spark.createDataFrame(rows, "a long, b long, expected long")
     bad = df.filter(int_div(F.col("a"), F.col("b")) != F.col("expected"))
     assert bad.count() == 0
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=10),
+    st.randoms(use_true_random=False),
+)
+def test_fuzzy_pairs_complete_vs_bruteforce(spark, base, rnd):
+    """Symmetric-delete blocking must find EXACTLY the brute-force
+    dist<=1 pairs — including pairs created by adversarial single edits
+    (insert/delete/substitute) on tiny repeated-alphabet strings, where
+    blocking schemes typically lose pairs."""
+    from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
+
+    names = list(base)
+    for s in base[:4]:  # plant guaranteed near neighbors
+        p = rnd.randrange(len(s) + 1)
+        names.append(s[:p] + "a" + s[p:])           # insertion
+        if s:
+            names.append(s[:p] + s[p + 1:] if p < len(s) else s[:-1])  # deletion
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b, r.dist) for r in fuzzy_pairs(df, "id", "name").collect()}
+    want = {
+        (i, j, _lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want
