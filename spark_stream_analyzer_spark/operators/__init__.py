@@ -31,6 +31,7 @@ from spark_stream_analyzer_spark.operators.multimodal import (
 from spark_stream_analyzer_spark.operators.player_stats import player_stats
 from spark_stream_analyzer_spark.operators.rank import global_rank
 from spark_stream_analyzer_spark.operators.similarity import (
+    ann_topk_against_index,
     cosine_topk,
     ivf_topk,
     kmeans_assign,
@@ -38,6 +39,7 @@ from spark_stream_analyzer_spark.operators.similarity import (
     lsh_multiprobe_topk,
     lsh_topk,
     quantize_int8,
+    write_ann_index,
 )
 from spark_stream_analyzer_spark.operators.split import (
     hash_rank_sample_k,
@@ -56,6 +58,7 @@ from spark_stream_analyzer_spark.operators.text import (
 )
 
 __all__ = [
+    "ann_topk_against_index",
     "asof_join_backward",
     "contamination_check",
     "cosine_topk",
@@ -94,5 +97,6 @@ __all__ = [
     "union_streams",
     "with_payload",
     "with_words",
+    "write_ann_index",
     "write_signature_index",
 ]

@@ -355,3 +355,87 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec
         F.expr("array_max(codes)").cast("long").alias("code_max"),
         F.round(F.expr(sq_err) / F.size(vec_col), 6).alias("mse"),
     )
+
+
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the sign-LSH ANN index, PARTITIONED BY bucket.
+
+    The serving-side pattern: index once, query many times. Bucket
+    partitioning means a query batch touches only its probe buckets'
+    files — partition pruning does the candidate restriction before any
+    row is read, so query cost is O(probed buckets), independent of
+    corpus size. Stored: id, vector, norm, bucket.
+    """
+    planes = TH.hyperplanes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {TH.spark_dot_lit(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    (
+        _with_norm(emb, vec_col)
+        .withColumn("bucket", F.expr(bucket))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_topk_against_index(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 3,
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for a query batch against a persisted ANN index.
+
+    Queries are bucketed with the same hyperplanes (and, with
+    ``multiprobe``, the single-bit-flip neighbor buckets); the join
+    against the bucket-partitioned index is an equality join whose index
+    side prunes to the probed partitions. Query ids share the id space
+    of the index (self-matches are excluded).
+    """
+    planes = TH.hyperplanes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {TH.spark_dot_lit(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    idx = spark.read.parquet(index_path)
+    q = _with_norm(queries, vec_col).withColumn("qb", F.expr(bucket))
+    probes = (
+        F.array(F.col("qb"), *[F.expr(f"int(qb) ^ {1 << i}") for i in range(n_planes)])
+        if multiprobe
+        else F.array(F.col("qb"))
+    )
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.explode(probes).alias("probe"),
+    )
+    cos = F.expr(TH.spark_dot("qvec", vec_col)) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc(id_col))
+    return (
+        idx.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

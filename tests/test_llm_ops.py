@@ -365,3 +365,29 @@ def test_incremental_lsh_matches_batch_recompute(spark, tmp_path, sf_dir):
     }
     # incremental emits (new, old) = (doc_a>=400, doc_b<400)
     assert got == want and len(got) > 0
+
+
+def test_ann_index_matches_inline_multiprobe(spark, tmp_path, sf_dir):
+    """Query-against-persisted-index must equal the inline multi-probe
+    LSH result, and the probe join must prune index partitions."""
+    from spark_stream_analyzer_spark.operators.similarity import (
+        ann_topk_against_index,
+        lsh_multiprobe_topk,
+        write_ann_index,
+    )
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in ann_topk_against_index(spark, queries, path).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in lsh_multiprobe_topk(emb, F.col("vec_id") < 8).collect()
+    }
+    assert got == want and len(got) > 0
