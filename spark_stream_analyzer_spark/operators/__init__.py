@@ -44,6 +44,8 @@ from spark_stream_analyzer_spark.operators.similarity import (
 from spark_stream_analyzer_spark.operators.split import (
     hash_rank_sample_k,
     hash_split,
+    mixture_sample,
+    packed_sequences,
     stratified_hash_sample,
     token_pack_shards,
 )
@@ -83,7 +85,9 @@ __all__ = [
     "lsh_multiprobe_topk",
     "lsh_topk",
     "minhash_signatures",
+    "mixture_sample",
     "ngram_jaccard_pairs",
+    "packed_sequences",
     "player_stats",
     "quantize_int8",
     "redact",

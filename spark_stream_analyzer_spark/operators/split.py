@@ -164,3 +164,77 @@ def token_pack_shards(
         )
         .drop("_pid", "_off")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic data mixing: sample each stratum so the OUTPUT
+    composition matches ``weights``, using as much data as possible.
+
+    The limiting stratum is the one with the least data relative to its
+    weight; it is kept whole and every other stratum is downsampled to
+    proportion. Selection per stratum = the k smallest salted id hashes
+    (exact counts, deterministic, engine-portable) — the same ranked-
+    window shape as :func:`hash_rank_sample_k`. The per-stratum counts
+    cross the driver once as a |strata|-sized dict (broadcast back);
+    rows never do. NOT append-stable by design: admitting new data
+    changes the achievable mixture, so re-mixing is the correct
+    behavior — pin the output by writing it, not by re-running.
+
+    Strata absent from ``weights`` (or weighted 0) are dropped.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights and weights[r[0]] > 0
+    }
+    if not counts:
+        return df.filter(F.lit(False)).withColumn("mix_rank", F.lit(0).cast("long"))
+    scale = min(counts[s] / weights[s] for s in counts)
+    quota = [(s, int(weights[s] * scale)) for s in counts]
+    quota_df = F.broadcast(
+        df.sparkSession.createDataFrame(quota, f"{strata_col} string, _quota long")
+    )
+    keyed = f"concat('{salt}:', cast({id_col} as string))"
+    w = Window.partitionBy(strata_col).orderBy(
+        F.expr(TH.spark_hash60(keyed)), F.col(id_col)
+    )
+    return (
+        df.join(quota_df, strata_col)
+        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
+def packed_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    text_col: str = "text",
+    budget: int = 2000,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize :func:`token_pack_shards` shards as training
+    sequences: per shard, documents concatenated in id order.
+
+    One groupBy on the shard id after the packing pass; per-group state
+    is one shard's documents (~``budget`` tokens), so reducer memory is
+    budget-bounded regardless of corpus size. ``array_sort`` on the
+    (id, text) structs gives deterministic in-sequence order without a
+    sort-within-groups shuffle.
+    """
+    shards = token_pack_shards(
+        df, tokens_col=tokens_col, order_cols=[F.col(id_col)], budget=budget
+    )
+    parts = F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col(text_col))))
+    return shards.groupBy("shard").agg(
+        F.array_join(F.transform(parts, lambda x: x[text_col]), sep).alias("sequence"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )

@@ -391,3 +391,46 @@ def test_ann_index_matches_inline_multiprobe(spark, tmp_path, sf_dir):
         for r in lsh_multiprobe_topk(emb, F.col("vec_id") < 8).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_mixture_sample_hits_target_composition(spark):
+    """Output composition must match the target weights (limiting
+    stratum kept whole), deterministically across runs."""
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.split import mixture_sample
+
+    rows = (
+        [R(doc_id=i, source="web") for i in range(1000)]
+        + [R(doc_id=1000 + i, source="code") for i in range(100)]
+        + [R(doc_id=1100 + i, source="books") for i in range(300)]
+        + [R(doc_id=1400 + i, source="junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+    # code is limiting: 100 / 0.25 = 400 -> web 200, books 100, junk dropped
+    out = mixture_sample(df, {"web": 0.5, "code": 0.25, "books": 0.25})
+    comp = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert comp == {"web": 200, "code": 100, "books": 100}
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in mixture_sample(df, {"web": 0.5, "code": 0.25, "books": 0.25}).collect()}
+    assert ids1 == ids2
+
+
+def test_packed_sequences_preserve_docs_in_order(spark):
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.split import packed_sequences
+
+    rows = [R(doc_id=i, n_tokens=40, text=f"d{i}") for i in range(50)]
+    out = packed_sequences(
+        spark.createDataFrame(rows), budget=200, sep=" "
+    ).collect()
+    # 40 tokens x 50 docs / 200 budget = exactly 5 docs per shard, 10 shards
+    assert len(out) == 10
+    by_shard = {r.shard: r for r in out}
+    for shard, r in by_shard.items():
+        assert r.n_docs == 5 and r.n_tokens == 200
+        ids = [int(t[1:]) for t in r.sequence.split(" ")]
+        assert ids == sorted(ids) and ids[0] == shard * 5
+    all_ids = {int(t[1:]) for r in out for t in r.sequence.split(" ")}
+    assert all_ids == set(range(50))
