@@ -434,3 +434,31 @@ def test_packed_sequences_preserve_docs_in_order(spark):
         assert ids == sorted(ids) and ids[0] == shard * 5
     all_ids = {int(t[1:]) for r in out for t in r.sequence.split(" ")}
     assert all_ids == set(range(50))
+
+
+def test_asof_join_backward_edges(spark):
+    """Tie timestamps are visible (right.ts <= left.ts), no-earlier-row
+    fills NULL, keys never bleed into each other."""
+    from pyspark.sql import Row as R
+
+    from spark_stream_analyzer_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [R(k="a", ts=5, ev="a5"), R(k="a", ts=10, ev="a10"), R(k="a", ts=3, ev="a3"),
+         R(k="b", ts=7, ev="b7"), R(k="c", ts=1, ev="c1")]
+    )
+    right = spark.createDataFrame(
+        [R(k="a", ts=5, px=50), R(k="a", ts=9, px=90), R(k="b", ts=2, px=20),
+         R(k="b", ts=100, px=990)]
+    )
+    out = {
+        (r.k, r.ts): r.px
+        for r in asof_join_backward(left, right, "k", "ts", "px").collect()
+    }
+    assert out == {
+        ("a", 3): None,   # no right row at or before 3
+        ("a", 5): 50,     # tie is visible
+        ("a", 10): 90,    # latest at-or-before
+        ("b", 7): 20,     # future right row (ts=100) ignored
+        ("c", 1): None,   # key with no right rows at all
+    }

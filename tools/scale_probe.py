@@ -40,6 +40,8 @@ PROBE_QUERIES = [
     "similarity_ann_lsh",
     "similarity_ann_multiprobe",
     "similarity_ivf_topk",
+    "corpus_decontamination",
+    "corpus_token_shards",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
