@@ -17,8 +17,10 @@ status carries the query's last progress for monitoring.
 
 from __future__ import annotations
 
+import inspect
 import json
 import threading
+import urllib.parse
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -33,7 +35,10 @@ class ControlServer:
     ``query_factory`` is called on each successful ``/start`` — the same
     deferred-build contract as :meth:`StreamController.start`, so a
     stopped query can be restarted (fresh query, same checkpoint →
-    exactly-once resumes from the last commit).
+    exactly-once resumes from the last commit). A factory taking a
+    parameter additionally receives ``/start?folderPath=...`` (the
+    reference's start signature, ``MainController.java:29-37``) — ``None``
+    when the caller omits it.
     """
 
     def __init__(
@@ -44,6 +49,7 @@ class ControlServer:
     ) -> None:
         self.controller = StreamController()
         factory = query_factory
+        takes_folder = bool(inspect.signature(query_factory).parameters)
         controller = self.controller
 
         class Handler(BaseHTTPRequestHandler):
@@ -57,8 +63,14 @@ class ControlServer:
                 self.wfile.write(body)
 
             def do_POST(self) -> None:  # noqa: N802 - http.server API
-                if self.path == "/start":
-                    ok = controller.start(factory)
+                parsed = urllib.parse.urlparse(self.path)
+                if parsed.path == "/start":
+                    if takes_folder:
+                        qs = urllib.parse.parse_qs(parsed.query)
+                        folder = qs.get("folderPath", [None])[0]
+                        ok = controller.start(lambda: factory(folder))
+                    else:
+                        ok = controller.start(factory)
                     self._reply(200 if ok else 409, {"started": ok})
                 elif self.path == "/stop":
                     ok = controller.stop()

@@ -66,3 +66,36 @@ def test_http_start_stop_status_roundtrip(spark, tmp_path):
         assert code == 404
     finally:
         srv.shutdown()
+
+
+def test_http_start_passes_folder_path(spark, tmp_path):
+    """Reference parity: POST /start?folderPath=... reaches the factory
+    (MainController.java:29-37)."""
+    srcs = {}
+    for name in ("one", "two"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "000.txt").write_text(KILL)
+        srcs[name] = str(d)
+
+    seen = []
+
+    def build(folder):
+        seen.append(folder)
+        ev = parse_kill_lines(file_lines_stream(spark, folder))
+        return to_memory(ev, "t_http_folder", output_mode="append")
+
+    srv = ControlServer(build)
+    srv.start()
+    try:
+        addr = srv.address
+        quoted = srcs["two"].replace("/", "%2F")
+        code, body = _call(addr, "POST", f"/start?folderPath={quoted}")
+        assert code == 200 and body == {"started": True}
+        srv.controller._query.processAllAvailable()
+        assert seen == [srcs["two"]]
+        assert spark.table("t_http_folder").count() == 3
+        code, _ = _call(addr, "POST", "/stop")
+        assert code == 200
+    finally:
+        srv.shutdown()
