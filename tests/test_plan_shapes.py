@@ -150,3 +150,15 @@ def test_fuzzy_pairs_join_on_hashed_keys_with_reuse(spark):
     assert "xxhash64" in plan
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_pairs_reuse_signature_exchange(spark):
+    """Band sides and verify sides all hang off ONE signature exchange
+    (the measured ~35% win from round 1 must not silently regress)."""
+    plan = executed_plan_of(spark, "dedup_minhash_lsh_pairs")
+    assert "ReusedExchange" in plan
+
+
+def test_bruteforce_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "similarity_topk_bruteforce")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
