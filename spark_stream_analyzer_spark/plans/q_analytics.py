@@ -1,0 +1,299 @@
+"""Oracle-checked analytics extensions (EXT, round 2).
+
+Multidimensional aggregates (ROLLUP), histograms, exact percentiles,
+correlation/dispersion statistics, cohort retention, document chunking
+for context-window pipelines, and embedding-norm profiling. None of
+these exist in the reference (its whole batch surface is
+``sql/queries.sql``); they extend SURVEY §2.5/§2.7 the way a warehouse
+user of the reference would expect, and stay strictly declarative —
+every plan is whole-stage-codegen column expressions, no Python.
+
+Numeric-stability conventions (same as the rest of the registry):
+
+* money sums go through ``DECIMAL(18,2)`` so Spark's and DuckDB's
+  different summation orders cannot drift a double ULP across the
+  round-6 hash (exact decimal arithmetic, cast to double at the end);
+* order-independent statistics (corr/stddev/percentile) are rounded to
+  6 decimals, where merge-order drift is ~1e-12 of the scale;
+* per-row derived doubles (L2 norms) are rounded BEFORE aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.functions.scalar import round6
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _money_sum(col: str, alias: str):
+    """Order-independent money sum: exact decimal, surfaced as double."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+# --------------------------------------------------------------------------
+# multidimensional aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_rollup_totals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="EXT multidimensional agg: ROLLUP(status, priority) with GROUPING "
+    "flags — subtotal + grand-total rows in one pass (Spark expands "
+    "grouping sets before the hash agg; one shuffle, no union of scans)",
+)
+def q_orders_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _money_sum("o_totalprice", "sum_price"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+
+
+@register(
+    "lineitem_price_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 6) AS min_price,
+           ROUND(MAX(l_extendedprice), 6) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="EXT fixed-width histogram over a fact column — bucket arithmetic "
+    "inside the scan projection, one partial-agg shuffle; bucket count "
+    "is bounded by the value range, not the row count, so the result "
+    "stays driver-sized at any SF",
+)
+def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n"),
+            round6(F.min("l_extendedprice")).alias("min_price"),
+            round6(F.max("l_extendedprice")).alias("max_price"),
+            _money_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXT exact interpolated percentiles per group (Spark `percentile` "
+    "vs DuckDB `quantile_cont` — independent implementations of the same "
+    "linear-interpolation definition). Exact percentile is a sort-based "
+    "agg; the approx_quantile_check query is the at-scale alternative "
+    "and quantifies the sketch error against this exact form",
+)
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        round6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        round6(F.expr("percentile(value, 0.9)")).alias("p90"),
+        round6(F.expr("percentile(value, 0.99)")).alias("p99"),
+    )
+
+
+@register(
+    "customer_mktsegment_stats",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(corr(c.c_acctbal, o.o_totalprice), 6) AS bal_price_corr,
+           ROUND(stddev_samp(o.o_totalprice), 6) AS price_stddev,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="EXT correlation/dispersion statistics per market segment over the "
+    "orders⋈customer join — co-moment aggregates merge associatively "
+    "(partial agg before the shuffle); customer side broadcast at test "
+    "SF, sort-merge on o_custkey at scale",
+)
+def q_customer_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        round6(F.corr("c_acctbal", "o_totalprice")).alias("bal_price_corr"),
+        round6(F.stddev_samp("o_totalprice")).alias("price_stddev"),
+        # exact decimal sum ÷ count as ONE double division — Spark's
+        # decimal AVG rounds at scale+4 while DuckDB's returns a raw
+        # double, so averaging must be spelled out to be bit-identical
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort retention
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_retention",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    )
+    SELECT a.day AS day,
+           CAST(COUNT(*) AS BIGINT) AS actives,
+           CAST(COUNT(b.user_id) AS BIGINT) AS retained
+    FROM d a LEFT JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+    """,
+    doc="EXT next-day retention cohort: distinct (user, day) spine "
+    "self-joined against its day-shifted image — expressed as a pure "
+    "equi-join on (user_id, day) (shift folded into the build side) so "
+    "it sort-merges at scale instead of carrying a non-equi condition; "
+    "each spine row matches at most one shifted row, so COUNT(*) is "
+    "exactly the active count",
+)
+def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
+    ).distinct()
+    # day-shifted image: a (user, day) pair here means "user was active on
+    # day+1", so joining on equal (user_id, day) asks next-day presence
+    shifted = d.select(
+        "user_id", (F.col("day") - 1).alias("day"), F.lit(1).alias("hit")
+    )
+    return (
+        d.join(shifted, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("actives"),
+            F.count("hit").alias("retained"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# document chunking (context-window pipelines)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(off // 160 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(off + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+           {TH.duck_hash60("substr(text, CAST(off + 1 AS INT), 200)")} AS chunk_hash
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0), 160)) AS off
+      FROM documents
+    )
+    """,
+    doc="EXT sliding-window document chunking (size 200 chars, stride "
+    "160 → 40-char overlap), the context-window shaper of an LLM "
+    "training pipeline: offsets fan out via sequence+explode inside "
+    "codegen (rows grow ~len/stride per doc, no Python, no shuffle at "
+    "all — a pure per-row generator that parallelizes with the scan)",
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr("sequence(0, greatest(length(text) - 1, 0), 160)")
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") / 160).cast("long").alias("chunk_idx"),
+            F.length(F.expr("substr(text, cast(off + 1 as int), 200)"))
+            .cast("long")
+            .alias("chunk_len"),
+            F.expr(TH.spark_hash60("substr(text, cast(off + 1 as int), 200)")).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-norm profiling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH n AS (
+      SELECT label,
+             ROUND(sqrt({TH.duck_dot("embedding", "embedding")}), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(nrm), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n
+    GROUP BY label
+    """,
+    doc="EXT embedding hygiene profile: per-label L2-norm distribution "
+    "(catches unnormalized or degenerate vectors before ANN indexing). "
+    "The norm is a per-row zip_with/aggregate fold in codegen — one "
+    "scan, one bounded groupBy on label; norms rounded per-row before "
+    "aggregation so both engines average identical doubles",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(F.expr(TH.spark_dot("embedding", "embedding"))), 6
+    ).alias("nrm")
+    return (
+        e.select("label", nrm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round6(F.avg("nrm")).alias("avg_norm"),
+            round6(F.min("nrm")).alias("min_norm"),
+            round6(F.max("nrm")).alias("max_norm"),
+        )
+    )

@@ -54,6 +54,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from spark_stream_analyzer_spark.plans import (  # noqa: F401
+        q_analytics,
         q_llm,
         q_reference,
         q_setops,
