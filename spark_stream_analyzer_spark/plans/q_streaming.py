@@ -211,3 +211,232 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps.groupBy(
         F.unix_timestamp(F.col("win.start")).alias("win_start"), "event_type"
     ).agg(F.max("n").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# round-2 live streaming surfaces: dedup, session flush, stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def _write_batches(rows, outdir: str, batch_of, fmt) -> None:
+    """Write replay files (one per micro-batch). ``batch_of(row)`` returns
+    the list of batch indices a row lands in (duplicates allowed —
+    writing a row in two batches IS the cross-batch-duplicate injection);
+    ``fmt(row)`` the line. Test-harness boundary only, NOT an engine path."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    batches: dict[int, list[str]] = {}
+    for r in rows:
+        for b in batch_of(r):
+            batches.setdefault(b, []).append(fmt(r))
+    for b, lines in sorted(batches.items()):
+        with open(f"{outdir}/{b:03d}.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def _run_to_memory(stream_df, name: str, spark: SparkSession, mode: str) -> None:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "streaming_dedup_events",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE event_id < {EVENT_CAP}
+    GROUP BY event_type
+    """,
+    doc="EXT streaming dedup, LIVE: every line is replayed TWICE within "
+    "its batch and a third of ids are replayed again in the other batch "
+    "(intra- AND cross-batch duplicates); dropDuplicatesWithinWatermark "
+    "on event_id must collapse all of them — dedup state lives in the "
+    "state store keyed by id, evicted once the watermark passes (the "
+    "bounded-state form of streaming exact dedup; span-sized delay here "
+    "= keep-everything parity). Counts per type must equal the batch "
+    "DISTINCT — exactly-once across replays",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "sec", "event_type").collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_dedupstream_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        # ids ≡ 0,1 (mod 3) → batch 0 (twice via fmt below); ids ≡ 1,2 → batch 1:
+        # the ≡1 class appears in BOTH batches
+        batch_of=lambda r: ([0] if r.event_id % 3 in (0, 1) else [])
+        + ([1] if r.event_id % 3 in (1, 2) else []),
+        fmt=lambda r: f"{r.event_id},{r.sec},{r.event_type}\n"
+        f"{r.event_id},{r.sec},{r.event_type}",
+    )
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        parts[0].cast("long").alias("event_id"),
+        F.timestamp_seconds(parts[1].cast("long")).alias("ts"),
+        parts[2].alias("event_type"),
+    )
+    deduped = parsed.withWatermark("ts", "36500 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(deduped, name, spark, "append")
+    return spark.table(name).groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "streaming_session_flush",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_id < {EVENT_CAP}),
+    m AS (SELECT user_id, s,
+            CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                 < 86400 THEN 0 ELSE 1 END AS new_s
+          FROM o),
+    s2 AS (SELECT user_id, s,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m)
+    SELECT user_id, MIN(s) AS session_start_s, MAX(s) + 86400 AS session_end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s2 GROUP BY user_id, sid
+    """,
+    doc="EXT session windows, LIVE in APPEND mode: 24h-gap sessions over "
+    "an odd/even interleaved replay; a session row may only be emitted "
+    "once its window can no longer merge, so the replay appends two "
+    "far-future sentinel batches (filtered from the result) that drive "
+    "the watermark past every real session's end — the deterministic "
+    "flush pattern for append-mode session aggs. Watermark delay is "
+    "span-sized: interleaved 'late' rows merge instead of dropping. "
+    "Oracle re-derives sessions as gaps-and-islands",
+)
+def q_streaming_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "user_id", "sec").collect()  # harness boundary
+    max_sec = max(r.sec for r in rows)
+    delay_s = 36_500 * 86_400
+    # sentinels: two extra batches for user -1; the FIRST pushes the
+    # watermark past every real session end (max_sec + gap), the SECOND
+    # triggers the micro-batch in which that watermark takes effect
+    # (watermark computed from batch N applies from batch N+1)
+    sent0 = max_sec + delay_s + 2 * 86_400
+    workdir = tempfile.mkdtemp(prefix="ssa_sessstream_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 2],
+        fmt=lambda r: f"{r.user_id},{r.sec}",
+    )
+    with open(f"{workdir}/in/002.txt", "w") as f:
+        f.write(f"-1,{sent0}\n")
+    with open(f"{workdir}/in/003.txt", "w") as f:
+        f.write(f"-1,{sent0 + 3600}\n")
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        parts[0].cast("long").alias("user_id"),
+        F.timestamp_seconds(parts[1].cast("long")).alias("ts"),
+    )
+    sessions = (
+        parsed.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy(F.session_window("ts", "24 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sessions, name, spark, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("long").alias("session_start_s"),
+            F.unix_timestamp("w.end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "streaming_interval_join",
+    oracle=f"""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS cs
+               FROM events WHERE event_type = 'click' AND event_id < {EVENT_CAP}),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ps
+          FROM events WHERE event_type = 'purchase' AND event_id < {EVENT_CAP})
+    SELECT p.purchase_id, c.click_id, p.user_id AS user_id,
+           c.cs - p.ps AS delta_s
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.cs >= p.ps AND c.cs <= p.ps + 3600
+    """,
+    doc="EXT stream-stream interval join, LIVE: purchases ⋈ clicks within "
+    "[purchase, purchase+1h] per user, both sides replayed as "
+    "odd/even-interleaved 2-batch streams. Inner join emits each "
+    "matching pair exactly once regardless of which batch each side "
+    "arrived in (join state retained under the watermark); the interval "
+    "condition is what lets Spark bound per-side state at scale. Oracle "
+    "is the equivalent batch range join",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "sec", "event_type"
+    ).collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_joinstream_")
+    for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+        _write_batches(
+            [r for r in rows if r.event_type == etype],
+            f"{workdir}/{sub}",
+            batch_of=lambda r: [r.event_id % 2],
+            fmt=lambda r: f"{r.event_id},{r.user_id},{r.sec}",
+        )
+
+    def _parse(path: str, prefix: str) -> DataFrame:
+        parts = F.split("value", ",")
+        return file_lines_stream(spark, path).select(
+            parts[0].cast("long").alias(f"{prefix}_id"),
+            parts[1].cast("long").alias(f"{prefix}_user"),
+            F.timestamp_seconds(parts[2].cast("long")).alias(f"{prefix}_ts"),
+        )
+
+    clicks = _parse(f"{workdir}/clicks", "click").withWatermark(
+        "click_ts", "36500 days"
+    )
+    purchases = _parse(f"{workdir}/purchases", "purchase").withWatermark(
+        "purchase_ts", "36500 days"
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("interval 1 hour")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("purchase_user").alias("user_id"),
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")
+        ).cast("long").alias("delta_s"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, spark, "append")
+    return spark.table(name)

@@ -36,7 +36,13 @@ ARROW_PYTHON_OK = {
 # round trip; the returned DF is the sink table scan, so there is no
 # meaningful batch plan to lint (their physical form is covered by
 # streaming tests).
-SKIP = {"streaming_snapshot_stats", "streaming_windowed_counts"}
+SKIP = {
+    "streaming_snapshot_stats",
+    "streaming_windowed_counts",
+    "streaming_dedup_events",
+    "streaming_session_flush",
+    "streaming_interval_join",
+}
 
 
 @pytest.fixture(scope="module")
