@@ -256,6 +256,141 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# per-row window feature engineering
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_lag_features",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    doc="EXT per-row window feature engineering (the ML-feature shape: "
+    "prev/next event, inter-event gap, intra-user quantile position) — "
+    "lag/lead/ntile/percent_rank/cume_dist share ONE window spec, so "
+    "Spark computes all six features in a single shuffle+sort over "
+    "(user_id, ts, event_id); the tie-break on event_id makes every "
+    "rank-based feature deterministic",
+)
+def q_events_user_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.ntile(4).over(w).cast("long").alias("ntile4"),
+        round6(F.percent_rank().over(w)).alias("pct_rank"),
+        round6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mixture sampling + unigram LM scoring (LLM-pipeline extensions)
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    c AS (SELECT d.source, COUNT(*) AS n
+          FROM documents d JOIN w ON d.source = w.source GROUP BY d.source),
+    s AS (SELECT MIN(c.n / w.wt) AS scale FROM c JOIN w ON c.source = w.source),
+    q AS (SELECT w.source,
+                 CAST(floor(w.wt * (SELECT scale FROM s)) AS BIGINT) AS quota
+          FROM w),
+    r AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY
+              {TH.duck_hash60("concat('mixture:', CAST(doc_id AS VARCHAR))")},
+              doc_id) AS BIGINT) AS mix_rank
+          FROM documents WHERE source IN (SELECT source FROM w))
+    SELECT r.doc_id, r.source, r.mix_rank
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.mix_rank <= q.quota
+    """,
+    doc="EXT deterministic data mixing (operators/split.py mixture_sample): "
+    "resample strata to a target 50/30/20 composition, keeping the "
+    "limiting stratum whole — selection is the k smallest salted-hash "
+    "ids per stratum, so the draw is deterministic, engine-portable, "
+    "and exact-count; only a |strata|-sized quota dict crosses the "
+    "driver. The oracle independently re-derives quota arithmetic and "
+    "ranked selection in SQL",
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.split import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, _MIX_WEIGHTS).select("doc_id", "source", "mix_rank")
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH wd AS (
+      SELECT doc_id, unnest({TH.duck_norm_words("text")}) AS word
+      FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n FROM wd),
+    sc AS (SELECT wd.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  AVG(-log2(CAST(cnt.c AS DOUBLE) / (SELECT n FROM tot))) AS s
+           FROM wd JOIN cnt ON wd.word = cnt.word
+           GROUP BY wd.doc_id)
+    SELECT d.doc_id,
+           COALESCE(sc.n_tokens, 0) AS n_tokens,
+           ROUND(COALESCE(sc.s, 0.0), 6) AS avg_surprisal
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+    doc="EXT unigram-LM quality scoring (the perplexity-filter shape of "
+    "CCNet/C4 pipelines, with the corpus itself as the LM): per-token "
+    "surprisal -log2 p(w) under corpus unigram frequencies, averaged "
+    "per document. One explode of the token stream feeds BOTH the "
+    "frequency table and the scoring join (exchange reuse); the "
+    "frequency side is vocabulary-sized, shuffles on the token key, "
+    "and the global total crosses as a one-row broadcast — no driver "
+    "collect at any SF",
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wd = d.select(
+        "doc_id", F.explode(F.expr(TH.spark_norm_words("text"))).alias("word")
+    )
+    cnt = wd.groupBy("word").agg(F.count("*").alias("c"))
+    # global token total from the (vocab-sized) counts table, not a third
+    # pass over the exploded token stream
+    tot = cnt.agg(F.sum("c").alias("n"))
+    scored = (
+        wd.join(cnt, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))).alias("s"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        round6(F.coalesce("s", F.lit(0.0))).alias("avg_surprisal"),
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding-norm profiling
 # --------------------------------------------------------------------------
 

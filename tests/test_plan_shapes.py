@@ -162,3 +162,41 @@ def test_lsh_pairs_reuse_signature_exchange(spark):
 def test_bruteforce_topk_broadcasts_queries(spark):
     plan = plan_of(spark, "similarity_topk_bruteforce")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------- round 2
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    """Sliding-window chunking is a pure per-row generator: scan →
+    sequence+explode → project. ANY exchange here would mean the chunker
+    serializes the corpus through a shuffle at 100 TB."""
+    plan = plan_of(spark, "doc_chunk_windows")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_rollup_is_expand_plus_one_shuffle(spark):
+    """ROLLUP must plan as Expand → partial agg → ONE exchange → final
+    agg — not a union of per-grouping-set scans."""
+    plan = plan_of(spark, "orders_rollup_totals")
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # formatted explain lists nodes twice
+
+
+def test_lag_features_share_one_window(spark):
+    """All six lag/lead/rank features must ride one Window node over one
+    shuffle+sort — six window specs would mean six sorts of the fact."""
+    plan = plan_of(spark, "events_user_lag_features")
+    assert plan.count("Window") == 2  # one node (tree + details sections)
+    assert plan.count("Exchange") <= 2
+
+
+def test_mixture_sample_broadcasts_quota(spark):
+    plan = plan_of(spark, "corpus_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_percentiles_have_partial_aggregation(spark):
+    plan = plan_of(spark, "events_value_percentiles")
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
