@@ -32,8 +32,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="ssa-bench")
-    # warm-up: JVM + parquet footer caches, so timings measure the queries
+    # warm-up: JVM + parquet footer/schema caches, so per-query timings
+    # measure the queries rather than whichever ran first
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from spark_stream_analyzer_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

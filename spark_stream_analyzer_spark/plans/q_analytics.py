@@ -391,6 +391,70 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII redaction (oracle-checked via injected synthetic PII)
+# --------------------------------------------------------------------------
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_DIGITS = r"\d{6,}"
+_PII_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{_PII_EMAIL}', '<email>', 'g'),"
+    f" '{_PII_URL}', '<url>', 'g'),"
+    f" '{_PII_DIGITS}', '<digits>', 'g')"
+)
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                  || ' ref ' || CAST(1000000 + doc_id AS VARCHAR) AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(text, '{_PII_DIGITS}')) AS BIGINT) AS n_digits,
+           {TH.duck_hash60(_PII_REDACTED)} AS redacted_hash
+    FROM p
+    """,
+    doc="EXT PII scrubbing (operators/text.py redact): email/URL/digit-run "
+    "patterns replaced with typed tags, per-kind counts from the "
+    "pre-redaction text. The corpus carries no PII, so the query injects "
+    "a deterministic synthetic span per doc first — the oracle rebuilds "
+    "the same injected text and must land on the identical redacted-text "
+    "hash. Chained regexp_replace in codegen: scan-bound, shuffle-free",
+)
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.text import redact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref "),
+            (F.col("doc_id") + 1_000_000).cast("string"),
+        ).alias("text"),
+    )
+    r = redact(d)
+    return r.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_url"),
+        F.col("n_digits"),
+        F.expr(TH.spark_hash60("redacted")).alias("redacted_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding-norm profiling
 # --------------------------------------------------------------------------
 
