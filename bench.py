@@ -40,6 +40,13 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # machine-speed calibration: a fixed CPU-bound Spark job, reported in
+    # the output JSON so totals are comparable across containers of
+    # different speeds (round 1 vs round 2 hosts differed by ~1.7x)
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * id) as s").collect()
+    calib = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     qs = registry.queries()
@@ -73,6 +80,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": n_failed,
+                "calib_sec": calib,
                 "queries": timings,
                 "rows": rows,
             },
@@ -91,6 +99,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "n_failed": n_failed,
+                "calib_sec": calib,
                 "sf": sf,
             }
         )

@@ -391,6 +391,50 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# count-min-sketch heavy hitters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "approx_heavy_hitters_check",
+    oracle="SELECT CAST(5 AS BIGINT) AS n_checked, 1::INT AS all_within_bound",
+    doc="Count-min sketch vs exact counts for the corpus's top-5 terms: "
+    "CMS guarantees estimate ∈ [true, true + eps·N]; checked at "
+    "eps=0.001 with a fixed seed (deterministic). The sketch is built "
+    "distributed (merge-able per-partition summaries) and only the "
+    "KB-sized sketch crosses the driver — the same exchange discipline "
+    "as the k-means centroid step. Completes the approx family next to "
+    "HLL++ (approx_distinct_check) and GK quantiles "
+    "(approx_quantile_check)",
+)
+def q_approx_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wd = d.select(F.explode(F.expr(TH.spark_norm_words("text"))).alias("word"))
+    top = (
+        wd.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(5)
+        .collect()
+    )  # 5 rows to the driver — the check set, not data
+    # one combined pass: KB-sized binary sketch + exact token total
+    agg = wd.agg(
+        F.expr("count_min_sketch(word, 0.001d, 0.99d, 42)").alias("sk"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg.sk)
+    )
+    ok = all(
+        r.c <= sketch.estimateCount(r.word) <= r.c + int(0.001 * agg.n) + 1
+        for r in top
+    )
+    return spark.createDataFrame(
+        [(len(top), 1 if ok else 0)], "n_checked int, all_within_bound int"
+    ).select(F.col("n_checked").cast("long").alias("n_checked"), "all_within_bound")
+
+
+# --------------------------------------------------------------------------
 # PII redaction (oracle-checked via injected synthetic PII)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,126 @@
+"""Unit tests for the round-2 analytics family — hand-computed
+expectations on tiny frames, complementing the sf0.01 oracle gate
+(which proves engine parity, not intent)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_chunk_windows_reconstruct_document(spark, tmp_path):
+    """Chunks at (size 200, stride 160) must tile the document: the
+    first 160 chars of each chunk plus the full final chunk reassemble
+    the original text exactly — the no-token-lost contract a
+    context-window shaper must keep."""
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    text = "abcdefghij" * 53  # 530 chars → offsets 0,160,320,480
+    df = spark.createDataFrame([(1, text, "en", "src0", len(text))],
+                               "doc_id long, text string, lang string, source string, n_chars long")
+    out_dir = tmp_path / "docs"
+    df.write.parquet(str(out_dir / "documents.parquet"))
+    build = QUERIES["doc_chunk_windows"].build
+    rows = sorted(
+        build(spark, str(out_dir)).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    # every chunk except the last is full-size; last is the remainder
+    assert [r.chunk_len for r in rows] == [200, 200, 200, 50]
+    # stride tiling covers every character: 3*160 + 50 = 530
+    assert 160 * (len(rows) - 1) + rows[-1].chunk_len == len(text)
+
+
+def test_daily_retention_hand_example(spark, tmp_path):
+    """user 1 active days 0,1,2 → retained on days 0,1; user 2 active
+    days 0,2 → never retained next-day."""
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, 0), (1, 86_400), (1, 172_800),
+        (2, 3_600), (2, 180_000),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, s) for i, (u, s) in enumerate(rows)], "event_id long, user_id long, sec long"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out_dir = tmp_path / "ev"
+    df.write.parquet(str(out_dir / "events.parquet"))
+    out = {
+        r.day: (r.actives, r.retained)
+        for r in QUERIES["events_daily_retention"].build(spark, str(out_dir)).collect()
+    }
+    assert out == {0: (2, 1), 1: (1, 1), 2: (2, 0)}
+
+
+def test_rollup_totals_include_grand_total(spark):
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    out = QUERIES["orders_rollup_totals"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    grand = [r for r in out if r.g_status == 1 and r.g_priority == 1]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(
+        r.n_orders for r in out if r.g_status == 0 and r.g_priority == 0
+    )
+    # subtotals per status must sum to the grand total as well
+    subs = [r for r in out if r.g_status == 0 and r.g_priority == 1]
+    assert sum(r.n_orders for r in subs) == grand[0].n_orders
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark, tmp_path):
+    """A doc of corpus-rare tokens must score strictly higher surprisal
+    than a doc of the corpus's most common tokens."""
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    docs = [
+        (1, "the the the the the the the the"),
+        (2, "the the the the the the the the"),
+        (3, "zyx wvu"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = tmp_path / "docs"
+    df.write.parquet(str(out_dir / "documents.parquet"))
+    out = {
+        r.doc_id: r.avg_surprisal
+        for r in QUERIES["text_unigram_surprisal"].build(spark, str(out_dir)).collect()
+    }
+    assert out[3] > out[1] == out[2]
+
+
+def test_pii_redaction_scrubs_injected_spans(spark):
+    """The redacted text must contain the typed tags and no surviving
+    email/URL/long-digit spans."""
+    from spark_stream_analyzer_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [(1, "reach me at bob.smith+x@corp.example.org or https://a.b/c?d=1 id 12345678")],
+        "doc_id long, text string",
+    )
+    r = redact(df).collect()[0]
+    assert r.n_email == 1 and r.n_url == 1 and r.n_digits == 1
+    assert "<email>" in r.redacted and "<url>" in r.redacted and "<digits>" in r.redacted
+    assert "@" not in r.redacted and "https" not in r.redacted
+
+
+def test_mixture_sample_limiting_stratum_kept_whole(spark):
+    from spark_stream_analyzer_spark.operators.split import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    # small has 10 rows at weight 0.5 → scale = 20; big quota = floor(10)
+    out = mixture_sample(df, {"big": 0.5, "small": 0.5})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}
