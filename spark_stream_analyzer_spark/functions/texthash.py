@@ -204,11 +204,16 @@ def duck_minhash_value(hs_expr: str, a: int, b: int) -> str:
 
 
 def duck_simhash(hw_expr: str, bits: int = SIMHASH_BITS) -> str:
+    # DuckDB's list_aggregate(..., 'sum') over BIGINT widens to HUGEINT
+    # (int128); a type-sensitive comparator then sees int128 vs Spark's
+    # int64 even when values are equal.  The outer CAST pins the emitted
+    # type to BIGINT at every call site (the value always fits: it is a
+    # sum of distinct bits of one 60-bit word).
     return (
-        f"list_aggregate(list_transform(generate_series(0, {bits - 1}), i -> "
+        f"CAST(list_aggregate(list_transform(generate_series(0, {bits - 1}), i -> "
         f"CASE WHEN list_aggregate(list_transform({hw_expr},"
         " h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0"
-        " THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum')"
+        " THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum') AS BIGINT)"
     )
 
 

@@ -104,10 +104,12 @@ def q_streaming_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df, outdir in ((kills, kdir), (damages, ddir)):
         rows = df.collect()  # test-harness boundary only, NOT an engine path
         for parity in (0, 1):
-            with open(f"{outdir}/{parity:03d}.txt", "w") as f:
+            path = f"{outdir}/{parity:03d}.txt"
+            with open(path, "w") as f:
                 for r in rows:
                     if r.event_id % 2 == parity:
                         f.write(r.value + "\n")
+            _stamp_batch_file(path, parity)
 
     events = parse_kill_lines(file_lines_stream(spark, kdir)).unionByName(
         parse_damage_lines(file_lines_stream(spark, ddir))
@@ -176,10 +178,12 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(f"{workdir}/in")
     rows = lines.collect()  # test-harness boundary only, NOT an engine path
     for parity in (0, 1):
-        with open(f"{workdir}/in/{parity:03d}.txt", "w") as f:
+        path = f"{workdir}/in/{parity:03d}.txt"
+        with open(path, "w") as f:
             for r in rows:
                 if r.event_id % 2 == parity:
                     f.write(r.value + "\n")
+        _stamp_batch_file(path, parity)
 
     raw = file_lines_stream(spark, f"{workdir}/in")
     parts = F.split("value", ",")
@@ -218,6 +222,29 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: spacing between replay-file mtimes — must exceed FileStreamSource's
+#: millisecond timestamp granularity so batch order is deterministic
+_MTIME_STEP_S = 10
+
+
+def _stamp_batch_file(path: str, batch_idx: int) -> None:
+    """Pin a replay file's mtime to ``epoch-anchor + idx*step``.
+
+    Spark's FileStreamSource orders pending files by *millisecond*
+    modification time; files written microseconds apart tie at ms
+    granularity and the tie-break is arbitrary.  For watermarked replays
+    that is not a flake but a correctness race: if a far-future sentinel
+    batch sorts before a data batch, the watermark jumps first and every
+    row of the later-processed data batch is dropped as late (this
+    exactly happened — sf0.01 session replay lost all odd-batch rows).
+    Explicit strictly-increasing mtimes make processing order = batch
+    index, always."""
+    import os
+
+    t = 1_600_000_000 + batch_idx * _MTIME_STEP_S
+    os.utime(path, (t, t))
+
+
 def _write_batches(rows, outdir: str, batch_of, fmt) -> None:
     """Write replay files (one per micro-batch). ``batch_of(row)`` returns
     the list of batch indices a row lands in (duplicates allowed —
@@ -231,8 +258,10 @@ def _write_batches(rows, outdir: str, batch_of, fmt) -> None:
         for b in batch_of(r):
             batches.setdefault(b, []).append(fmt(r))
     for b, lines in sorted(batches.items()):
-        with open(f"{outdir}/{b:03d}.txt", "w") as f:
+        path = f"{outdir}/{b:03d}.txt"
+        with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
+        _stamp_batch_file(path, b)
 
 
 def _run_to_memory(stream_df, name: str, spark: SparkSession, mode: str) -> None:
@@ -346,8 +375,10 @@ def q_streaming_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with open(f"{workdir}/in/002.txt", "w") as f:
         f.write(f"-1,{sent0}\n")
+    _stamp_batch_file(f"{workdir}/in/002.txt", 2)
     with open(f"{workdir}/in/003.txt", "w") as f:
         f.write(f"-1,{sent0 + 3600}\n")
+    _stamp_batch_file(f"{workdir}/in/003.txt", 3)
     raw = file_lines_stream(spark, f"{workdir}/in")
     parts = F.split("value", ",")
     parsed = raw.select(

@@ -24,7 +24,23 @@ class QuerySpec:
     doc: str = ""
 
 
-QUERIES: dict[str, QuerySpec] = {}
+class _LazyQueryDict(dict):
+    """Self-populating registry: a miss triggers ``_load_all()`` once.
+
+    Tests (and any other caller) may index ``QUERIES`` directly without
+    first going through ``queries()`` — round 2 shipped a test file that
+    did exactly that and died on an empty dict.
+    """
+
+    def __missing__(self, key: str) -> QuerySpec:
+        _load_all()
+        try:
+            return dict.__getitem__(self, key)
+        except KeyError:
+            raise KeyError(key) from None
+
+
+QUERIES: dict[str, QuerySpec] = _LazyQueryDict()
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -47,6 +63,69 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+#: Names surfaced FIRST in ``queries()`` / ``oracle_sql()`` iteration order.
+#: The driver snapshots only ~50 of the registry per round (in iteration
+#: order); across rounds 1–2 these 49 never received a green driver row —
+#: 45 were never sampled at all, 4 were sampled but red (the events-loader
+#: and simhash-oracle bugs, both fixed in round 3).  Front-loading them
+#: makes the round-3 sample land on the unverified surface.
+_DRIVER_PRIORITY = (
+    "streaming_dedup_events",
+    "streaming_session_flush",
+    "streaming_interval_join",
+    "tpch_local_supplier_volume",
+    "tpch_order_priority_count",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "lineitem_status_pivot",
+    "revenue_rollup",
+    "customer_running_spend",
+    "tpch_promo_revenue",
+    "tpch_customer_distribution",
+    "tpch_supplier_part_variety",
+    "tpch_large_volume_orders",
+    "tpch_rich_inactive_customers",
+    "revenue_cube",
+    "price_quartiles_by_flag",
+    "customer_spend_ranks",
+    "orders_by_month",
+    "tpch_small_qty_revenue",
+    "tpch_or_brand_revenue",
+    "tpch_important_part_value",
+    "tpch_top_revenue_supplier",
+    "tpch_lone_return_supplier",
+    "tpch_dominant_part_suppliers",
+    "lineitem_unpivot_measures",
+    "tpch_min_cost_supplier",
+    "tpch_nation_trade_volume",
+    "tpch_market_share",
+    "tpch_product_type_profit",
+    "tpch_returned_item_customers",
+    "tpch_priority_line_counts",
+    "orders_global_rank",
+    "order_part_baskets",
+    "part_cooccurrence_pairs",
+    "customer_name_fuzzy_pairs",
+    "events_tumbling_daily",
+    "events_sliding_1d_6h",
+    "events_session_windows",
+    "events_asof_last_purchase",
+    "events_json_props",
+    "events_interarrival_stats",
+    "events_trailing_hour_activity",
+    "events_purchase_followup_range",
+    "events_user_funnel",
+    # sampled in r1/r2 but never green (loader / oracle-type bugs, fixed):
+    "events_value_percentiles",
+    "events_daily_retention",
+    "events_user_lag_features",
+    "dedup_simhash_signatures",
+    # reference core — red in r2 via the loader bug; re-verify right after:
+    "player_stats",
+    "latest_snapshot",
+    "pivot_asof",
+)
+
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
@@ -65,3 +144,11 @@ def _load_all() -> None:
     )
 
     _LOADED = True
+    # Reorder: driver-priority names first, everything else in registration
+    # order after them (pure reordering — no entry is added or dropped).
+    items = dict(QUERIES)
+    QUERIES.clear()
+    for name in _DRIVER_PRIORITY:
+        if name in items:
+            QUERIES[name] = items.pop(name)
+    QUERIES.update(items)

@@ -35,27 +35,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, tolerating nanosecond parquet timestamps.
+    """Load the events table across every ``ts`` encoding the driver has used.
 
-    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read nanos as raw longs
-    (runtime-settable legacy conf — works under any caller's session;
-    the conf deliberately stays set for the session so every later
-    events read under the same SparkSession decodes consistently) and
-    expose BOTH a µs-truncated proper ``ts`` timestamp (for event-time
-    windows/watermarks) and the exact ``ts_ns`` long.
+    The driver's generator has written ``ts`` three different ways across
+    rounds; all three must normalize to the SAME two columns — a proper
+    timezone-aware ``ts`` timestamp (for event-time windows/watermarks)
+    and the exact epoch-nanosecond ``ts_ns`` long:
+
+    * parquet TIMESTAMP(NANOS)  → Spark's vectorized reader rejects it, so
+      we read nanos as raw longs via the runtime-settable legacy conf (the
+      conf deliberately stays set for the session so every later events
+      read under the same SparkSession decodes consistently);
+    * parquet ``timestamp[us]`` WITHOUT isAdjustedToUTC (pandas-written)
+      → Spark reads ``TIMESTAMP_NTZ``; the wall clock is UTC by the
+      generator's construction, so ``to_utc_timestamp(ts, 'UTC')``
+      re-anchors it to the epoch *independently of the session timezone*;
+    * parquet ``timestamp[us]`` UTC-adjusted → plain ``TIMESTAMP`` (LTZ),
+      already epoch-anchored.
+
+    Covered by the dtype-matrix test in ``tests/test_sources.py`` which
+    writes a tiny parquet in each encoding and asserts identical output.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer DIV — routing an int64 ns value through double division
         # would lose µs precision (53-bit mantissa < 1.7e18)
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
-    else:  # already a timestamp (future driver versions may write µs)
+    else:
+        if ts_type == "timestamp_ntz":
+            # NTZ wall clock is UTC by construction; to_utc_timestamp
+            # pins that interpretation regardless of session timezone
+            # (a bare cast to TIMESTAMP would re-read the wall clock in
+            # the session zone instead).
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
         # unix_micros keeps sub-second precision; unix_timestamp would
         # silently truncate to whole seconds
         df = df.withColumn(

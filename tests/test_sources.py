@@ -1,0 +1,96 @@
+"""Dtype-matrix test for the events loader.
+
+The driver's generator has written ``events.ts`` three different ways
+across rounds (parquet TIMESTAMP(NANOS) read as bigint, pandas-written
+``timestamp[us]`` read as TIMESTAMP_NTZ, and UTC-adjusted ``timestamp[us]``
+read as TIMESTAMP).  Round 2 died because the NTZ branch had never been
+exercised — this test writes a tiny events parquet in ALL THREE encodings
+and asserts ``load_table`` yields identical ``ts`` / ``ts_ns`` for each,
+so no encoding branch can ship untested again.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_stream_analyzer_spark.sources.tables import load_table
+
+# three event rows with sub-second precision (µs-representable so every
+# encoding can express them exactly)
+_EPOCH_US = [1_704_067_207_179_575, 1_704_067_432_824_425, 1_704_067_589_165_275]
+_BASE_COLS = {
+    "event_id": pa.array([1, 2, 3], type=pa.int64()),
+    "user_id": pa.array([10, 20, 30], type=pa.int64()),
+    "event_type": pa.array(["view", "click", "purchase"]),
+    "value": pa.array([1.5, 2.5, 3.5], type=pa.float64()),
+    "props": pa.array(["{}", "{}", "{}"]),
+}
+
+
+def _write_events(tmp_path, name: str, ts_array: pa.Array) -> str:
+    d = tmp_path / name
+    d.mkdir()
+    cols = dict(_BASE_COLS)
+    cols["ts"] = ts_array
+    table = pa.table(
+        {k: cols[k] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("events_encodings")
+    naive = [dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us) for us in _EPOCH_US]
+    return {
+        # round-1 encoding: TIMESTAMP(NANOS) — Spark reads as bigint under
+        # the legacy nanosAsLong conf
+        "ns_as_long": _write_events(
+            tmp_path, "ns", pa.array([us * 1000 for us in _EPOCH_US], type=pa.timestamp("ns"))
+        ),
+        # round-2 encoding: pandas-written µs without isAdjustedToUTC →
+        # Spark TIMESTAMP_NTZ (the encoding that broke round 2)
+        "us_ntz": _write_events(tmp_path, "ntz", pa.array(naive, type=pa.timestamp("us"))),
+        # UTC-adjusted µs → Spark TIMESTAMP (LTZ)
+        "us_ltz": _write_events(
+            tmp_path, "ltz", pa.array(naive, type=pa.timestamp("us", tz="UTC"))
+        ),
+    }
+
+
+def test_events_loader_dtype_matrix(spark, encoded_dirs):
+    results = {}
+    for label, d in encoded_dirs.items():
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (
+            f"{label}: ts must normalize to TIMESTAMP (LTZ), got {dict(df.dtypes)['ts']}"
+        )
+        assert dict(df.dtypes)["ts_ns"] == "bigint", label
+        rows = df.orderBy("event_id").select("event_id", "ts", "ts_ns").collect()
+        results[label] = [(r.event_id, r.ts, r.ts_ns) for r in rows]
+
+    assert results["ns_as_long"] == results["us_ntz"] == results["us_ltz"], results
+    # and the values are the exact epochs we wrote
+    assert [r[2] for r in results["us_ntz"]] == [us * 1000 for us in _EPOCH_US]
+
+
+def test_events_loader_real_driver_data(spark, sf_dir):
+    """The actual driver parquet (whatever encoding this round) loads and
+    exposes both normalized columns with non-null values."""
+    df = load_table(spark, sf_dir, "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["ts_ns"] == "bigint"
+    row = df.selectExpr(
+        "count(*) AS n",
+        "count(ts) AS n_ts",
+        "count(ts_ns) AS n_ns",
+        "min(ts_ns) AS lo",
+    ).collect()[0]
+    assert row.n > 0 and row.n_ts == row.n and row.n_ns == row.n
+    assert row.lo > 1_000_000_000_000_000_000  # epoch-ns magnitude, not µs/ms
