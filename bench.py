@@ -44,7 +44,9 @@ def main() -> None:
     # the output JSON so totals are comparable across containers of
     # different speeds (round 1 vs round 2 hosts differed by ~1.7x)
     t0 = time.perf_counter()
-    spark.range(200_000_000).selectExpr("sum(id * id) as s").collect()
+    # double-typed product: an int64 sum(id*id) overflows at this range
+    # and ANSI mode (Spark 4 default) turns that into a hard error
+    spark.range(200_000_000).selectExpr("sum(id * 1.0d * id) as s").collect()
     calib = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}

@@ -424,6 +424,67 @@ def test_kafka_frame_twin_feeds_identical_pipeline(spark, tmp_path):
     assert got == want and len(got) == 5
 
 
+def test_kafka_twin_downstream_plan_node_equality(spark, tmp_path):
+    """Plan-level form of the config-swap claim: the analyzed logical
+    plans of (kafka-shaped source → value-decode → parser) and
+    (file source → parser) must share every operator node above the
+    source boundary — the only nodes unique to the kafka side are its
+    metadata-shaped leaf and the single value-decode projection, and the
+    only node unique to the file side is its leaf.  So a kafka swap-in
+    changes the physical source and NOTHING else in the query plan."""
+    import re
+
+    from spark_stream_analyzer_spark.sources.wire import parse_kill_lines
+    from spark_stream_analyzer_spark.streaming.sources import lines_from_kafka_frames
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "000.txt", KILL_B0)
+
+    frames = file_lines_stream(spark, str(src)).selectExpr(
+        "CAST(NULL AS BINARY) AS key",
+        "encode(value, 'UTF-8') AS value",
+        "'game.kills' AS topic",
+        "CAST(0 AS INT) AS partition",
+        "CAST(crc32(value) AS BIGINT) AS offset",
+        "current_timestamp() AS timestamp",
+        "CAST(0 AS INT) AS timestampType",
+    )
+
+    def plan_lines(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        out = []
+        for line in s.splitlines():
+            # strip tree-drawing prefix and normalize expression ids so
+            # structurally identical nodes compare equal
+            line = re.sub(r"^[\s:+|-]*", "", line)
+            line = re.sub(r"#\d+", "#n", line)
+            # lambda variable names carry a global counter (x_1, x_2, …)
+            line = re.sub(r"lambda x_\d+", "lambda x", line)
+            if line:
+                out.append(line)
+        return out
+
+    k_plan = plan_lines(parse_kill_lines(lines_from_kafka_frames(frames)))
+    f_plan = plan_lines(parse_kill_lines(file_lines_stream(spark, str(src))))
+
+    from collections import Counter
+
+    k_only = Counter(k_plan) - Counter(f_plan)
+    f_only = Counter(f_plan) - Counter(k_plan)
+    # every kafka-side-only node is the value decode or source dressing
+    for line in k_only:
+        assert re.match(
+            r"~?Project \[cast\(value#n as string\)|~?Project \[.*encode\(", line
+        ) or ("Relation" in line), f"unexpected kafka-only plan node: {line}"
+    # every file-side-only node is its leaf relation
+    for line in f_only:
+        assert "Relation" in line, f"unexpected file-only plan node: {line}"
+    # and the shared downstream (parse/explode/filter nodes) is non-trivial
+    shared = Counter(k_plan) & Counter(f_plan)
+    assert sum(shared.values()) >= 3, (k_plan, f_plan)
+
+
 def test_kafka_connector_builder_when_available(spark):
     """When the spark-sql-kafka connector jar IS on the classpath, the
     real builder must produce the same ``value:string`` relation."""
