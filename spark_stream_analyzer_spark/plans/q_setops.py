@@ -83,9 +83,18 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for name, df, col in checks:
-        verdict = df.agg(
+        # dedup-first: combining approx_count_distinct with countDistinct in
+        # ONE agg triggers the Expand rewrite (every input row duplicated
+        # through the distinct-agg path, and the HLL update leaves codegen).
+        # distinct() gets map-side partial dedup before one shuffle of the
+        # ~unique keys; count(*) over that is the exact distinct, and HLL
+        # over deduped keys produces the bit-identical sketch (HLL updates
+        # are idempotent per value).  One scan, no Expand — same plan you
+        # would want at 100 TB.
+        uniq = df.select(col).distinct()
+        verdict = uniq.agg(
             F.approx_count_distinct(col, rsd=0.013).alias("approx"),
-            F.countDistinct(col).alias("exact"),
+            F.count("*").alias("exact"),
         ).select(
             F.lit(name).alias("col"),
             (

@@ -79,6 +79,93 @@ def test_events_loader_dtype_matrix(spark, encoded_dirs):
     assert [r[2] for r in results["us_ntz"]] == [us * 1000 for us in _EPOCH_US]
 
 
+#: dtypes every query in the registry is written against.  If a future
+#: driver regeneration changes an encoding (the round-2 lesson: ts went
+#: ns→µs and broke 28 queries at analysis time), this fails loudly and
+#: points at the loader instead of letting half the registry err.
+_CANONICAL_DTYPES = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": {"timestamp", "timestamp_ntz", "date"},
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": {"timestamp", "timestamp_ntz", "date"},
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",  # whatever the file held, the loader normalizes
+        "ts_ns": "bigint",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": {"array<float>", "array<double>"},
+        "label": "int",
+    },
+}
+
+
+def test_all_tables_match_canonical_dtypes(spark, sf_dir):
+    from spark_stream_analyzer_spark.sources.tables import TABLES
+
+    problems = []
+    for t in TABLES:
+        got = dict(load_table(spark, sf_dir, t).dtypes)
+        want = _CANONICAL_DTYPES[t]
+        for col, exp in want.items():
+            ok = got.get(col) in exp if isinstance(exp, set) else got.get(col) == exp
+            if not ok:
+                problems.append(f"{t}.{col}: expected {exp}, got {got.get(col)}")
+    assert not problems, problems
+
+
 def test_events_loader_real_driver_data(spark, sf_dir):
     """The actual driver parquet (whatever encoding this round) loads and
     exposes both normalized columns with non-null values."""
