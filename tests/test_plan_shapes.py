@@ -200,3 +200,15 @@ def test_mixture_sample_broadcasts_quota(spark):
 def test_percentiles_have_partial_aggregation(spark):
     plan = plan_of(spark, "events_value_percentiles")
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_approx_distinct_check_has_no_expand(spark):
+    """The approx-vs-exact distinct verdict must keep its dedup-first
+    shape: combining approx_count_distinct with countDistinct in one agg
+    triggers the Expand rewrite (input rows duplicated through the
+    distinct-agg path, HLL update outside codegen).  Dedup-first keeps
+    one scan + one shuffle of unique keys at every SF."""
+    plan = plan_of(spark, "approx_distinct_check")
+    assert "Expand" not in plan
+    # partial dedup before the shuffle: HashAggregate on both sides
+    assert plan.count("HashAggregate") >= 2
