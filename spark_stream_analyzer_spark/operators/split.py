@@ -238,3 +238,25 @@ def packed_sequences(
         F.sum(tokens_col).cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_docs"),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row Bernoulli sampling with per-ROW keep probability,
+    deterministically (quality-weighted downsampling: keep p ∝ a score
+    in [0, 1] computed from the row itself).
+
+    ``P(keep) = clamp(weight, 0, 1)``, decided by comparing the row's
+    salted-hash bucket against its own weight-scaled threshold — the
+    weighted generalization of :func:`stratified_hash_sample` (which is
+    this with a constant weight).  Same scale properties: pure per-row
+    map, zero shuffle, append-stable, engine-portable.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    b = hash_bucket(id_col, salt)
+    thresh = (F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * N_BUCKETS).cast("long")
+    return df.withColumn("bucket", b).filter(F.col("bucket") < thresh)

@@ -197,6 +197,65 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     )
 
 
+def bm25_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k terms per document by BM25 (the retrieval scorer behind
+    quality-filtering and retrieval-based curation pipelines).
+
+    ``score = idf * tc*(k1+1) / (tc + k1*(1 - b + b*dl/avgdl))`` with the
+    non-negative idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))``.  Same
+    dataflow as :func:`tfidf_top_terms` (one exploded scan feeding tf /
+    doc-length / doc-freq aggregates, vocab-keyed join back, one-row
+    broadcast of the corpus constants, per-doc TopK window); the extra
+    avgdl constant rides the same one-row broadcast as N.  Ranking is on
+    the ROUNDED score with a term tiebreak so the k-boundary is
+    deterministic across engines.
+    """
+    from pyspark.sql.window import Window
+
+    terms = with_words(df, text_col).select(
+        "doc_id", F.explode("words").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    consts = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # one row
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(doc_freq, "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tc") * (k1 + 1.0))
+                / (
+                    F.col("tc")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "bm25")
+    )
+
+
 #: PII-ish patterns for corpus scrubbing (email, URL, long digit runs).
 #: Deliberately simple/deterministic — the production slot for a real
 #: PII model; same contract: text in, redacted text + counts out.

@@ -540,3 +540,68 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.max("nrm")).alias("max_norm"),
         )
     )
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def _profile_one(df: DataFrame, col: str) -> DataFrame:
+    """One column's profile via dedup-first aggregation: group on the
+    column (map-side partial dedup, one shuffle of ~distinct keys), then
+    fold counts/min/max over the distinct-key table.  Exact n_distinct
+    WITHOUT the Expand rewrite that countDistinct-alongside-other-aggs
+    would trigger — k profiled columns = k column-pruned single-column
+    scans, each reading only its own pages."""
+    g = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+    return g.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_notnull"),
+        F.count("v").cast("long").alias("n_distinct"),
+        F.min(F.col("v").cast("string")).alias("min_str"),
+        F.max(F.col("v").cast("string")).alias("max_str"),
+    ).select(
+        F.lit(col).alias("col_name"),
+        "n_rows",
+        "n_notnull",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_orderpriority", "o_orderstatus")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_notnull,
+           CAST(COUNT(v) AS BIGINT) AS n_distinct,
+           MIN(CAST(v AS VARCHAR)) AS min_str,
+           MAX(CAST(v AS VARCHAR)) AS max_str
+    FROM (SELECT {c} AS v, COUNT(*) AS cnt FROM orders GROUP BY 1)
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "orders_column_profile",
+    oracle=f"SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY col_name",
+    doc="EXT one-pass-per-column data profiling (the ANALYZE-style "
+    "quality gate a 100 TB ingest runs before training): row/null/exact-"
+    "distinct counts + min/max per column. Dedup-first shape — group on "
+    "the column then fold, so exact NDV costs one shuffle of distinct "
+    "keys instead of a countDistinct Expand; each column's pass scans "
+    "only its own parquet pages (column pruning)",
+)
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = None
+    for c in _PROFILE_COLS:
+        p = _profile_one(o, c)
+        out = p if out is None else out.unionByName(p)
+    return out.orderBy("col_name")

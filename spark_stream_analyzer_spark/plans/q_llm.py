@@ -962,3 +962,67 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hit.cast("double") / F.sum("in_true"), 6).alias("recall"),
         F.round(hit.cast("double") / F.sum("in_found"), 6).alias("precision"),
     )
+
+
+# ------------------------------------------------- round-3 additions
+
+
+@register(
+    "text_bm25_top_terms",
+    oracle=f"""
+    WITH w AS ({_W}),
+    t AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM t GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tc) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    c AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(ln(1.0 + ((c.n_docs - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tc * 2.2)
+                   / (tf.tc + 1.2 * (0.25 + (0.75 * dl.dl) / c.avgdl)), 6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN c)
+    SELECT doc_id, term, bm25 FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="EXT BM25 top-3 terms per document (k1=1.2, b=0.75, "
+    "non-negative idf) — the retrieval scorer behind quality-filter and "
+    "retrieval-based curation pipelines. Same dataflow as TF-IDF: one "
+    "exploded scan feeds tf / doc-length / doc-freq aggregates, a "
+    "vocab-keyed join back, and the corpus constants (N, avgdl) cross as "
+    "a ONE-ROW broadcast; per-doc TopK window on the rounded score with "
+    "a term tiebreak for a deterministic k-boundary",
+)
+def q_text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_top_terms(_docs(spark, sf_dir))
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars, CAST(b AS BIGINT) AS bucket
+    FROM (SELECT doc_id, n_chars,
+            {splitops.duck_hash_bucket('doc_id', 'wsample')} AS b,
+            CAST(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 10000)
+                 AS BIGINT) AS thresh
+          FROM documents)
+    WHERE b < thresh
+    """,
+    doc="EXT quality-weighted Bernoulli sampling: per-row keep "
+    "probability proportional to a row-derived score (here doc length "
+    "capped at 1.0 — the slot where a quality-classifier score goes), "
+    "decided deterministically by salted-hash bucket vs the row's own "
+    "weight threshold. Pure per-row map — zero shuffle at any SF, "
+    "append-stable, engine-portable (oracle runs the identical md5 and "
+    "threshold arithmetic)",
+)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = F.col("n_chars") / F.lit(2000.0)
+    out = splitops.weighted_hash_sample(d, weight_col=w, salt="wsample")
+    return out.select(
+        "doc_id", "n_chars", F.col("bucket").cast("long").alias("bucket")
+    )

@@ -124,3 +124,50 @@ def test_mixture_sample_limiting_stratum_kept_whole(spark):
     out = mixture_sample(df, {"big": 0.5, "small": 0.5})
     counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts == {"big": 10, "small": 10}
+
+
+def test_bm25_ranks_rare_term_above_common(spark):
+    """Within a doc holding one rare and many common tokens, the rare
+    term must take the top BM25 slot (higher idf, saturating tf)."""
+    from spark_stream_analyzer_spark.operators.text import bm25_top_terms
+
+    docs = [
+        (1, "common common common common rare"),
+        (2, "common common common common"),
+        (3, "common common common common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = {
+        r.doc_id: r.term
+        for r in bm25_top_terms(df, k=1).collect()
+    }
+    assert top[1] == "rare"
+
+
+def test_weighted_sample_extremes(spark):
+    """weight<=0 keeps nothing; weight>=1 keeps everything; a mid
+    weight keeps a subset that is a subset of the weight-1 selection
+    ordered by bucket (threshold monotonicity)."""
+    import pyspark.sql.functions as F
+
+    from spark_stream_analyzer_spark.operators.split import weighted_hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    assert weighted_hash_sample(df, F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(df, F.lit(1.0)).count() == 200
+    half = {r.doc_id for r in weighted_hash_sample(df, F.lit(0.5)).collect()}
+    assert 0 < len(half) < 200
+    # monotone: raising the weight only ADDS rows
+    q30 = {r.doc_id for r in weighted_hash_sample(df, F.lit(0.3)).collect()}
+    assert q30 <= half
+
+
+def test_column_profile_counts_nulls_and_ndv(spark):
+    from spark_stream_analyzer_spark.plans.q_analytics import _profile_one
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")], "id long, v string"
+    )
+    row = _profile_one(df, "v").collect()[0]
+    assert (row.n_rows, row.n_notnull, row.n_distinct) == (4, 3, 2)
+    assert (row.min_str, row.max_str) == ("a", "b")
