@@ -560,3 +560,74 @@ def lsh_pairs_against_index(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def chunk_exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_w: int = 5,
+) -> DataFrame:
+    """Chunk-level exact dedup: per doc, how much of it is verbatim
+    repeated in OTHER docs (the scalable approximation of suffix-array
+    exact-substring dedup used on web corpora — fixed-width chunk
+    hashing instead of arbitrary-length substring matching).
+
+    Normalized words are cut into non-overlapping ``chunk_w``-word
+    chunks (trailing partial dropped), each hashed to the md5-60bit key.
+    A chunk counts as duplicated iff the same hash occurs in >= 2
+    DISTINCT docs — repeats inside one doc don't count (that is
+    :func:`text.repetition_stats`'s job). Output per doc: distinct-chunk
+    count, cross-doc duplicated-chunk count, and the dup ratio.
+
+    Scale shape: one scan -> explode (Generate, no shuffle) -> distinct
+    (doc, chunk-hash) pairs (one shuffle on a uniform 60-bit key) ->
+    per-hash doc counts by reusing that SAME partitioning (groupBy on a
+    prefix of the distinct key — no second exchange) -> broadcast-sized
+    rejoin? No: the rejoin is hash-on-hash, the exchange the distinct
+    already produced. Never quadratic: a chunk shared by d docs costs d
+    rows, not d^2 pairs.
+    """
+    n_chunks = f"(size(words) div {chunk_w})"
+    chunks = (
+        f"case when {n_chunks} >= 1 then "
+        f"transform(sequence(1, {n_chunks}),"
+        f" i -> array_join(slice(words, (i - 1) * {chunk_w} + 1, {chunk_w}), ' ')) "
+        "else array() end"
+    )
+    doc_chunks = (
+        with_words(df, text_col)
+        .select(id_col, F.explode(F.expr(chunks)).alias("chunk"))
+        .select(id_col, F.expr(TH.spark_hash60("chunk")).alias("ch"))
+        .distinct()
+    )
+    # docs-per-chunk: groupBy on ch reuses the distinct's (doc_id, ch)
+    # hash partitioning only if keys align; ch alone re-shuffles — accept
+    # ONE extra exchange of the deduped (small) pair set, never of docs.
+    per_chunk = doc_chunks.groupBy("ch").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        doc_chunks.join(per_chunk, "ch")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("n_docs_with") >= 2).cast("int")).alias("n_dup_chunks"),
+        )
+    )
+    base = df.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.when(
+                    F.coalesce("n_chunks", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_dup_chunks", F.lit(0)).cast("double")
+                    / F.col("n_chunks")
+                ),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

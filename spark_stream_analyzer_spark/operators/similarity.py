@@ -439,3 +439,133 @@ def ann_topk_against_index(
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+def pq_recall_audit(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    n_queries: int = 3,
+    recall_floor: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization end-to-end + measured recall vs exact search
+    — one verdict row (the memory-compression half of IVF-PQ ANN).
+
+    The vector splits into ``m`` subvectors; each subspace trains its own
+    ``ksub``-centroid codebook (deterministic Lloyd's: init = first ksub
+    rows by id, means quantized to 6 decimals — same discipline as
+    :func:`kmeans_assign`), so a d-dim float32 vector compresses to m
+    bytes (here 64 floats -> 4 codes, 64x). Queries score candidates via
+    ADC: per query a tiny m x ksub distance table is computed ONCE
+    (driver-side here, a broadcast at scale) and the per-row approximate
+    distance is m table lookups on the stored codes — no float math per
+    candidate. The audit takes the first ``n_queries`` vectors by id,
+    compares ADC top-k against exact L2 top-k (rounded-6 distances,
+    id tie-break on both sides), and emits recall@k with a
+    ``recall_ok`` verdict bit.
+
+    Scale notes: codebook training is O(iters * m) scans here but runs
+    on a bounded SAMPLE at real scale (PQ codebooks need ~100k vectors
+    regardless of corpus size); encoding is ONE scan emitting m small
+    ints per row; ADC scoring is scan + per-query TopK — the same
+    no-all-pairs discipline as every ANN operator in this module. The
+    driver exchange is m * ksub * sub_dim floats — KBs, like the k-means
+    centroid step.
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col))
+    init = e.orderBy(id_col).limit(max(ksub, n_queries)).collect()
+    dim = len(init[0][1])
+    sub_d = dim // m
+    sl = {j: f"slice({vec_col}, {j * sub_d + 1}, {sub_d})" for j in range(m)}
+    # per-subspace codebooks: position-indexed centroid lists
+    cbs: list[list[list[float]]] = [
+        [[float(x) for x in r[1][j * sub_d : (j + 1) * sub_d]] for r in init[:ksub]]
+        for j in range(m)
+    ]
+
+    def _code_expr(j: int) -> str:
+        structs = ", ".join(
+            f"struct({TH.spark_l2sq_lit(sl[j], cbs[j][p])} AS d,"
+            f" {p} AS c)"
+            for p in range(len(cbs[j]))
+        )
+        return f"array_min(array({structs})).c"
+
+    for t in range(iters - 1):
+        for j in range(m):
+            means = (
+                e.withColumn("code", F.expr(_code_expr(j)))
+                .select("code", F.posexplode(F.expr(sl[j])).alias("dm", "v"))
+                .groupBy("code", "dm")
+                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+            ).collect()
+            by_code: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_code.setdefault(int(r.code), {})[int(r.dm)] = float(r.c)
+            cbs[j] = [
+                [by_code[p][i] for i in range(sub_d)] if p in by_code else cbs[j][p]
+                for p in range(len(cbs[j]))
+            ]
+
+    coded = e.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.expr(_code_expr(j)).alias(f"code{j}") for j in range(m)],
+    )
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in init[:n_queries]]
+
+    adc_parts, exact_parts = [], []
+    for qid, qvec in queries:
+        dtabs = []
+        for j in range(m):
+            qs = qvec[j * sub_d : (j + 1) * sub_d]
+            dtabs.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qs, c))
+                    for c in cbs[j]
+                ]
+            )
+        adc = " + ".join(
+            "element_at(array("
+            + ", ".join(f"cast({d!r} as double)" for d in dtabs[j])
+            + f"), code{j} + 1)"
+            for j in range(m)
+        )
+        adc_parts.append(
+            coded.filter(F.col(id_col) != qid).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(F.expr(adc), 6).alias("d"),
+            )
+        )
+        exact_parts.append(
+            e.filter(F.col(id_col) != qid).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(F.expr(TH.spark_l2sq_lit(vec_col, qvec)), 6).alias("d"),
+            )
+        )
+
+    def _topk(parts):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+        return (
+            u.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    hits = _topk(adc_parts).join(_topk(exact_parts), ["query_id", "neighbor_id"])
+    return hits.agg(
+        F.lit(len(queries)).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        (
+            (F.count("*").cast("double") / float(len(queries) * k)) >= recall_floor
+        ).cast("int").alias("recall_ok"),
+    )

@@ -256,6 +256,84 @@ def bm25_top_terms(
     )
 
 
+#: Gopher-style rule bounds (Rae et al. 2021, table A1 — published
+#: heuristics). Word-count floor is tuned to this corpus's length
+#: distribution so the filter produces a real keep/drop mix; the rule
+#: SET is the point, the constants are deployment knobs.
+QUALITY_RULES = {
+    "min_words": 30,
+    "max_words": 5_000,
+    "min_avg_word_len": 2.0,
+    "max_avg_word_len": 12.0,
+    "max_sym_ratio": 0.10,
+    "min_alpha_frac": 0.80,
+    "min_distinct_stopwords": 2,
+}
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule composite quality filter: per-rule pass flags + a keep
+    decision (keep ⇔ every rule passes).
+
+    Five deterministic rules over one scan (all codegen, no shuffle, no
+    UDF): word-count bounds, mean-word-length bounds, symbol-to-char
+    ratio cap, alphabetic-word fraction floor, and the ≥2-distinct-
+    stopwords requirement (Gopher's "must contain 2 of the/be/to/of/…").
+    Emitting the per-rule flags — not just ``keep`` — is deliberate:
+    corpus-curation pipelines track WHY documents drop, and the flags
+    aggregate into per-rule drop rates for free. At 100 TB this is
+    scan-bound like every text op; the flags ride the same projection.
+    """
+    df = with_words(df, text_col)
+    n_words = F.size("words")
+    word_len_sum = F.length(F.array_join("words", ""))
+    n_chars = F.length(text_col)
+    n_sym = F.length(F.lower(F.col(text_col))) - F.length(
+        F.expr(f"regexp_replace(lower({text_col}), '[^a-z0-9\\\\s]', '')")
+    )
+    # words containing >= 1 letter, counted by regex over the clean
+    # space-joined token string (same codegen-not-lambda trick as
+    # spark_stop_hits; tokens are [a-z0-9]+ so the pattern is exact)
+    n_alpha_words = F.expr(
+        "size(regexp_extract_all(array_join(words, ' '),"
+        " '(?:^| )[0-9]*[a-z][a-z0-9]*(?= |$)', 0))"
+    )
+    n_distinct_stop = sum(
+        F.array_contains("words", w).cast("int")
+        for w in TH.STOPWORDS["en"]
+    )
+    zero = n_words == 0
+    avg_word_len = F.when(zero, F.lit(0.0)).otherwise(
+        word_len_sum.cast("double") / n_words
+    )
+    sym_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_sym.cast("double") / n_chars
+    )
+    alpha_frac = F.when(zero, F.lit(0.0)).otherwise(
+        n_alpha_words.cast("double") / n_words
+    )
+    R = QUALITY_RULES
+    flags = {
+        "ok_word_count": (n_words >= R["min_words"]) & (n_words <= R["max_words"]),
+        "ok_avg_word_len": (avg_word_len >= R["min_avg_word_len"])
+        & (avg_word_len <= R["max_avg_word_len"]),
+        "ok_sym_ratio": sym_ratio <= R["max_sym_ratio"],
+        "ok_alpha_frac": alpha_frac >= R["min_alpha_frac"],
+        "ok_stopwords": n_distinct_stop >= R["min_distinct_stopwords"],
+    }
+    n_failed = sum(F.lit(1) - f.cast("int") for f in flags.values())
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_distinct_stop.cast("long").alias("n_distinct_stop"),
+        *[f.cast("int").alias(name) for name, f in flags.items()],
+        n_failed.cast("long").alias("n_rules_failed"),
+        (n_failed == 0).cast("int").alias("keep"),
+    )
+
+
 #: PII-ish patterns for corpus scrubbing (email, URL, long digit runs).
 #: Deliberately simple/deterministic — the production slot for a real
 #: PII model; same contract: text in, redacted text + counts out.

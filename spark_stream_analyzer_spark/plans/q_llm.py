@@ -1026,3 +1026,109 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_chars", F.col("bucket").cast("long").alias("bucket")
     )
+
+
+_QR = text.QUALITY_RULES
+_DSTOP = " + ".join(
+    f"(list_contains(words, '{w}'))::INT" for w in TH.STOPWORDS["en"]
+)
+_QF_FLAGS = (
+    f"(n_words >= {_QR['min_words']} AND n_words <= {_QR['max_words']})::INT AS ok_word_count,\n"
+    f"      (avg_word_len >= {_QR['min_avg_word_len']} AND avg_word_len <= {_QR['max_avg_word_len']})::INT AS ok_avg_word_len,\n"
+    f"      (sym_ratio <= {_QR['max_sym_ratio']})::INT AS ok_sym_ratio,\n"
+    f"      (alpha_frac >= {_QR['min_alpha_frac']})::INT AS ok_alpha_frac,\n"
+    f"      (n_distinct_stop >= {_QR['min_distinct_stopwords']})::INT AS ok_stopwords"
+)
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH w AS ({_W}),
+    b AS (SELECT doc_id,
+            len(words) AS n_words,
+            CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+                 ELSE length(array_to_string(words, ''))::DOUBLE / len(words) END AS avg_word_len,
+            CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                 ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text) END AS sym_ratio,
+            CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+                 ELSE len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(words) END AS alpha_frac,
+            {_DSTOP} AS n_distinct_stop
+          FROM w),
+    f AS (SELECT *, {_QF_FLAGS} FROM b)
+    SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(avg_word_len, 6) AS avg_word_len,
+       ROUND(alpha_frac, 6) AS alpha_frac,
+       CAST(n_distinct_stop AS BIGINT) AS n_distinct_stop,
+       ok_word_count, ok_avg_word_len, ok_sym_ratio, ok_alpha_frac, ok_stopwords,
+       CAST(5 - ok_word_count - ok_avg_word_len - ok_sym_ratio
+              - ok_alpha_frac - ok_stopwords AS BIGINT) AS n_rules_failed,
+       (ok_word_count + ok_avg_word_len + ok_sym_ratio
+          + ok_alpha_frac + ok_stopwords = 5)::INT AS keep
+    FROM f
+    """,
+    doc="EXT Gopher-rule composite quality filter: five deterministic "
+    "pass/fail rules (word-count bounds, mean word length, symbol "
+    "ratio, alphabetic-word fraction, >=2 distinct stopwords) + keep "
+    "verdict, all in one codegen scan; per-rule flags emitted so drop "
+    "reasons aggregate for free",
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_filter(_docs(spark, sf_dir))
+
+
+_CHUNK_W = 5
+_CHUNKS_DUCK = (
+    f"CASE WHEN len(words) // {_CHUNK_W} >= 1 THEN "
+    f"list_transform(generate_series(1, len(words) // {_CHUNK_W}),"
+    f" i -> array_to_string(words[(i - 1) * {_CHUNK_W} + 1:(i - 1) * {_CHUNK_W} + {_CHUNK_W}], ' ')) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH w AS ({_W}),
+    c AS (SELECT doc_id, unnest({_CHUNKS_DUCK}) AS chunk FROM w),
+    dc AS (SELECT DISTINCT doc_id, {TH.duck_hash60('chunk')} AS ch FROM c),
+    pc AS (SELECT ch, COUNT(*) AS n_docs_with FROM dc GROUP BY ch),
+    pd AS (SELECT doc_id, COUNT(*) AS n_chunks,
+                  SUM((n_docs_with >= 2)::INT) AS n_dup
+           FROM dc JOIN pc USING (ch) GROUP BY doc_id)
+    SELECT d.doc_id,
+       CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+       ROUND(CASE WHEN coalesce(n_chunks, 0) = 0 THEN 0.0::DOUBLE
+             ELSE coalesce(n_dup, 0)::DOUBLE / n_chunks END, 6) AS dup_ratio
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="EXT chunk-level exact dedup (the scalable stand-in for "
+    "suffix-array substring dedup): non-overlapping 5-word chunks "
+    "hashed to 60-bit keys; a chunk is duplicated iff it appears in "
+    ">=2 distinct docs. Per-doc dup ratio out; explode + one uniform "
+    "hash shuffle + d-rows-per-shared-chunk (never d^2 pairs)",
+)
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.chunk_exact_duplicates(_docs(spark, sf_dir), chunk_w=_CHUNK_W)
+
+
+@register(
+    "similarity_pq_recall_audit",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           1::INT AS recall_ok
+    """,
+    doc="EXT product-quantization ANN audit: 64-dim float vectors -> 4 "
+    "one-byte codes (16-dim subspaces, 8-centroid deterministic "
+    "codebooks), queries scored by ADC table lookups; verdict row "
+    "checks recall@10 vs exact L2 top-10 >= the documented floor. "
+    "Codebook training = bounded sample at scale; encode = one scan; "
+    "ADC = scan + per-query TopK (no all-pairs anywhere). The oracle "
+    "is the audit's fixed contract (like approx_heavy_hitters_check): "
+    "n_queries/k echo the config, recall_ok must hold on any corpus "
+    "this engine ships",
+)
+def q_similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_recall_audit(_emb(spark, sf_dir))
