@@ -471,3 +471,55 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssj_{uuid.uuid4().hex[:8]}"
     _run_to_memory(joined, name, spark, "append")
     return spark.table(name)
+
+
+@register(
+    "streaming_enrich_dim",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_id < {EVENT_CAP}
+    GROUP BY 1
+    """,
+    doc="J6 as a LIVE stream-static join: the reference repairs blank "
+    "names at the sink with a per-row Postgres lookup "
+    "(reference spark/SparkStreamingService.java:264-268); the Spark-first "
+    "form is an in-pipeline broadcast join of the streamed events "
+    "against the static customer dimension — stateless (no state "
+    "store), re-broadcast per micro-batch, exactly-once per input row "
+    "in append mode. The batch oracle is the same join+rollup; counts "
+    "and sums must match the 2-batch odd/even replay exactly",
+)
+def q_streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "user_id", "value").collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_enrichstream_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 2],
+        fmt=lambda r: f"{r.event_id},{r.user_id},{r.value!r}",
+    )
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        parts[0].cast("long").alias("event_id"),
+        parts[1].cast("long").alias("user_id"),
+        parts[2].cast("double").alias("val"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = parsed.join(F.broadcast(dim), "user_id").select(
+        "event_id", F.col("c_mktsegment").alias("mktsegment"), "val"
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched, name, spark, "append")
+    return spark.table(name).groupBy("mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("cast(floor(val) as bigint)")).alias("value_sum"),
+    )

@@ -462,3 +462,68 @@ def test_asof_join_backward_edges(spark):
         ("b", 7): 20,     # future right row (ts=100) ignored
         ("c", 1): None,   # key with no right rows at all
     }
+
+
+def test_quality_filter_each_rule_trips_independently(spark):
+    long_good = ("the cat sat and the dog ran to a tree because it was warm "
+                 "outside so they played in that yard for hours you see ") * 2
+    out = {
+        r.doc_id: r
+        for r in text.quality_filter(
+            docs(
+                spark,
+                long_good,                      # 0: passes every rule
+                "tiny doc the a",               # 1: too few words
+                "x1 y2 z3 q4 " * 20,            # 2: no stopwords, short words ok
+                "@@@@ #### %%%% $$$$ ^^^^ " * 4 + long_good,  # 3: symbol ratio pushed up
+                "12345 67890 11111 " * 15,      # 4: all-digit words -> alpha_frac 0
+            )
+        ).collect()
+    }
+    assert out[0].keep == 1 and out[0].n_rules_failed == 0
+    assert out[1].ok_word_count == 0 and out[1].keep == 0
+    assert out[2].ok_stopwords == 0 and out[2].keep == 0
+    assert out[3].ok_sym_ratio == 0 and out[3].keep == 0
+    assert out[4].ok_alpha_frac == 0 and out[4].ok_stopwords == 0 and out[4].keep == 0
+
+
+def test_chunk_exact_duplicates_counts_cross_doc_only(spark):
+    # chunk width 3: doc0 = [A][B], doc1 = [A][C], doc2 repeats its own
+    # chunk twice (intra-doc only), doc3 too short for any chunk
+    A, B, C, D = "a b c", "d e f", "g h i", "j k l"
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_exact_duplicates(
+            docs(spark, f"{A} {B}", f"{A} {C}", f"{D} {D}", "x y"),
+            chunk_w=3,
+        ).collect()
+    }
+    assert (out[0].n_chunks, out[0].n_dup_chunks) == (2, 1)   # shares A
+    assert (out[1].n_chunks, out[1].n_dup_chunks) == (2, 1)   # shares A
+    assert (out[2].n_chunks, out[2].n_dup_chunks) == (1, 0)   # self-repeat only
+    assert (out[3].n_chunks, out[3].n_dup_chunks) == (0, 0)   # no full chunk
+    assert out[0].dup_ratio == pytest.approx(0.5)
+
+
+def test_pq_recall_perfect_when_data_is_its_own_codebook(spark):
+    # 8 well-separated one-hot-ish vectors; init = first 8 rows by id, so
+    # every vector IS a centroid in every subspace -> ADC distances are
+    # exact -> recall@k must be 1.0 (recall_ok at any floor)
+    from pyspark.sql import Row
+
+    vecs = []
+    for i in range(8):
+        v = [0.0] * 16
+        v[i * 2] = 10.0 + i
+        vecs.append(Row(vec_id=i, embedding=v))
+    out = similarity.pq_recall_audit(
+        spark.createDataFrame(vecs),
+        m=4,
+        ksub=8,
+        iters=1,
+        k=3,
+        n_queries=2,
+        recall_floor=0.99,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].recall_ok == 1 and out[0].n_queries == 2 and out[0].k == 3
