@@ -35,6 +35,18 @@ def main() -> None:
     # warm-up: JVM + parquet footer/schema caches, so per-query timings
     # measure the queries rather than whichever ran first
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ... and the join/window/agg codegen+JIT paths: whichever query runs
+    # first otherwise pays ~2-3s of C2 compilation (measured: the same
+    # query is 4.1s cold, 1.3s warm), which misattributes host warm-up
+    # to whatever the registry order puts first
+    a = spark.range(0, 200_000).selectExpr("id AS k", "id % 97 AS g", "id * 2 AS v")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS w")
+    (
+        a.join(b, "k")
+        .selectExpr("g", "v", "w", "row_number() OVER (PARTITION BY g ORDER BY v) AS rn")
+        .groupBy("g").agg({"v": "sum", "rn": "max"})
+        .orderBy("g").limit(5).collect()
+    )
     from spark_stream_analyzer_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:

@@ -605,3 +605,54 @@ def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = _profile_one(o, c)
         out = p if out is None else out.unionByName(p)
     return out.orderBy("col_name")
+
+
+_INC_CUT = 5_000  #: event_id cutoff: < cut = "history", >= cut = "delta"
+
+
+@register(
+    "events_incremental_rollup",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_floor_sum,
+           CAST(MAX(floor(epoch(ts))) AS BIGINT) AS last_sec
+    FROM events GROUP BY user_id
+    """,
+    doc="EXT incremental aggregate maintenance (materialized-view "
+    "merge): history (event_id < cut) is pre-aggregated into per-key "
+    "partial states, the delta (>= cut) into its own partials, and the "
+    "two partial sets MERGE by re-aggregation — count/sum/max are "
+    "commutative monoids, so merged state == the full recompute the "
+    "oracle runs. This is the shape that maintains a 100 TB rollup "
+    "without ever rescanning history: each micro-batch contributes "
+    "|keys|-sized partials (foreachBatch MERGE at the sink), and the "
+    "per-key floor-sum stays in exact integer arithmetic so merge "
+    "order cannot drift a double ULP",
+)
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(floor(value) as bigint)").alias("vf"),
+        F.expr("ts_ns DIV 1000000000").alias("sec"),
+    )
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("pn"),
+            F.sum("vf").alias("ps"),
+            F.max("sec").alias("pm"),
+        )
+
+    hist = partial(ev.filter(F.col("event_id") < _INC_CUT))
+    delta = partial(ev.filter(F.col("event_id") >= _INC_CUT))
+    return (
+        hist.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("ps").cast("long").alias("value_floor_sum"),
+            F.max("pm").cast("long").alias("last_sec"),
+        )
+    )

@@ -212,3 +212,36 @@ def test_approx_distinct_check_has_no_expand(spark):
     assert "Expand" not in plan
     # partial dedup before the shuffle: HashAggregate on both sides
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def test_quality_filter_is_single_scan_codegen(spark):
+    """Five quality rules must ride ONE scan-side projection: any
+    Exchange or Python eval here turns a scan-bound filter into a
+    shuffle/IPC problem at 100 TB."""
+    plan = plan_of(spark, "text_quality_filter")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_dedup_is_explode_plus_hash_joins(spark):
+    """Chunk dedup candidates must come from equality joins on the chunk
+    hash — a Cartesian/nested-loop here would be the d² blowup the
+    operator exists to avoid; the chunking itself must be a Generate
+    (explode), not a UDF fan-out."""
+    plan = plan_of(spark, "dedup_chunk_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+
+
+def test_pq_audit_scoring_stays_jvm_side(spark):
+    """PQ encode (argmin over literal codebooks) and ADC scoring
+    (element_at on literal distance tables) must be pure JVM
+    expressions — no Python eval anywhere, candidates never via a
+    product."""
+    plan = plan_of(spark, "similarity_pq_recall_audit")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
