@@ -656,3 +656,45 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pm").cast("long").alias("last_sec"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             ROUND(AVG(value), 6) AS mean_r,
+             ROUND(STDDEV_SAMP(value), 6) AS std_r
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mean_r) / s.std_r, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ROUND(abs((e.value - s.mean_r) / s.std_r), 6) > 2.5
+    """,
+    doc="EXT z-score anomaly flagging: per-type mean/stddev (one partial "
+    "agg to a |types|-row table), broadcast back over the fact, flag "
+    "|z| > 2.5 — the outlier-quarantine step of an ingest QA gate. "
+    "Cross-engine determinism: z is computed from ROUNDED mean/std "
+    "(identical inputs -> identical IEEE ops) and the threshold filter "
+    "compares the ROUNDED z, so partial-agg summation-order drift "
+    "(~1e-12) can never flip a row across the boundary. At 100 TB: one "
+    "scan for stats, one for scoring, no shuffle of the fact",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_r"),
+        F.round(F.stddev_samp("value"), 6).alias("std_r"),
+    )
+    z = (F.col("value") - F.col("mean_r")) / F.col("std_r")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.round(F.abs(z), 6) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )

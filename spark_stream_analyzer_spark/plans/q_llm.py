@@ -1132,3 +1132,39 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_recall_audit(_emb(spark, sf_dir))
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    SELECT dim,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(STDDEV_SAMP(v), 6) AS std_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM (
+      SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) AS t(i))
+    GROUP BY dim
+    """,
+    doc="EXT per-dimension embedding profile (the whitening/feature-"
+    "normalization precursor): posexplode to (dim, value), one partial "
+    "agg to a |dims|-row table of mean/std/min/max. The explode "
+    "shuffles |rows|x64 narrow records on a perfectly uniform key — at "
+    "100 TB prefer a dim-chunked Summarizer-style fold, but the shape "
+    "(bounded output, no collect) already scales; same discipline as "
+    "embedding_label_centroids",
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+            F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("std_v"),
+            F.round(F.min(F.col("v").cast("double")), 6).alias("min_v"),
+            F.round(F.max(F.col("v").cast("double")), 6).alias("max_v"),
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "mean_v", "std_v", "min_v", "max_v")
+    )

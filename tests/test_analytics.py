@@ -171,3 +171,54 @@ def test_column_profile_counts_nulls_and_ndv(spark):
     row = _profile_one(df, "v").collect()[0]
     assert (row.n_rows, row.n_notnull, row.n_distinct) == (4, 3, 2)
     assert (row.min_str, row.max_str) == ("a", "b")
+
+
+def test_driver_priority_names_all_resolve():
+    """Every _DRIVER_PRIORITY name must exist in the registry: a typo or
+    a renamed query would silently shrink the driver's 50-sample onto
+    already-verified queries instead of the never-checked set."""
+    from spark_stream_analyzer_spark.plans import registry
+
+    known = set(registry.queries())
+    missing = [n for n in registry._DRIVER_PRIORITY if n not in known]
+    assert not missing, f"priority names not in registry: {missing}"
+    # and the curated names must stay unique (a dup eats a sample slot)
+    assert len(set(registry._DRIVER_PRIORITY)) == len(registry._DRIVER_PRIORITY)
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    """The partial-merge identity on a hand-built frame: keys present in
+    only-history, only-delta, and both must all come out equal to the
+    direct aggregate."""
+    from spark_stream_analyzer_spark.plans.registry import QUERIES  # noqa: F401
+    from spark_stream_analyzer_spark.plans import q_analytics as qa
+
+    rows = [
+        # (event_id, user_id, value, sec): ids straddle the 5000 cutoff
+        (1, 10, 3.7, 100), (2, 10, 4.2, 200),        # history only ops
+        (6001, 10, 9.9, 300),                        # + delta for same key
+        (3, 20, 1.1, 50),                            # history-only key
+        (6002, 30, 8.8, 400), (6003, 30, 0.5, 500),  # delta-only key
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, v, s) for i, u, v, s in rows],
+        "event_id long, user_id long, value double, sec long",
+    )
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.expr("cast(floor(value) as bigint)")).alias("ps"),
+            F.max("sec").alias("pm"),
+        )
+
+    merged = (
+        partial(ev.filter(F.col("event_id") < qa._INC_CUT))
+        .unionByName(partial(ev.filter(F.col("event_id") >= qa._INC_CUT)))
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n"), F.sum("ps").alias("s"), F.max("pm").alias("m")
+        )
+    )
+    got = {r.user_id: (r.n, r.s, r.m) for r in merged.collect()}
+    assert got == {10: (3, 16, 300), 20: (1, 1, 50), 30: (2, 8, 500)}
