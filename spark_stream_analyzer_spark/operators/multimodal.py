@@ -186,3 +186,43 @@ def fake_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return df.select("doc_id", "payload").mapInPandas(batches, schema)
+
+
+def phash_dedup(feats: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Perceptual-hash near-dup detection over extracted media features
+    (the image/audio analog of text minhash dedup).
+
+    Classic pHash discipline: bit_j set iff feature_j exceeds the item's
+    OWN feature mean — brightness/scale shifts that move all features
+    together leave the bit pattern unchanged. Items sharing the dim-bit
+    hash are duplicate candidates; the bucket count is emitted per item
+    (a real pipeline would byte-verify within buckets, same
+    candidates-then-verify shape as every dedup operator here).
+
+    Pure column arithmetic over the feature columns (codegen): the mean
+    is a fixed left-to-right sum so the DuckDB oracle's fold matches
+    bit-for-bit; the only shuffle is the bucket-count window on the
+    dim-bit key. At 100 TB: one scan + one narrow shuffle of
+    (doc_id, phash).
+    """
+    from pyspark.sql.window import Window
+
+    m = F.col("f0")
+    for j in range(1, dim):
+        m = m + F.col(f"f{j}")
+    m = m / float(dim)
+    phash = None
+    for j in range(dim):
+        bit = (F.col(f"f{j}") > m).cast("long") * (1 << j)
+        phash = bit if phash is None else phash + bit
+    w = Window.partitionBy("phash")
+    return (
+        feats.withColumn("phash", phash)
+        .withColumn("n_same_hash", F.count("*").over(w))
+        .select(
+            "doc_id",
+            F.col("phash").cast("long").alias("phash"),
+            F.col("n_same_hash").cast("long").alias("n_same_hash"),
+            (F.col("n_same_hash") > 1).cast("int").alias("is_dup"),
+        )
+    )

@@ -1168,3 +1168,39 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dim").cast("long").alias("dim"), "mean_v", "std_v", "min_v", "max_v")
     )
+
+
+_FEAT_RAW = ",\n       ".join(
+    "({h} % 10000) / 10000.0 AS f{j}".format(
+        h=TH.duck_hash60(f"'feat{j}:' || text"), j=j
+    )
+    for j in range(multimodal.FEATURE_DIM)
+)
+_PHASH_BITS = " + ".join(
+    f"(CASE WHEN f{j} > m THEN {1 << j} ELSE 0 END)"
+    for j in range(multimodal.FEATURE_DIM)
+)
+_FEAT_MEAN = "(" + " + ".join(f"f{j}" for j in range(multimodal.FEATURE_DIM)) + f") / {float(multimodal.FEATURE_DIM)}"
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, {_FEAT_RAW} FROM documents),
+    p AS (SELECT doc_id, {_PHASH_BITS} AS phash
+          FROM (SELECT *, {_FEAT_MEAN} AS m FROM f))
+    SELECT doc_id, CAST(phash AS BIGINT) AS phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash,
+           (COUNT(*) OVER (PARTITION BY phash) > 1)::INT AS is_dup
+    FROM p
+    """,
+    doc="EXT perceptual-hash media dedup: encoder features (the md5 "
+    "stand-in) -> per-item mean-threshold bit pattern (classic pHash "
+    "discipline — global shifts leave bits unchanged) -> bucket-count "
+    "candidates. One scan + one narrow (doc_id, phash) shuffle; the "
+    "image/audio analog of minhash-LSH text dedup, completing dedup "
+    "across modalities",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.fake_features(multimodal.with_payload(_docs(spark, sf_dir)))
+    return multimodal.phash_dedup(feats)

@@ -30,6 +30,7 @@ ARROW_PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_resize_stats",
     "multimodal_feature_extract",
+    "multimodal_phash_dedup",  # pHash bits derive from the mapInPandas features
 }
 
 # Live Structured Streaming queries run their plan through a memory-sink
