@@ -42,6 +42,10 @@ PROBE_QUERIES = [
     "similarity_ivf_topk",
     "corpus_decontamination",
     "corpus_token_shards",
+    # round-3 additions
+    "dedup_chunk_exact",
+    "multimodal_phash_dedup",
+    "similarity_pq_recall_audit",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
