@@ -631,3 +631,52 @@ def chunk_exact_duplicates(
             ).alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_containment: float = 0.04,
+    shingle_k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A|.
+
+    Containment is what catches doc-in-doc duplication (quotes,
+    boilerplate wrappers, article+comments supersets) that symmetric
+    Jaccard under-scores: a 50-shingle doc fully embedded in a
+    5000-shingle doc has C = 1.0 but Jaccard ≈ 0.01. Same inverted-index
+    physical shape as :func:`ngram_jaccard_pairs` (one postings
+    exchange reused by the cap, both self-join sides, and the sizes),
+    same ``max_df`` stop-shingle guard; only the scoring differs —
+    both directions are emitted and the filter keeps pairs where
+    EITHER direction clears the threshold.
+    """
+    docs = with_words(df, text_col).select(
+        "doc_id", F.expr(TH.spark_shingles("words", shingle_k)).alias("sh")
+    )
+    post = docs.select("doc_id", F.explode("sh").alias("s")).repartition("s")
+    if max_df is not None:
+        keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        post = post.join(keep, "s")
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        post.alias("a")
+        .join(post.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    c_a = F.col("n_shared").cast("double") / F.col("na")
+    c_b = F.col("n_shared").cast("double") / F.col("nb")
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(F.greatest(c_a, c_b) >= min_containment)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(c_a, 6).alias("containment_a"),
+            F.round(c_b, 6).alias("containment_b"),
+        )
+    )

@@ -1204,3 +1204,34 @@ _FEAT_MEAN = "(" + " + ".join(f"f{j}" for j in range(multimodal.FEATURE_DIM)) + 
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.fake_features(multimodal.with_payload(_docs(spark, sf_dir)))
     return multimodal.phash_dedup(feats)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH w AS ({_W}), s AS ({_S}),
+    posts AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    keep AS (SELECT tok FROM posts GROUP BY tok HAVING COUNT(*) <= 100),
+    fp AS (SELECT p.doc_id, p.tok FROM posts p JOIN keep USING (tok)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM fp a JOIN fp b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared::DOUBLE / sa.n, 6) AS containment_a,
+       ROUND(n_shared::DOUBLE / sb.n, 6) AS containment_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE GREATEST(n_shared::DOUBLE / sa.n, n_shared::DOUBLE / sb.n) >= 0.04
+    """,
+    doc="EXT asymmetric n-gram containment |A∩B|/|A| — catches "
+    "doc-in-doc duplication (quotes, boilerplate wrappers, supersets) "
+    "that symmetric Jaccard under-scores (a small doc fully embedded "
+    "in a big one has C=1.0, Jaccard≈0.01). Same inverted-index shape "
+    "and df-cap as the Jaccard pairs; only the scoring differs",
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), min_containment=0.04, max_df=100
+    )

@@ -527,3 +527,21 @@ def test_pq_recall_perfect_when_data_is_its_own_codebook(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].recall_ok == 1 and out[0].n_queries == 2 and out[0].k == 3
+
+
+def test_containment_catches_planted_doc_in_doc(spark):
+    # doc0 is fully embedded in doc1; Jaccard is tiny but containment_a
+    # must be exactly 1.0 (every doc0 shingle appears in doc1)
+    small = "alpha beta gamma delta epsilon"
+    big = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        + small
+        + " thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    )
+    out = dedup.containment_pairs(
+        docs(spark, small, big, "wholly unrelated other text entirely"),
+        min_containment=0.5,
+    ).collect()
+    assert [(p.doc_a, p.doc_b) for p in out] == [(0, 1)]
+    assert out[0].containment_a == pytest.approx(1.0)
+    assert out[0].containment_b < 0.2
