@@ -68,11 +68,14 @@ def q_churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'l_partkey', 1::INT
     ORDER BY col
     """,
-    doc="HyperLogLog++ approx_count_distinct vs exact, 3% relative-error "
+    doc="HyperLogLog++ approx_count_distinct vs exact, 4% relative-error "
     "verdict (the oracle-able form of an approximate aggregate). "
     "rsd=0.013 (2^13 registers) sits just below Spark's p=14 register "
-    "cliff — rsd<=0.012 quadruples the agg's wall time for accuracy the "
-    "3% verdict doesn't need; tolerance = ~2.3 sigma at this precision",
+    "cliff — rsd<=0.012 quadruples the agg's wall time for accuracy "
+    "this verdict doesn't need. Tolerance = ~3.5 sigma: a test-data "
+    "regeneration redraws the estimation error, and a verdict bit "
+    "pinned at ~2.3 sigma (the old 3%) flips red ~1% of the time per "
+    "column — the never-pin-at-the-measured-edge rule",
 )
 def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -98,7 +101,7 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(name).alias("col"),
             (
-                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.03
+                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.04
             ).cast("int").alias("within_tol"),
         )
         out = verdict if out is None else out.unionByName(verdict)
