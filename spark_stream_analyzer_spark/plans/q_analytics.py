@@ -698,3 +698,47 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@register(
+    "events_salted_type_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_floor_sum,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM events GROUP BY event_type
+    """,
+    doc="EXT salted two-level aggregation, oracle-checked: the hot-key "
+    "fallback (functions/skew.py:salted_agg) run as a registry query so "
+    "the skew path is driver-verified, not just unit-tested. Level 1 "
+    "aggregates on (key, salt) spreading a hot key over 16 reducers, "
+    "level 2 merges <=16 partials per key; decomposable aggregates "
+    "(count/sum/min) make any salt assignment merge to the plain "
+    "GROUP BY the oracle runs. event_type is exactly the shape that "
+    "needs this at 100 TB: ~6 values, billions of rows each",
+)
+def q_events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value) as bigint)").alias("vf"),
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "value_floor_sum": ("vf", "sum"),
+            "first_event_id": ("event_id", "min"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_floor_sum").cast("long").alias("value_floor_sum"),
+        F.col("first_event_id").cast("long").alias("first_event_id"),
+    )

@@ -1299,3 +1299,94 @@ def q_customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("cust_b"),
         "dist",
     )
+
+
+@register(
+    "part_pagerank",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             FROM op a JOIN op b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    edges AS (SELECT pa AS src, pb AS dst FROM half
+              UNION ALL SELECT pb, pa FROM half),
+    deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    pr0 AS (SELECT src, degree, ROUND(1.0 / n_nodes, 6) AS pr
+            FROM deg CROSS JOIN nn),
+    c1 AS (SELECT e.dst, SUM(p.pr / p.degree) AS s
+           FROM edges e JOIN pr0 p ON e.src = p.src GROUP BY e.dst),
+    pr1 AS (SELECT d.src, d.degree,
+                   ROUND(0.15 / nn.n_nodes + 0.85 * coalesce(c1.s, 0), 6) AS pr
+            FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.dst = d.src),
+    c2 AS (SELECT e.dst, SUM(p.pr / p.degree) AS s
+           FROM edges e JOIN pr1 p ON e.src = p.src GROUP BY e.dst),
+    pr2 AS (SELECT d.src, d.degree,
+                   ROUND(0.15 / nn.n_nodes + 0.85 * coalesce(c2.s, 0), 6) AS pr
+            FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.dst = d.src)
+    SELECT src AS part_key, CAST(degree AS BIGINT) AS degree, pr FROM pr2
+    """,
+    doc="iterative graph algorithm, Spark-first: 2 fixed PageRank "
+    "iterations (d=0.85) over the part co-occurrence graph. Each "
+    "iteration is one equality join (edges x ranks on src) + one "
+    "aggregation (contributions by dst) — the standard distributed "
+    "PageRank step, no driver loop over data, the node-count constant "
+    "rides a one-row broadcast. Ranks are ROUNDED to 6 decimals each "
+    "iteration on both engines, so summation-order drift cannot "
+    "compound across iterations. At 100 TB: per-iteration cost is one "
+    "shuffle of the edge list; convergence loops would wrap the same "
+    "step with localCheckpoint lineage cuts like dedup_duplicate_clusters",
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    edges = half.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        half.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))  # one row
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "src",
+        "degree",
+        "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 6).alias("pr"),
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(
+                pr.select("src", (F.col("pr") / F.col("degree")).alias("c")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.select("src", "degree", "n_nodes")
+            .join(contrib, F.col("src") == F.col("dst"), "left")
+            .select(
+                "src",
+                "degree",
+                "n_nodes",
+                F.round(
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("src").alias("part_key"),
+        F.col("degree").cast("long").alias("degree"),
+        "pr",
+    )
