@@ -742,3 +742,50 @@ def q_events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_floor_sum").cast("long").alias("value_floor_sum"),
         F.col("first_event_id").cast("long").alias("first_event_id"),
     )
+
+
+@register(
+    "lineitem_price_equidepth",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS p,
+             (row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                          l_linenumber) - 1) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lineitem)
+    SELECT CAST(rk * 10 // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(p), 6) AS lo,
+           ROUND(MAX(p), 6) AS hi
+    FROM r GROUP BY 1
+    """,
+    doc="EXT equi-depth histogram (the statistics-collection shape the "
+    "optimizer itself needs): bucket = rank-decile over a TOTAL order "
+    "(price + unique line tiebreak). Complements the equi-width "
+    "lineitem_price_histogram. The rank comes from operators/rank.py's "
+    "scalable decomposition — range exchange, per-partition row_number, "
+    "broadcast partition offsets — so unlike ntile/row_number over a "
+    "global ORDER BY window, no single reducer ever sees the fact table",
+)
+def q_lineitem_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.rank import global_rank
+
+    l = _t(spark, sf_dir, "lineitem")
+    ranked = global_rank(
+        l.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+    )
+    n = ranked.agg(F.count("*").alias("n"))  # one row
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("((rnk - 1) * 10) div n").alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+    )
