@@ -65,74 +65,69 @@ _LOADED = False
 
 #: Names surfaced FIRST in ``queries()`` / ``oracle_sql()`` iteration order.
 #: The driver snapshots only ~50 of the registry per round (in iteration
-#: order); across rounds 1–2 these 49 never received a green driver row —
-#: 45 were never sampled at all, 4 were sampled but red (the events-loader
-#: and simhash-oracle bugs, both fixed in round 3).  Front-loading them
-#: makes the round-3 sample land on the unverified surface.
+#: order).  Round-4 cut: after round 3 went 50/50 green, exactly 14
+#: registry queries have never received a green driver row (11 round-3
+#: additions never sampled + 3 that were red in round 2 via the since-fixed
+#: events-loader bug).  They occupy the first 14 slots.  Next come the 6
+#: reference-core rows whose LATEST driver sample (round 2) was red via the
+#: same loader bug — green in round 1 and locally, but the most recent
+#: driver signal should be green too.  The remainder of the ~50-sample is
+#: filled with round-4 additions (fresh surface) and then a rotation of
+#: high-value rows whose last green is oldest.
 _DRIVER_PRIORITY = (
-    "streaming_dedup_events",
-    "streaming_session_flush",
-    "streaming_interval_join",
-    "tpch_local_supplier_volume",
-    "tpch_order_priority_count",
-    "customers_without_orders",
-    "top_orders_per_customer",
-    "lineitem_status_pivot",
-    "revenue_rollup",
-    "customer_running_spend",
-    "tpch_promo_revenue",
-    "tpch_customer_distribution",
-    "tpch_supplier_part_variety",
-    "tpch_large_volume_orders",
-    "tpch_rich_inactive_customers",
-    "revenue_cube",
-    "price_quartiles_by_flag",
-    "customer_spend_ranks",
-    "orders_by_month",
-    "tpch_small_qty_revenue",
-    "tpch_or_brand_revenue",
-    "tpch_important_part_value",
-    "tpch_top_revenue_supplier",
-    "tpch_lone_return_supplier",
-    "tpch_dominant_part_suppliers",
-    "lineitem_unpivot_measures",
-    "tpch_min_cost_supplier",
-    "tpch_nation_trade_volume",
-    "tpch_market_share",
-    "tpch_product_type_profit",
-    "tpch_returned_item_customers",
-    "tpch_priority_line_counts",
-    "orders_global_rank",
-    "order_part_baskets",
-    "part_cooccurrence_pairs",
-    "customer_name_fuzzy_pairs",
-    "events_tumbling_daily",
-    "events_sliding_1d_6h",
-    "events_session_windows",
-    "events_asof_last_purchase",
-    "events_json_props",
-    "events_interarrival_stats",
-    "events_trailing_hour_activity",
-    "events_purchase_followup_range",
-    "events_user_funnel",
-    # round-3 additions (never sampled):
-    "text_quality_filter",
-    "dedup_chunk_exact",
-    "similarity_pq_recall_audit",
-    "streaming_enrich_dim",
-    # red in BOTH r1+r2 via the HUGEINT oracle-type bug (fixed in r3) —
-    # the judge's done-criterion is a green driver row for this one:
-    "dedup_simhash_signatures",
-    # --- 50-sample cutoff lands here ---
-    # below: r2-red via the (fixed) events-loader bug.  The 9 events_*
-    # queries above give that loader class plenty of r3 coverage, and the
-    # reference core was driver-green in r1; these re-verify in r4.
+    # -- 14 never-driver-green (verdict r3 item 1) --
     "events_value_percentiles",
     "events_daily_retention",
     "events_user_lag_features",
+    "orders_column_profile",
+    "events_incremental_rollup",
+    "events_anomaly_zscore",
+    "events_salted_type_counts",
+    "lineitem_price_equidepth",
+    "text_bm25_top_terms",
+    "corpus_weighted_sample",
+    "embedding_dim_profile",
+    "multimodal_phash_dedup",
+    "dedup_containment_pairs",
+    "part_pagerank",
+    # -- 6 reference-core rows whose latest driver row (r2) was red --
     "player_stats",
+    "player_stats_named",
+    "player_stats_timeseries",
     "latest_snapshot",
+    "player_trend",
     "pivot_asof",
+    # -- round-4 additions (never sampled) --
+    "tpch_shipping_modes",
+    "tpch_discount_revenue",
+    "tpch_global_sales_role",
+    "tpch_national_market_share",
+    "tpch_parts_multi_supplier",
+    "events_hour_of_week_profile",
+    "events_type_transition_matrix",
+    "orders_fiscal_quarter_rollup",
+    "lineitem_shipping_delay_bands",
+    "text_doc_fingerprint",
+    "text_stopword_profile",
+    "dedup_minhash_recall_audit",
+    "similarity_cosine_stats",
+    "embedding_norm_outliers",
+    "customer_order_gap_stats",
+    "supplier_balance_deciles",
+    # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
+    "wire_parse_kills",
+    "wire_parse_damages",
+    "wire_parse_players",
+    "union_kill_damage",
+    "distinct_rounds",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_ivf_topk",
+    "text_token_stats",
+    "text_language_id",
 )
 
 
