@@ -76,6 +76,10 @@ def main() -> None:
     )
     _q.processAllAvailable()
     _q.stop()
+    import shutil as _sh
+
+    _sh.rmtree(_sdir, ignore_errors=True)
+    spark.catalog.dropTempView(_sname)
 
     # machine-speed calibration: a fixed CPU-bound Spark job, reported in
     # the output JSON so totals are comparable across containers of
@@ -92,6 +96,8 @@ def main() -> None:
     # run live-streaming queries LAST: their Python state workers / state
     # store machinery would otherwise pollute subsequent batch timings
     ordered = sorted(qs.items(), key=lambda kv: kv[0].startswith("streaming_"))
+    from spark_stream_analyzer_spark.session import unpersist_rdds
+
     for name, fn in ordered:
         t0 = time.perf_counter()
         try:
@@ -103,6 +109,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
+        finally:
+            # localCheckpoint blocks (dedup/CC/ANN builders) outlive the
+            # collect — round 3 measured them accumulating session-wide
+            # storage residue across the 125-query run; drop them before
+            # the next query so timings stay independent
+            unpersist_rdds(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_failed = sum(1 for t in timings.values() if t < 0)

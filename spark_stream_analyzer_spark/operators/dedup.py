@@ -304,6 +304,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     data collect); a warning fires in the (now pathological, > 2^64-ish
     chain) case the bound is still hit.
     """
+    from spark_stream_analyzer_spark.session import (
+        persistent_rdd_ids,
+        unpersist_rdds,
+    )
+
+    spark = pairs.sparkSession
+    _before_edges = persistent_rdd_ids(spark)
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -313,6 +320,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         # dominate the whole computation
         .localCheckpoint(eager=True)
     )
+    edge_ids = persistent_rdd_ids(spark) - _before_edges
+    prev_round_ids: set[int] = set()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -347,8 +356,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             # labels afterwards — one fewer join + action per round
             (new_label < F.col("label")).alias("moved"),
         )
+        _before = persistent_rdd_ids(spark)
         updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        this_round_ids = persistent_rdd_ids(spark) - _before
         changed = updated.filter("moved").limit(1).count()
+        # the new checkpoint is materialized — last round's blocks are dead
+        unpersist_rdds(spark, prev_round_ids)
+        prev_round_ids = this_round_ids
         labels = updated.select("id", "label")
         if changed == 0:
             break
@@ -364,6 +378,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             RuntimeWarning,
             stacklevel=2,
         )
+    # the converged labels are a checkpoint of their own — the edge list
+    # (and every pre-final round, already dropped above) is no longer
+    # reachable from the result, so free its blocks now; the final
+    # checkpoint stays alive for the consumer and is reclaimed by the
+    # caller's post-action cleanup (bench.py) or context GC
+    unpersist_rdds(spark, edge_ids)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

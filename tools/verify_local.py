@@ -82,6 +82,14 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # drop localCheckpoint residue between queries (see bench.py)
+            try:
+                from spark_stream_analyzer_spark.session import unpersist_rdds
+
+                unpersist_rdds(spark)
+            except Exception:  # noqa: BLE001
+                pass
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) — no oracle")
             continue
