@@ -670,7 +670,8 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(e.value, 6) AS value,
            ROUND((e.value - s.mean_r) / s.std_r, 6) AS z
     FROM events e JOIN s USING (event_type)
-    WHERE ROUND(abs((e.value - s.mean_r) / s.std_r), 6) > 2.5
+    WHERE s.std_r IS NOT NULL AND s.std_r > 0
+      AND ROUND(abs((e.value - s.mean_r) / s.std_r), 6) > 2.5
     """,
     doc="EXT z-score anomaly flagging: per-type mean/stddev (one partial "
     "agg to a |types|-row table), broadcast back over the fact, flag "
@@ -678,14 +679,25 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Cross-engine determinism: z is computed from ROUNDED mean/std "
     "(identical inputs -> identical IEEE ops) and the threshold filter "
     "compares the ROUNDED z, so partial-agg summation-order drift "
-    "(~1e-12) can never flip a row across the boundary. At 100 TB: one "
-    "scan for stats, one for scoring, no shuffle of the fact",
+    "(~1e-12) can never flip a row across the boundary. Degenerate "
+    "groups are excluded EXPLICITLY on both engines (std_r non-null, "
+    "non-NaN, > 0): a single-row type yields stddev_samp NaN in Spark "
+    "(NaN sorts greater than any double, so the filter would EMIT it) "
+    "but NULL in DuckDB (dropped); a constant type yields std_r = 0, "
+    "where Spark's x/0 returns NULL (dropped) but DuckDB gives ±inf "
+    "(kept) — either shape would flip the verdict on a data regen. "
+    "At 100 TB: one scan for stats, one for scoring, no shuffle of the "
+    "fact",
 )
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("mean_r"),
         F.round(F.stddev_samp("value"), 6).alias("std_r"),
+    ).filter(
+        F.col("std_r").isNotNull()
+        & ~F.isnan("std_r")
+        & (F.col("std_r") > 0)
     )
     z = (F.col("value") - F.col("mean_r")) / F.col("std_r")
     return (

@@ -1117,18 +1117,20 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_pq_recall_audit",
     oracle="""
-    SELECT CAST(3 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+    SELECT CAST(32 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
            1::INT AS recall_ok
     """,
     doc="EXT product-quantization ANN audit: 64-dim float vectors -> 4 "
-    "one-byte codes (16-dim subspaces, 8-centroid deterministic "
-    "codebooks), queries scored by ADC table lookups; verdict row "
-    "checks recall@10 vs exact L2 top-10 >= the documented floor. "
-    "Codebook training = bounded sample at scale; encode = one scan; "
-    "ADC = scan + per-query TopK (no all-pairs anywhere). The oracle "
-    "is the audit's fixed contract (like approx_heavy_hitters_check): "
-    "n_queries/k echo the config, recall_ok must hold on any corpus "
-    "this engine ships",
+    "one-byte codes (16-dim subspaces, 16-centroid deterministic "
+    "codebooks), 32 queries scored by ADC table lookups in ONE "
+    "exploded scan per side; verdict row checks recall@10 vs exact L2 "
+    "top-10 >= a floor DERIVED from the measured batch distribution "
+    "(see pq_recall_audit docstring — worst disjoint-batch recall "
+    "0.075 at sf0.1, floor 0.06, random baseline ~1e-3). Codebook "
+    "training = bounded sample at scale; encode = one scan; ADC = "
+    "scan + per-query TopK (no all-pairs anywhere). The oracle is the "
+    "audit's fixed contract: n_queries/k echo the config, recall_ok "
+    "must hold on any corpus this engine ships",
 )
 def q_similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_recall_audit(_emb(spark, sf_dir))

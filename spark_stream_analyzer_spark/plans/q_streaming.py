@@ -17,6 +17,7 @@ Determinism notes (why this is oracle-able at all):
 
 from __future__ import annotations
 
+import math
 import tempfile
 import uuid
 
@@ -497,6 +498,15 @@ def q_streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
     rows = b.select("event_id", "user_id", "value").collect()  # harness boundary
+    # the repr→cast(string as double) round-trip below is exact for every
+    # FINITE double, but repr(nan)/repr(inf) produce 'nan'/'inf' which
+    # Spark's string cast turns into NULL — silently diverging from the
+    # oracle's floor(e.value) over the original column. Assert finiteness
+    # at the harness boundary so a data regen with non-finite values
+    # fails loudly here instead of as a hash mismatch.
+    assert all(
+        r.value is not None and math.isfinite(r.value) for r in rows
+    ), "streaming_enrich_dim harness assumes finite event values"
     workdir = tempfile.mkdtemp(prefix="ssa_enrichstream_")
     _write_batches(
         rows,
