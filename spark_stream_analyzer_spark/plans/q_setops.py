@@ -68,14 +68,19 @@ def q_churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'l_partkey', 1::INT
     ORDER BY col
     """,
-    doc="HyperLogLog++ approx_count_distinct vs exact, 4% relative-error "
+    doc="HyperLogLog++ approx_count_distinct vs exact, 4.5% relative-error "
     "verdict (the oracle-able form of an approximate aggregate). "
     "rsd=0.013 (2^13 registers) sits just below Spark's p=14 register "
     "cliff — rsd<=0.012 quadruples the agg's wall time for accuracy "
-    "this verdict doesn't need. Tolerance = ~3.5 sigma: a test-data "
-    "regeneration redraws the estimation error, and a verdict bit "
-    "pinned at ~2.3 sigma (the old 3%) flips red ~1% of the time per "
-    "column — the never-pin-at-the-measured-edge rule",
+    "this verdict doesn't need. Tolerance DERIVED (round 4), not "
+    "ratcheted: HLL error is deterministic per value set, so a data "
+    "regeneration = one fresh error draw; 30 independent redraws were "
+    "simulated by xxhash64-salt-remapping the key space at the same "
+    "cardinalities (sf0.01: 1500/2000) giving |rel err| max 0.0147, "
+    "mean 0.0063, p95 0.0133. Bound = 0.045 = 3x the observed worst "
+    "(~3.5 sigma of rsd): a redraw lands inside it with "
+    "P(miss) ~ 2e-4 per column, while a broken sketch (register "
+    "merge bug, wrong precision) is far outside",
 )
 def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -101,7 +106,7 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.lit(name).alias("col"),
             (
-                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.04
+                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.045
             ).cast("int").alias("within_tol"),
         )
         out = verdict if out is None else out.unionByName(verdict)
