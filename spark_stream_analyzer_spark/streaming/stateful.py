@@ -223,7 +223,25 @@ def snapshot_player_stats_stream_tws(events: DataFrame) -> DataFrame:
     (``spark.sql.streaming.stateStore.providerClass`` =
     ``...state.RocksDBStateStoreProvider``) — which is the right provider
     at scale anyway (state off the JVM heap, incremental checkpoints).
+
+    Transport-gated: the TWS state server speaks protobuf between the JVM
+    and the Python worker, and ``google.protobuf`` is not installed in
+    every deployment (not in this container). The PROCESSOR LOGIC is
+    nonetheless fully tested in-process (tests/test_streaming.py drives
+    the StatefulProcessor against a stub state handle and asserts row
+    parity with the live-tested ``applyInPandasWithState`` form); only
+    the wire transport needs protobuf. Fail loudly up front rather than
+    mid-stream in a worker.
     """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf on driver "
+            "and workers (the TWS state-server protocol); install protobuf "
+            "or use snapshot_player_stats_stream (applyInPandasWithState), "
+            "which has identical semantics"
+        ) from e
     return events.groupBy("steam_id").transformWithStateInPandas(
         statefulProcessor=_make_snapshot_processor(),
         outputStructType=SNAPSHOT_SCHEMA,

@@ -541,3 +541,122 @@ def test_transform_with_state_parity(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_processor_logic_parity_in_process():
+    """The StatefulProcessor twin folds IDENTICALLY to the live-tested
+    applyInPandasWithState updater — verified WITHOUT the streaming
+    machinery, by driving both against stub state objects on the same
+    two-batch input (cumulative counters, batch-local maxima, blank-name
+    fallback, damage accumulation).
+
+    This is the ungated counterpart of test_transform_with_state_parity:
+    the gated test exercises the protobuf transport where available; this
+    one pins the processor's fold logic everywhere, so the twin is
+    logic-tested even in protobuf-less containers.
+    """
+    import pandas as pd
+
+    from spark_stream_analyzer_spark.streaming.stateful import (
+        _make_snapshot_processor,
+        _make_update_snapshots,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.state = StubValueState()
+
+        def getValueState(self, name, ddl):
+            return self.state
+
+    class StubGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    batch0 = pd.DataFrame(
+        {
+            "player": ["Alice", "", ""],
+            "steam_id": ["S_A"] * 3,
+            "type": ["kill", "damage", "assist"],
+            "second": [100, 120, 90],
+            "amount": [None, 30.0, None],
+            "round": [1, 1, 1],
+        }
+    )
+    batch1 = pd.DataFrame(
+        {
+            "player": ["", ""],
+            "steam_id": ["S_A"] * 2,
+            "type": ["death", "damage"],
+            "second": [300, 280],
+            "amount": [None, 10.0],
+            "round": [3, 3],
+        }
+    )
+
+    proc = _make_snapshot_processor()
+    proc.init(StubHandle())
+    upd = _make_update_snapshots()
+    gstate = StubGroupState()
+
+    for batch in (batch0, batch1):
+        tws_out = pd.concat(list(proc.handleInputRows(("S_A",), iter([batch]), None)))
+        apis_out = pd.concat(list(upd(("S_A",), iter([batch]), gstate)))
+        pd.testing.assert_frame_equal(
+            tws_out.reset_index(drop=True), apis_out.reset_index(drop=True)
+        )
+
+    # and the fold itself is right, not just self-consistent
+    final = tws_out.iloc[0]
+    assert final["kills"] == 1 and final["deaths"] == 1 and final["assists"] == 1
+    assert final["damage"] == 40.0
+    assert final["second"] == 300  # batch-local max, not cumulative
+    assert final["player_name"] == "Alice"  # persisted across blank batch
+    assert final["kd_ratio"] == 1.0
+    assert final["damage_per_round"] == pytest.approx(40.0 / 3)
+
+
+def test_tws_stream_raises_clearly_without_protobuf(spark):
+    """Without google.protobuf the TWS entry point must fail fast with an
+    actionable message, not mid-stream in a worker."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — the live gated test covers this env")
+    except ImportError:
+        pass
+    from spark_stream_analyzer_spark.streaming.stateful import (
+        snapshot_player_stats_stream_tws,
+    )
+
+    events = spark.createDataFrame(
+        [("Alice", "S_A", "kill", 100, None, 1)],
+        "player string, steam_id string, type string, second long, "
+        "amount double, round long",
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        snapshot_player_stats_stream_tws(events)
