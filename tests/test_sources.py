@@ -181,3 +181,65 @@ def test_events_loader_real_driver_data(spark, sf_dir):
     ).collect()[0]
     assert row.n > 0 and row.n_ts == row.n and row.n_ns == row.n
     assert row.lo > 1_000_000_000_000_000_000  # epoch-ns magnitude, not µs/ms
+
+# ------- round-4: future-proofing against a FOURTH encoding change -------
+# ms-representable instants (the µs-precision epochs above can't round-trip
+# a ms encoding exactly)
+_EPOCH_MS = [1_704_067_207_179, 1_704_067_432_824, 1_704_067_589_165]
+
+
+@pytest.fixture(scope="module")
+def ms_encoded_dirs(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("events_ms_encodings")
+    naive = [
+        dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms) for ms in _EPOCH_MS
+    ]
+    return {
+        # parquet timestamp[ms] UTC-adjusted → Spark TIMESTAMP (ms→µs widen)
+        "ms_ltz": _write_events(
+            tmp_path, "ms_ltz", pa.array(naive, type=pa.timestamp("ms", tz="UTC"))
+        ),
+        # parquet timestamp[ms] naive → Spark TIMESTAMP_NTZ
+        "ms_ntz": _write_events(
+            tmp_path, "ms_ntz", pa.array(naive, type=pa.timestamp("ms"))
+        ),
+        # raw int64 epoch-ms (no logical type at all) → bigint branch,
+        # unit self-identified by magnitude
+        "ms_as_long": _write_events(
+            tmp_path, "ms_long", pa.array(_EPOCH_MS, type=pa.int64())
+        ),
+        # raw int64 epoch-µs → bigint branch, µs magnitude band
+        "us_as_long": _write_events(
+            tmp_path, "us_long", pa.array([ms * 1000 for ms in _EPOCH_MS], type=pa.int64())
+        ),
+        # raw int64 epoch-seconds → bigint branch, smallest band
+        "s_as_long": _write_events(
+            tmp_path,
+            "s_long",
+            pa.array([ms // 1000 for ms in _EPOCH_MS], type=pa.int64()),
+        ),
+    }
+
+
+def test_events_loader_ms_and_raw_long_units(spark, ms_encoded_dirs):
+    """Any parquet encoding among {timestamp[ms] LTZ/NTZ, raw int64 in
+    ms/µs/s} normalizes to the identical ``ts``/``ts_ns`` pair — the
+    property the verdict asked pinned BEFORE a round-5 encoding surprise.
+    (raw s_as_long holds whole-second instants, so it's compared at
+    second resolution only.)"""
+    results = {}
+    for label, d in ms_encoded_dirs.items():
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", label
+        assert dict(df.dtypes)["ts_ns"] == "bigint", label
+        rows = df.orderBy("event_id").select("event_id", "ts", "ts_ns").collect()
+        results[label] = [(r.event_id, r.ts, r.ts_ns) for r in rows]
+
+    expect_ns = [ms * 1_000_000 for ms in _EPOCH_MS]
+    for label in ("ms_ltz", "ms_ntz", "ms_as_long", "us_as_long"):
+        assert [r[2] for r in results[label]] == expect_ns, label
+    assert results["ms_ltz"] == results["ms_ntz"] == results["ms_as_long"]
+    # seconds-encoded rows were written pre-truncated to whole seconds
+    assert [r[2] for r in results["s_as_long"]] == [
+        ms // 1000 * 1_000_000_000 for ms in _EPOCH_MS
+    ]
