@@ -1390,3 +1390,271 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree").cast("long").alias("degree"),
         "pr",
     )
+
+
+# ------------------------------------------------- round-4 additions
+
+
+@register(
+    "tpch_forecast_revenue_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): the canonical "
+    "scan-only aggregate — every predicate (shipdate range, discount "
+    "band, quantity cap) is a plain column comparison that must reach "
+    "the parquet scan as PushedFilters, no join, no shuffle beyond the "
+    "final 1-row agg merge. The floor for any 100 TB engine: this "
+    "query's cost is exactly (bytes scanned after pruning) / "
+    "(scan throughput), so it doubles as the io-path benchmark",
+)
+def q_tpch_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS spend
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT ROUND(SUM(spend), 6) AS total FROM c),
+    r AS (
+      SELECT o_custkey, spend,
+             CAST(row_number() OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS rnk,
+             SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c)
+    SELECT o_custkey, spend, rnk,
+           ROUND(cum / (SELECT total FROM t), 6) AS cum_share
+    FROM r WHERE rnk <= 100
+    """,
+    doc="EXT Pareto / concentration analysis: top-100 customers by "
+    "lifetime spend with their CUMULATIVE share of total revenue (the "
+    "80/20 curve every revenue team asks for). Shape: fact aggregates "
+    "to one row per customer FIRST (map-side partials, one shuffle), "
+    "so the global sort + running sum act on the bounded per-customer "
+    "table, never the fact. Spend is rounded to 6 BEFORE ranking so "
+    "cross-engine partial-sum drift cannot reorder ties (tie-break "
+    "custkey); the running sum then adds identical doubles in an "
+    "identical order on both engines. At 100 TB the per-customer table "
+    "is ~1e8 rows — the rank-top-100 runs as TakeOrdered partial top-k "
+    "per partition, and the cumulative share only needs those 100 rows "
+    "plus the scalar total (one-row broadcast)",
+)
+def q_orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(round6(F.sum("o_totalprice")).alias("spend"))
+    total = c.agg(round6(F.sum("spend")).alias("total"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    r = c.select(
+        "o_custkey",
+        "spend",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("spend")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    ).filter(F.col("rnk") <= 100)
+    return r.join(F.broadcast(total)).select(
+        "o_custkey",
+        "spend",
+        "rnk",
+        round6(F.col("cum") / F.col("total")).alias("cum_share"),
+    )
+
+
+@register(
+    "orders_priority_status_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS row_tot,
+             SUM(n) OVER (PARTITION BY o_orderstatus)  AS col_tot,
+             SUM(n) OVER () AS grand_tot
+      FROM obs)
+    SELECT o_orderpriority, o_orderstatus, n,
+           ROUND(row_tot * col_tot / CAST(grand_tot AS DOUBLE), 6) AS expected,
+           ROUND(n / (row_tot * col_tot / CAST(grand_tot AS DOUBLE)), 6) AS lift
+    FROM m
+    """,
+    doc="EXT contingency-table / independence QA: observed counts per "
+    "(priority x status) cell vs the expected count under independence "
+    "(row_total * col_total / grand_total) and the lift ratio — the "
+    "chi-square ingredient every data-QA gate computes to catch "
+    "attribute drift. Shape: ONE fact shuffle to the bounded 15-cell "
+    "table; the three marginal sums are windows OVER THAT table (15 "
+    "rows), never a second pass over the fact. Exact integer counts; "
+    "the only doubles are the final two derived columns, rounded",
+)
+def q_orders_priority_status_contingency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wg = Window.partitionBy()
+    exp = (
+        F.sum("n").over(wr) * F.sum("n").over(wc) / F.sum("n").over(wg).cast("double")
+    )
+    return obs.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        round6(exp).alias("expected"),
+        round6(F.col("n") / exp).alias("lift"),
+    )
+
+
+@register(
+    "lineitem_shipping_delay_bands",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 30 THEN '0-29d'
+                WHEN datediff('day', o.o_orderdate, l.l_shipdate) < 90 THEN '30-89d'
+                ELSE '90d+' END AS delay_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)), 6)
+             AS avg_delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="EXT fulfillment-delay profile: lineitem joined BACK to orders "
+    "(the fact-to-fact equi-join on orderkey — the join class that "
+    "dominates 100 TB star schemas when the dimension stops fitting in "
+    "a broadcast), delay = shipdate - orderdate banded to 3 buckets, "
+    "rolled up per priority. At scale both sides shuffle on orderkey "
+    "(or better, are bucketed on it at write time — see "
+    "sources/layout.py); the band CASE is a scan-side expression so "
+    "only (priority, band) pairs reach the final 15-row agg. Integer "
+    "datediff — no float drift anywhere until the final avg, rounded",
+)
+def q_lineitem_shipping_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay < 30, "0-29d").when(delay < 90, "30-89d").otherwise("90d+")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            band.alias("delay_band"),
+            delay.cast("double").alias("delay_days"),
+        )
+        .groupBy("o_orderpriority", "delay_band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            round6(F.avg("delay_days")).alias("avg_delay_days"),
+        )
+    )
+
+
+@register(
+    "supplier_balance_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT s_acctbal,
+             CAST(ntile(10) OVER (ORDER BY s_acctbal, s_suppkey) AS BIGINT) AS decile
+      FROM supplier)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(MIN(s_acctbal), 6) AS min_bal,
+           ROUND(MAX(s_acctbal), 6) AS max_bal,
+           ROUND(AVG(s_acctbal), 6) AS avg_bal
+    FROM d GROUP BY decile
+    """,
+    doc="EXT equal-frequency decile profile over a dimension: ntile(10) "
+    "on account balance (tie-break suppkey so bucket boundaries are "
+    "deterministic cross-engine), then per-decile min/max/avg — the "
+    "classic risk-banding report. Supplier is a DIMENSION (bounded, "
+    "1e4 x SF rows), so a single-partition window sort is the honest "
+    "plan; the fact-scale equivalent is lineitem_price_equidepth, "
+    "which decomposes the same computation through the global-rank "
+    "operator instead",
+)
+def q_supplier_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    d = s.select(
+        "s_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_suppliers"),
+        round6(F.min("s_acctbal")).alias("min_bal"),
+        round6(F.max("s_acctbal")).alias("max_bal"),
+        round6(F.avg("s_acctbal")).alias("avg_bal"),
+    )
+
+
+@register(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders),
+    k AS (SELECT o_custkey, gap_days FROM g WHERE gap_days IS NOT NULL)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(CAST(gap_days AS DOUBLE)), 6) AS avg_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM k JOIN customer c ON k.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="EXT inter-purchase-interval features: per-customer consecutive "
+    "order gaps via lag over (custkey, orderdate, orderkey-tiebreak) — "
+    "ONE shuffle+sort keyed on custkey — then the gap rows roll up per "
+    "market segment through a broadcast customer join. The purchase-"
+    "cadence feature every churn model starts from. Gaps are integer "
+    "day counts (no tz, no float) until the final avg, rounded",
+)
+def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        g.join(F.broadcast(c), g.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            round6(F.avg(F.col("gap_days").cast("double"))).alias("avg_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+    )
