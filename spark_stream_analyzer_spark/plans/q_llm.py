@@ -1237,3 +1237,141 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         _docs(spark, sf_dir), min_containment=0.04, max_df=100
     )
+
+
+# ------------------------------------------------- round-4 additions
+
+
+@register(
+    "corpus_domain_cap_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS pick_rank
+      FROM documents)
+    SELECT doc_id, source, pick_rank
+    FROM r WHERE pick_rank <= 10
+    """,
+    doc="EXT per-domain cap (the C4/RefinedWeb anti-dominance step): keep "
+    "at most K=10 documents per source, chosen by a DETERMINISTIC "
+    "pseudo-random order — md5 of the doc id, identical hex on both "
+    "engines, so the 'random' sample is reproducible and "
+    "oracle-checkable (engine-native hash()/xxhash64 differ across "
+    "engines and would be unverifiable). One window shuffle keyed on "
+    "source; at 100 TB a two-level variant pre-filters with a per-"
+    "partition top-K before the per-source window so no source's rows "
+    "concentrate on one reducer",
+)
+def q_corpus_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("pick_rank"),
+        )
+        .filter(F.col("pick_rank") <= 10)
+    )
+
+
+@register(
+    "corpus_source_quality_profile",
+    oracle=f"""
+    WITH w AS ({_W}),
+    q AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '{TH.TOKEN_PAT}')) AS BIGINT) AS n_tokens,
+        ROUND(
+          0.4::DOUBLE * least(len(words)::DOUBLE / 50.0::DOUBLE, 1.0::DOUBLE)
+          + 0.3::DOUBLE * (1.0::DOUBLE - least(
+              (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+               ELSE (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE / length(text) END) * 4.0::DOUBLE,
+              1.0::DOUBLE))
+          + 0.3::DOUBLE * least(
+              (CASE WHEN len(words) = 0 THEN 0.0::DOUBLE
+               ELSE {TH.duck_stop_hits('words', TH.STOPWORDS['en'])}::DOUBLE / len(words) END) * 5.0::DOUBLE,
+              1.0::DOUBLE), 6) AS quality_score
+      FROM w)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(q.quality_score), 6) AS avg_quality,
+           ROUND(SUM(CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS quality_share
+    FROM q JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="EXT per-source corpus accounting: the doc-level quality/token "
+    "operator (operators/text.py:token_stats) rolled up per source — "
+    "docs, total tokens, mean quality, share passing the 0.5 gate. "
+    "THE dashboard a data-mixing decision reads (which sources are "
+    "worth their token budget). Pipeline-composition shape: the "
+    "registry's other entries check token_stats row-level; this one "
+    "checks it COMPOSES — per-doc quality rounded to 6 first so both "
+    "engines average identical doubles, integer token sums exact",
+)
+def q_corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ts = text.token_stats(d).select("doc_id", "n_tokens", "quality_score")
+    j = ts.join(d.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(
+            F.sum((F.col("quality_score") >= 0.5).cast("int"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("quality_share"),
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH w AS ({_W}),
+    h AS (SELECT doc_id, lang, {_LANG_HITS} FROM w),
+    p AS (SELECT *,
+      CASE WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+           WHEN hits_de > 0 AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+           WHEN hits_fr > 0 AND hits_fr >= hits_es THEN 'fr'
+           WHEN hits_es > 0 THEN 'es'
+           ELSE 'und' END AS pred_lang
+      FROM h)
+    SELECT lang AS true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 6) AS row_share
+    FROM p GROUP BY 1, 2
+    """,
+    doc="EXT classifier evaluation as a query: confusion matrix of the "
+    "language-ID heuristic against the corpus's labeled lang column — "
+    "per (true, predicted) counts and the row-normalized share (recall "
+    "decomposition). The eval harness every heuristic filter needs "
+    "before it gates a 100 TB corpus; zh has no stopword table so its "
+    "row shows exactly where the und fallback routes it. Bounded "
+    "|langs| x |preds| output; the window runs over that tiny table",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = text.language_id(_docs(spark, sf_dir)).select(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    )
+    counts = p.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
+            "row_share"
+        ),
+    )

@@ -533,3 +533,56 @@ def q_streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.expr("cast(floor(val) as bigint)")).alias("value_sum"),
     )
+
+
+# ------------------------------------------------- round-4 additions
+
+
+@register(
+    "streaming_complete_mode_totals",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events WHERE event_id < {EVENT_CAP}
+    GROUP BY event_type
+    """,
+    doc="EXT COMPLETE output mode, LIVE: the third and last of Spark's "
+    "streaming output modes gets its oracle row (update mode: "
+    "streaming_snapshot_stats; append: streaming_session_flush). An "
+    "unwatermarked global aggregation over a 3-batch replay emits the "
+    "FULL result table every batch and the memory sink REPLACES its "
+    "contents; the final table must therefore equal the batch GROUP BY "
+    "over everything — which is precisely complete mode's contract and "
+    "would catch a sink that appends instead of truncates. Complete "
+    "mode only works because the result is BOUNDED (|event types| "
+    "rows) — the state is the result table itself; at 100 TB the same "
+    "topology holds as long as the key space stays dashboard-sized",
+)
+def q_streaming_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "user_id", "event_type").collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_completestream_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 3],
+        fmt=lambda r: f"{r.event_id},{r.user_id},{r.event_type}",
+    )
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        parts[1].cast("long").alias("user_id"),
+        parts[2].alias("event_type"),
+    )
+    # (countDistinct is unsupported in streaming aggregation — Spark
+    # raises; min/max/count are the complete-mode-safe running aggregates)
+    agg = parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )
+    name = f"cmp_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name, spark, "complete")
+    return spark.table(name)

@@ -98,22 +98,22 @@ _DRIVER_PRIORITY = (
     "player_trend",
     "pivot_asof",
     # -- round-4 additions (never sampled) --
-    "tpch_shipping_modes",
-    "tpch_discount_revenue",
-    "tpch_global_sales_role",
-    "tpch_national_market_share",
-    "tpch_parts_multi_supplier",
+    "tpch_forecast_revenue_q6",
+    "orders_pareto_share",
+    "orders_priority_status_contingency",
+    "lineitem_shipping_delay_bands",
+    "supplier_balance_deciles",
+    "customer_order_gap_stats",
     "events_hour_of_week_profile",
     "events_type_transition_matrix",
-    "orders_fiscal_quarter_rollup",
-    "lineitem_shipping_delay_bands",
-    "text_doc_fingerprint",
-    "text_stopword_profile",
-    "dedup_minhash_recall_audit",
-    "similarity_cosine_stats",
-    "embedding_norm_outliers",
-    "customer_order_gap_stats",
-    "supplier_balance_deciles",
+    "events_cusum_drift",
+    "events_minute_resample_gapfill",
+    "embedding_label_cosine_matrix",
+    "embedding_centroid_outliers",
+    "corpus_domain_cap_sample",
+    "corpus_source_quality_profile",
+    "text_langid_confusion",
+    "streaming_complete_mode_totals",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = (
     "similarity_ivf_topk",
     "text_token_stats",
     "text_language_id",
+    "corpus_decontamination",
 )
 
 
