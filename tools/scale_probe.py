@@ -46,6 +46,14 @@ PROBE_QUERIES = [
     "dedup_chunk_exact",
     "multimodal_phash_dedup",
     "similarity_pq_recall_audit",
+    # round-4: the global-rank decomposition family (range exchange +
+    # local rank + broadcast partition offsets — the no-single-reducer
+    # total order). Probing these needs the FACT tables scaled, so
+    # build_corpora also clones orders/lineitem with offset keys and
+    # epsilon-perturbed measures (pure copies would make every value a
+    # 10-way tie, measuring tie-chain pathology instead of rank scaling).
+    "orders_global_rank",
+    "lineitem_price_equidepth",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
@@ -55,6 +63,8 @@ _ROT_SRC = "etaoinshr"
 def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_docs = docs.count()
     n_emb = emb.count()
     dim_expr = "size(embedding)"
@@ -63,6 +73,31 @@ def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
     os.makedirs(f"{base}/x1", exist_ok=True)
     docs.write.mode("overwrite").parquet(f"{base}/x1/documents.parquet")
     emb.write.mode("overwrite").parquet(f"{base}/x1/embeddings.parquet")
+    orders.write.mode("overwrite").parquet(f"{base}/x1/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(f"{base}/x1/lineitem.parquet")
+
+    # fact copies for the rank family: offset keys, epsilon-shift measures
+    # so the xN corpus has a real total order (not 10-way value ties)
+    def _fact_union(df, key_col: str, measure_col: str):
+        parts = [df]
+        for k in range(1, factor):
+            parts.append(
+                df.withColumn(key_col, F.col(key_col) + F.lit(k * 1_000_000_000))
+                .withColumn(
+                    measure_col, F.col(measure_col) + F.lit(k * 1e-3)
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    _fact_union(orders, "o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/x{factor}/orders.parquet")
+    _fact_union(lineitem, "l_orderkey", "l_extendedprice").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/x{factor}/lineitem.parquet")
 
     doc_copies = []
     emb_copies = []
@@ -96,15 +131,20 @@ def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
     big_emb.write.mode("overwrite").parquet(f"{base}/x{factor}/embeddings.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    from spark_stream_analyzer_spark.session import unpersist_rdds
+
     qs = registry.queries()
     out: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in PROBE_QUERIES:
         t0 = time.perf_counter()
         n = len(qs[name](spark, sf_dir).collect())
         out[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
         print(f"# {sf_dir}: {name}: {out[name]:.2f}s ({n} rows)", file=sys.stderr)
-    return out
+        unpersist_rdds(spark)  # same checkpoint-residue sweep as bench.py
+    return out, rows
 
 
 def main() -> None:
@@ -115,10 +155,10 @@ def main() -> None:
 
     spark = get_spark(app_name="ssa-scale-probe")
     build_corpora(spark, sf_dir, base, factor)
-    t1 = time_queries(spark, f"{base}/x1")
-    t1b = time_queries(spark, f"{base}/x1")  # warm second run: steadier 1x
+    t1, r1 = time_queries(spark, f"{base}/x1")
+    t1b, _ = time_queries(spark, f"{base}/x1")  # warm second run: steadier 1x
     t1 = {k: min(t1[k], t1b[k]) for k in t1}
-    tN = time_queries(spark, f"{base}/x{factor}")
+    tN, rN = time_queries(spark, f"{base}/x{factor}")
 
     report = {
         "sf_dir": sf_dir,
@@ -126,6 +166,11 @@ def main() -> None:
         "x1_sec": t1,
         f"x{factor}_sec": tN,
         "scaling": {k: round(tN[k] / t1[k], 2) for k in t1},
+        "x1_rows": r1,
+        f"x{factor}_rows": rN,
+        "row_scaling": {
+            k: (round(rN[k] / r1[k], 2) if r1[k] else None) for k in r1
+        },
     }
     line = json.dumps(report)
     print(line)
