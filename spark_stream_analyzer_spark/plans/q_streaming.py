@@ -134,6 +134,9 @@ def q_streaming_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)  # replay files consumed
 
     snaps = spark.table(name)
     final = snaps.groupBy("steam_id").agg(
@@ -211,6 +214,9 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)  # replay files consumed
 
     snaps = spark.table(name)
     return snaps.groupBy(
@@ -265,7 +271,9 @@ def _write_batches(rows, outdir: str, batch_of, fmt) -> None:
         _stamp_batch_file(path, b)
 
 
-def _run_to_memory(stream_df, name: str, spark: SparkSession, mode: str) -> None:
+def _run_to_memory(
+    stream_df, name: str, spark: SparkSession, mode: str, workdir: str | None = None
+) -> None:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -281,6 +289,14 @@ def _run_to_memory(stream_df, name: str, spark: SparkSession, mode: str) -> None
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if workdir is not None:
+            # replay files are fully consumed once the query stops; the
+            # memory-sink table holds the result, so the workdir is pure
+            # residue (a 125-query bench session was accumulating one
+            # tempdir per streaming query per run)
+            import shutil
+
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 @register(
@@ -324,7 +340,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(deduped, name, spark, "append")
+    _run_to_memory(deduped, name, spark, "append", workdir=workdir)
     return spark.table(name).groupBy("event_type").agg(
         F.count("*").alias("n_events")
     )
@@ -392,7 +408,7 @@ def q_streaming_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(sessions, name, spark, "append")
+    _run_to_memory(sessions, name, spark, "append", workdir=workdir)
     return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
@@ -470,7 +486,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("delta_s"),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(joined, name, spark, "append")
+    _run_to_memory(joined, name, spark, "append", workdir=workdir)
     return spark.table(name)
 
 
@@ -528,7 +544,7 @@ def q_streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("c_mktsegment").alias("mktsegment"), "val"
     )
     name = f"enr_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(enriched, name, spark, "append")
+    _run_to_memory(enriched, name, spark, "append", workdir=workdir)
     return spark.table(name).groupBy("mktsegment").agg(
         F.count("*").alias("n_events"),
         F.sum(F.expr("cast(floor(val) as bigint)")).alias("value_sum"),
@@ -584,5 +600,5 @@ def q_streaming_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFr
         F.max("user_id").cast("long").alias("max_user"),
     )
     name = f"cmp_{uuid.uuid4().hex[:8]}"
-    _run_to_memory(agg, name, spark, "complete")
+    _run_to_memory(agg, name, spark, "complete", workdir=workdir)
     return spark.table(name)
