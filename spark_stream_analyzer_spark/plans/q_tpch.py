@@ -1355,6 +1355,12 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         half.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
+    # materialize the edge list ONCE: degree, and both iterations' joins,
+    # each consume it — without the checkpoint the distinct + self-join +
+    # co-occurrence filter recomputes per consumer (~5x; measured 9s -> 3s
+    # at sf0.1). Same lineage-cut discipline as dedup.duplicate_clusters;
+    # blocks are reclaimed by the caller's post-collect sweep (bench.py)
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     nn = deg.agg(F.count("*").alias("n_nodes"))  # one row
     pr = deg.crossJoin(F.broadcast(nn)).select(
