@@ -245,3 +245,68 @@ def test_pq_audit_scoring_stays_jvm_side(spark):
     plan = plan_of(spark, "similarity_pq_recall_audit")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- round-4 additions
+
+
+def test_q6_filters_reach_scan_and_no_shuffle_before_agg(spark):
+    """Q6 is the io-path floor: every predicate must be a PushedFilter,
+    and the only exchange is the final 1-row partial-agg merge."""
+    plan = plan_of(spark, "tpch_forecast_revenue_q6")
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, frag
+    assert "Join" not in plan
+
+
+def test_pareto_ranks_aggregated_rows_not_fact(spark):
+    """The window must run over the per-customer AGGREGATE — in the
+    formatted tree (parents print first) Window is an ANCESTOR of
+    HashAggregate, so its line appears earlier; and the fact is combined
+    map-side (partial_sum) before any exchange."""
+    plan = plan_of(spark, "orders_pareto_share")
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contingency_windows_run_over_cell_table(spark):
+    """Marginal sums are windows over the 15-cell aggregate — the fact is
+    scanned exactly once."""
+    plan = plan_of(spark, "orders_priority_status_contingency")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_delay_bands_joins_on_orderkey_then_aggregates(spark):
+    plan = plan_of(spark, "lineitem_shipping_delay_bands")
+    # partial aggregation must exist (map-side combine before the band agg)
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_spine_is_broadcast_not_fact_rescan(spark):
+    """The dense hour spine comes from the 1-row range agg crossed with
+    the distinct type list — both broadcast; the left join against bucket
+    counts must be a broadcast hash join, not a shuffled one."""
+    plan = plan_of(spark, "events_minute_resample_gapfill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_centroid_queries_have_no_python_and_no_product(spark):
+    for name in ("embedding_label_cosine_matrix", "embedding_centroid_outliers"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_is_single_window_over_source(spark):
+    plan = plan_of(spark, "corpus_domain_cap_sample")
+    assert plan.count("Window") == 1
+    assert "Scan parquet" in plan
