@@ -277,11 +277,20 @@ def test_pareto_ranks_aggregated_rows_not_fact(spark):
     assert "CartesianProduct" not in plan
 
 
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes named exactly `name` in the details section
+    ("(N) Name" lines) — plain substring counts also hit the tree echo
+    and prefixed nodes (Window vs WindowGroupLimit)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\s*$", plan, re.M))
+
+
 def test_contingency_windows_run_over_cell_table(spark):
     """Marginal sums are windows over the 15-cell aggregate — the fact is
     scanned exactly once."""
     plan = plan_of(spark, "orders_priority_status_contingency")
-    assert plan.count("Scan parquet") == 1
+    assert _nodes(plan, "Scan parquet") == 1
 
 
 def test_delay_bands_joins_on_orderkey_then_aggregates(spark):
@@ -306,7 +315,12 @@ def test_centroid_queries_have_no_python_and_no_product(spark):
         assert "CartesianProduct" not in plan
 
 
-def test_domain_cap_is_single_window_over_source(spark):
+def test_domain_cap_is_single_window_with_group_limit_pushdown(spark):
+    """One per-source window; Spark 4 additionally pushes the rank<=K
+    filter down as WindowGroupLimit on BOTH sides of the exchange (a
+    partial top-K per map partition) — pin that, it is precisely the
+    optimization that keeps a hot domain from flooding one reducer."""
     plan = plan_of(spark, "corpus_domain_cap_sample")
-    assert plan.count("Window") == 1
-    assert "Scan parquet" in plan
+    assert _nodes(plan, "Window") == 1
+    assert plan.count("WindowGroupLimit") >= 2
+    assert _nodes(plan, "Scan parquet") == 1
