@@ -96,3 +96,39 @@ def test_jdbc_batch_writer_is_replay_idempotent(spark, tmp_path):
     assert (
         out.select("steam_id", "second", "batch_id").distinct().count() == out.count()
     )
+
+
+def test_postgres_dialect_type_mapping_pinned(spark):
+    """The reference sinks to Postgres (reference
+    spark/SparkStreamingService.java:260-277); no Postgres server exists
+    in this container, but the DIALECT is a driver-side pure function —
+    pin Spark's PostgresDialect type mapping for exactly the snapshot
+    schema our JDBC sink writes, so a Spark upgrade or a schema edit
+    that would break the CREATE TABLE against a real Postgres fails
+    here first (Derby exercises the wire contract; this pins the
+    Postgres DDL contract).
+    """
+    jvm = spark._jvm
+    dialects = jvm.org.apache.spark.sql.jdbc.JdbcDialects
+    d = dialects.get("jdbc:postgresql://host/db")
+    assert "PostgresDialect" in d.toString()
+
+    types = jvm.org.apache.spark.sql.types
+    def scala_obj(name):
+        return getattr(getattr(types, name + "$"), "MODULE$")
+
+    expected = {
+        "StringType": "TEXT",      # steam_id / player_name (PG strings are TEXT)
+        "LongType": "BIGINT",       # kills/deaths/assists/batch_id
+        "DoubleType": "FLOAT8",     # damage / kd_ratio
+        "IntegerType": "INTEGER",
+        "TimestampType": "TIMESTAMP",
+    }
+    for tname, want in expected.items():
+        got = d.getJDBCType(scala_obj(tname))
+        assert got.isDefined(), tname
+        name = got.get().databaseTypeDefinition()
+        assert want in name, f"{tname}: {name} !~ {want}"
+    # identifier quoting: our writer DELETEs on "batch_id" (quoted,
+    # lowercase) — that must be exactly how the dialect quotes it
+    assert d.quoteIdentifier("batch_id") == '"batch_id"'
