@@ -124,8 +124,17 @@ def test_postgres_dialect_type_mapping_pinned(spark):
         "IntegerType": "INTEGER",
         "TimestampType": "TIMESTAMP",
     }
+    # Spark resolves a column type as dialect override -> common default
+    # (JdbcUtils.getJdbcType); mirror exactly that
+    jdbc_utils = getattr(
+        getattr(jvm.org.apache.spark.sql.execution.datasources.jdbc, "JdbcUtils$"),
+        "MODULE$",
+    )
     for tname, want in expected.items():
-        got = d.getJDBCType(scala_obj(tname))
+        dt = scala_obj(tname)
+        got = d.getJDBCType(dt)
+        if not got.isDefined():
+            got = jdbc_utils.getCommonJDBCType(dt)
         assert got.isDefined(), tname
         name = got.get().databaseTypeDefinition()
         assert want in name, f"{tname}: {name} !~ {want}"
