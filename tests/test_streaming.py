@@ -660,3 +660,35 @@ def test_tws_stream_raises_clearly_without_protobuf(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         snapshot_player_stats_stream_tws(events)
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow — the batch-drain mode a scheduled ingest job
+    uses (process everything present, respecting maxFilesPerTrigger
+    batch boundaries, then stop WITHOUT an external stop()): two replay
+    files must surface as two micro-batches and the query must
+    terminate on its own with all rows in the sink.
+    """
+    src = tmp_path / "src_an"
+    src.mkdir()
+    _write(src, "000.txt", KILL_B0)
+    _write(src, "001.txt", "x,25600,2,Dana,S_D,x,x,Bob,S_B,x,x,,\n")
+
+    events = parse_kill_lines(file_lines_stream(spark, str(src)))
+    q = (
+        events.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_available_now")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(60), "availableNow query must self-terminate"
+    rows = spark.sql("SELECT * FROM t_available_now").collect()
+    # batch 0: 3 kill-line roles (killer/victim/assister), batch 1: 2
+    # (blank assister dropped by the parser's emptiness guard)
+    assert len(rows) == 5
+    batch_count = (
+        q.lastProgress["batchId"] + 1 if q.lastProgress else None
+    )
+    assert batch_count == 2, f"expected 2 micro-batches, saw {batch_count}"
+    spark.catalog.dropTempView("t_available_now")
