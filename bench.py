@@ -58,10 +58,11 @@ def main() -> None:
     # run it at the smallest SF so the warm-up costs <1s
     _small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(_small):
-        try:
-            registry.queries()["wire_parse_kills"](spark, _small).collect()
-        except Exception:  # noqa: BLE001
-            pass
+        for _wq in ("wire_parse_kills", "wire_parse_damages"):
+            try:
+                registry.queries()[_wq](spark, _small).collect()
+            except Exception:  # noqa: BLE001
+                pass
 
     # ... and the Structured Streaming machinery (micro-batch planner,
     # state store, Python state workers): the first streaming query
