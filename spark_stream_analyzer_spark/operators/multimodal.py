@@ -1,11 +1,13 @@
 """Multimodal-column plumbing (EXT): opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched ``mapInPandas``.
 
-The real decoders (PIL / ffmpeg / soundfile) are NOT in this container,
-so the decode step is split:
+Decoders for COMPRESSED formats (PIL / ffmpeg / soundfile) are NOT in
+this container, so the decode step is split:
 
 * :func:`decode_image` / :func:`decode_audio` — the production entry
-  points, clearly-marked stubs raising :class:`NotImplementedError`;
+  points; dependency-free formats decode for REAL (16-bit PCM WAV via
+  stdlib ``wave``, binary PPM via numpy — round-4), compressed formats
+  raise a clearly-gated :class:`NotImplementedError`;
 * :func:`fake_decode_stats` / :func:`fake_frame_sample` — deterministic
   stand-ins computing the same *shapes* (per-item metadata row, 1→N frame
   fan-out) from the real bytes, so the Spark-side plumbing — schema,
@@ -61,15 +63,28 @@ MAX_FRAMES = 5
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to pixels + metadata.
 
-    STUB: image libs (PIL/cv2) are not available in this environment.
-    The pipeline shape around it is exercised via fake_decode_stats.
+    Binary PPM (P6) decodes for REAL (pure numpy — :func:`decode_ppm`);
+    compressed formats (JPEG/PNG) need PIL/cv2, which are not in this
+    container, and raise with a clear gate.
     """
-    raise NotImplementedError("image decoding requires PIL/cv2 (not in this env)")
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "JPEG/PNG decoding requires PIL/cv2 (not in this env); P6 PPM decodes natively"
+    )
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Decode an audio payload to samples + metadata. STUB (see decode_image)."""
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not in this env)")
+    """Decode an audio payload to samples + metadata.
+
+    RIFF/WAVE (16-bit PCM) decodes for REAL (stdlib ``wave`` + numpy —
+    :func:`decode_wav`); compressed codecs (MP3/OGG/FLAC) need
+    soundfile/ffmpeg and raise with a clear gate."""
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "compressed audio requires soundfile/ffmpeg (not in this env); WAV decodes natively"
+    )
 
 
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -226,3 +241,188 @@ def phash_dedup(feats: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             (F.col("n_same_hash") > 1).cast("int").alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4: REAL decoders for dependency-free formats (WAV via stdlib
+# `wave`, binary PPM via numpy). The NotImplementedError stubs above
+# remain only for formats that genuinely need external libs (JPEG/PNG/MP3).
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE payloads — stdlib ``wave`` parses
+    the container, numpy folds the PCM samples. No external deps; raises
+    ``wave.Error`` on non-WAV bytes (compressed formats stay behind
+    :func:`decode_audio`'s documented gate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM is decoded here")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples * samples))) if len(samples) else 0.0
+    return {
+        "sample_rate": sr,
+        "n_channels": nch,
+        "n_samples": n,
+        "duration_s": n / sr if sr else 0.0,
+        "rms": rms,
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6) payloads — pure numpy.
+    Header: ``P6 <w> <h> <maxval>\\n`` then w*h*3 raw bytes."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only binary PPM (P6) is decoded here")
+    # header tokens may be separated by any whitespace; comments (#) are
+    # legal in PPM but our encoder never writes them
+    parts = payload.split(maxsplit=4)
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    pixel_bytes = payload[-(w * h * 3):]
+    px = np.frombuffer(pixel_bytes, dtype=np.uint8).astype(np.float64)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "mean_pixel": float(px.mean()) if len(px) else 0.0,
+    }
+
+
+def audio_decode_stats(df: DataFrame) -> DataFrame:
+    """WAV payloads → per-item audio metadata via Arrow mapInPandas —
+    the REAL decode path (container parse + PCM fold), not a stand-in."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_wav(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": m["sample_rate"],
+                        "n_channels": m["n_channels"],
+                        "n_samples": m["n_samples"],
+                        "duration_s": round(m["duration_s"], 6),
+                        "rms": round(m["rms"], 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def image_decode_stats(df: DataFrame) -> DataFrame:
+    """PPM payloads → per-item image metadata (real header+pixel parse)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_ppm(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_pixels": m["n_pixels"],
+                        "mean_pixel": round(m["mean_pixel"], 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, IMAGE_SCHEMA)
+
+
+def synth_wav_payloads(df: DataFrame) -> DataFrame:
+    """Encode a REAL 16-bit mono WAV per doc — ``wave`` writes the RIFF
+    container, samples are a doc_id-derived square wave (amplitude
+    a = 1000 + (doc_id%10)*500, so RMS == a exactly and the DuckDB
+    oracle can predict every decoded stat in closed form)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 800 + int(doc_id) % 7 * 160
+                a = 1000 + int(doc_id) % 10 * 500
+                samples = np.empty(n, dtype="<i2")
+                samples[0::2] = a
+                samples[1::2] = -a
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def synth_ppm_payloads(df: DataFrame) -> DataFrame:
+    """Encode a REAL binary-PPM (P6) image per doc — constant pixel value
+    v = doc_id % 256 over a (4+doc_id%5) x (3+doc_id%4) canvas, so the
+    decoded mean_pixel is exactly v."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 4 + int(doc_id) % 5
+                h = 3 + int(doc_id) % 4
+                v = int(doc_id) % 256
+                header = f"P6 {w} {h} 255\n".encode()
+                payloads.append(header + bytes([v]) * (w * h * 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)

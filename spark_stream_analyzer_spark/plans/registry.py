@@ -114,6 +114,8 @@ _DRIVER_PRIORITY = (
     "corpus_source_quality_profile",
     "text_langid_confusion",
     "streaming_complete_mode_totals",
+    "multimodal_wav_decode_stats",
+    "multimodal_ppm_decode_stats",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",

@@ -545,3 +545,48 @@ def test_containment_catches_planted_doc_in_doc(spark):
     assert [(p.doc_a, p.doc_b) for p in out] == [(0, 1)]
     assert out[0].containment_a == pytest.approx(1.0)
     assert out[0].containment_b < 0.2
+
+
+def test_decode_wav_is_a_real_riff_parser():
+    """decode_audio must parse genuine WAV bytes (not fingerprint them):
+    a hand-built 16-bit mono RIFF file decodes to its true sample count
+    and RMS, and non-RIFF bytes hit the documented compressed-codec
+    gate."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_stream_analyzer_spark.operators.multimodal import decode_audio
+
+    samples = np.array([3000, -3000] * 50, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    m = decode_audio(buf.getvalue())
+    assert m["sample_rate"] == 16000
+    assert m["n_channels"] == 1
+    assert m["n_samples"] == 100
+    assert m["duration_s"] == 100 / 16000
+    assert m["rms"] == 3000.0
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00 mp3-ish bytes")
+
+
+def test_decode_ppm_parses_header_and_pixels():
+    import pytest as _pytest
+
+    from spark_stream_analyzer_spark.operators.multimodal import decode_image
+
+    payload = b"P6 3 2 255\n" + bytes([10, 20, 30]) * 6
+    m = decode_image(payload)
+    assert (m["width"], m["height"], m["n_pixels"]) == (3, 2, 6)
+    assert m["mean_pixel"] == 20.0
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
