@@ -31,6 +31,10 @@ ARROW_PYTHON_OK = {
     "multimodal_resize_stats",
     "multimodal_feature_extract",
     "multimodal_phash_dedup",  # pHash bits derive from the mapInPandas features
+    # round-4 REAL codecs: wave/PPM encode+decode are Python by design
+    # (the whole point is exercising the Arrow binary-payload path)
+    "multimodal_wav_decode_stats",
+    "multimodal_ppm_decode_stats",
 }
 
 # Live Structured Streaming queries run their plan through a memory-sink
