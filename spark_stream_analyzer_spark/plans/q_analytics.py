@@ -1114,3 +1114,148 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     return p.select("vec_id", "label", cos.alias("centroid_cosine")).filter(
         F.col("centroid_cosine") < 0.0
     )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands / interval builds (round-4b)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ),
+    isl AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS start_day
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MIN(start_day) AS first_day
+    FROM isl GROUP BY user_id
+    """,
+    doc="EXT gaps-and-islands: per-user consecutive-day activity streaks "
+    "via the day − row_number() island key — the classic sessionize-on-"
+    "a-calendar shape (login streaks, SLA uptime runs, coverage gaps). "
+    "One exchange total: the (user, day) spine is distinct-ed, the "
+    "window runs partitioned by user, and both downstream groupBys key "
+    "on supersets of user_id so Spark reuses the same hash partitioning "
+    "(ClusteredDistribution is satisfied by a subset partitioning) — at "
+    "100 TB the cost is one shuffle of the distinct day spine, not the "
+    "raw event log",
+)
+def q_events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp("ts").cast("long") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    isl = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    return isl.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.min("start_day").alias("first_day"),
+    )
+
+
+@register(
+    "events_state_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, sec, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    seg AS (
+      SELECT user_id, event_type, sec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM chg
+    ),
+    iv AS (
+      SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+             event_type AS state,
+             MIN(sec) AS valid_from_sec,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY user_id, seg_id, event_type
+    )
+    SELECT user_id, seg_id, state, valid_from_sec,
+           LEAD(valid_from_sec) OVER (PARTITION BY user_id ORDER BY seg_id)
+             AS valid_to_sec,
+           n_events
+    FROM iv
+    """,
+    doc="EXT SCD2-style interval build (change-data-capture collapse): "
+    "per-user event-type runs become validity intervals — consecutive "
+    "equal states collapse into one row with [valid_from, valid_to) "
+    "bounds, valid_to = next segment's start (NULL = current). The "
+    "change-flag + running-sum segmentation and the closing LEAD all "
+    "share one user_id hash partitioning (single exchange); this is the "
+    "standard dimension-history build every warehouse derives from an "
+    "event log, and at 100 TB it is sort-within-partition bound, not "
+    "shuffle bound",
+)
+def q_events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    chg = e.withColumn(
+        "is_new",
+        F.when(
+            ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    seg = chg.withColumn(
+        "seg_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = seg.groupBy("user_id", "seg_id", F.col("event_type").alias("state")).agg(
+        F.min("sec").alias("valid_from_sec"), F.count("*").alias("n_events")
+    )
+    ws = Window.partitionBy("user_id").orderBy("seg_id")
+    return iv.select(
+        "user_id",
+        "seg_id",
+        "state",
+        "valid_from_sec",
+        F.lead("valid_from_sec").over(ws).alias("valid_to_sec"),
+        "n_events",
+    )

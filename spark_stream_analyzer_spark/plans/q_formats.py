@@ -1,0 +1,190 @@
+"""Self-describing file-format round trips (EXT — source-format surface).
+
+The reference ingests exactly one wire format: positional CSV lines over
+Kafka (`/root/reference/src/main/java/edu/ch/unibas/dis/spark/
+SparkStreamingService.java:136-158` splits by index, no quoting, no
+malformed-row policy — a blank field is its only error signal). A corpus
+engine needs the self-describing formats around that: quoted/escaped CSV
+with embedded delimiters and newlines, and JSONL with an explicit
+malformed-record policy. These queries exercise Spark's real CSV/JSON
+readers on files the query itself wrote, and the DuckDB oracle computes
+the expected aggregate straight from the parquet truth — so any
+quoting/escaping/PERMISSIVE-mode defect shows up as a hash mismatch, not
+a silently different corpus.
+
+Harness boundary (same contract as the streaming replay queries): the
+round trip materializes its tiny aggregate eagerly, removes the tmp
+files, and returns a local DataFrame — the distributed write/read is
+real Spark (``df.write.csv`` / ``spark.read.json`` across all
+partitions); only the ≤ |sources| result rows touch the driver.
+
+At 100 TB both shapes stay scan-shaped: the write is
+partition-parallel, the read-back is a distributed file scan with the
+aggregation pushed into partial aggregates; nothing here is driver-bound
+except the final handful of result rows.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.plans.registry import register
+from spark_stream_analyzer_spark.sources.tables import load_table
+
+#: modulus keeping per-doc checksum terms small enough that a 100 TB
+#: corpus-sized SUM stays far inside int64
+_CK_MOD = 1_000_000_007
+
+#: Spark-side gnarly-text injection, keyed on doc_id % 4 — each branch
+#: plants a different CSV landmine (delimiter, quote, newline,
+#: significant whitespace). The oracle mirrors it in DuckDB verbatim.
+_SPARK_GNARLY = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN replace(text, ' ', ', ')"
+    " WHEN 1 THEN replace(text, ' ', '\"')"
+    " WHEN 2 THEN replace(text, ' ', char(10))"
+    " ELSE concat('  ', text, ' ') END"
+)
+
+_DUCK_GNARLY = (
+    "CASE doc_id % 4"
+    " WHEN 0 THEN replace(text, ' ', ', ')"
+    " WHEN 1 THEN replace(text, ' ', '\"')"
+    " WHEN 2 THEN replace(text, ' ', chr(10))"
+    " ELSE concat('  ', text, ' ') END"
+)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, {_DUCK_GNARLY} AS text FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+           CAST(SUM({TH.duck_hash60("text")} % {_CK_MOD}) AS BIGINT) AS checksum
+    FROM g GROUP BY source
+    """,
+    doc="EXT quoted-CSV round trip: doc text is salted with embedded "
+    "delimiters, double quotes, newlines, and significant leading/"
+    "trailing whitespace (doc_id % 4 picks the landmine), written with "
+    "Spark's CSV writer (RFC-4180 quote-doubling via escape='\"', "
+    "whitespace trimming OFF — the write-side default silently trims!) "
+    "and read back with multiLine=true. The per-source md5 checksum is "
+    "computed from the READ-BACK text, the oracle computes it from the "
+    "parquet truth — any character lost or altered in flight mismatches",
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_SPARK_GNARLY).alias("text")
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_csvrt_")
+    try:
+        (
+            docs.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(workdir)
+        )
+        back = (
+            spark.read.schema("doc_id long, source string, text string")
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(workdir)
+        )
+        agg = (
+            back.select(
+                "source",
+                F.coalesce("text", F.lit("")).alias("text"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_len"),
+                F.sum(F.expr(f"{TH.spark_hash60('text')} % {_CK_MOD}")).alias(
+                    "checksum"
+                ),
+            )
+        )
+        rows = agg.collect()  # ≤ |sources| rows — harness boundary
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs long, sum_len long, checksum long"
+    )
+
+
+@register(
+    "source_json_corrupt_tolerance",
+    oracle="""
+    SELECT
+      CAST(COUNT(CASE WHEN event_id % 7 <> 3 THEN 1 END) AS BIGINT) AS n_good,
+      CAST(COUNT(CASE WHEN event_id % 7 = 3 THEN 1 END) AS BIGINT) AS n_corrupt,
+      CAST(SUM(CASE WHEN event_id % 7 <> 3
+               THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_value_good,
+      CAST(COUNT(DISTINCT CASE WHEN event_id % 7 <> 3 THEN user_id END)
+           AS BIGINT) AS n_users_good
+    FROM events
+    """,
+    doc="EXT JSONL ingestion with a malformed-record policy: every "
+    "event_id % 7 == 3 line is deterministically mangled (truncated "
+    "mid-object — Jackson tolerates trailing garbage, so a dangling "
+    "brace is NOT enough to trip the parser) before the file hits disk; "
+    "the PERMISSIVE read routes those "
+    "lines into _corrupt_record with all data columns NULL instead of "
+    "killing the job — the behavior a 100 TB web-scrape ingest depends "
+    "on, where some fraction of lines is ALWAYS broken. Good-row sums "
+    "run in DECIMAL so the verdict is exact under any partition/merge "
+    "order; the oracle derives the same counts from the parquet truth "
+    "using the same id rule",
+)
+def q_source_json_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    line = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    mangled = F.when(
+        F.col("event_id") % 7 == 3,
+        F.expr("substr(l, 1, length(l) - 5)"),
+    ).otherwise(F.col("l"))
+    workdir = tempfile.mkdtemp(prefix="ssa_jsonrt_")
+    try:
+        (
+            ev.select("event_id", line.alias("l"))
+            .select(mangled.alias("value"))
+            .write.mode("overwrite")
+            .text(workdir)
+        )
+        back = (
+            spark.read.schema(
+                "event_id long, user_id long, event_type string,"
+                " value double, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(workdir)
+        )
+        good = F.col("_corrupt_record").isNull()
+        agg = back.agg(
+            F.count(F.when(good, 1)).alias("n_good"),
+            F.count(F.when(~good, 1)).alias("n_corrupt"),
+            F.sum(F.when(good, F.col("value").cast("decimal(18,6)")))
+            .cast("double")
+            .alias("sum_value_good"),
+            F.countDistinct(F.when(good, F.col("user_id"))).alias("n_users_good"),
+        )
+        rows = agg.collect()  # 1 row — harness boundary
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_good long, n_corrupt long, sum_value_good double, n_users_good long",
+    )

@@ -1430,3 +1430,141 @@ def q_multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = _docs(spark, sf_dir)
     return mm.image_decode_stats(mm.synth_ppm_payloads(d))
+
+
+# ------------------------------------------------- round-4b: dedup-aware splits
+
+_CLUSTERS_CTE = f"""
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.b AS id, rr.r FROM reach rr JOIN edges e ON e.a = rr.id),
+    cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "corpus_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    {_CLUSTERS_CTE},
+    rep AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_rep
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+    SELECT doc_id, cluster_rep, CAST(b AS BIGINT) AS bucket,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_rep,
+                 {splitops.duck_hash_bucket("cluster_rep", "css")} AS b
+          FROM rep)
+    """,
+    doc="EXT leakage-safe train/val/test split: near-dup clusters (LSH "
+    "pairs → connected components) are assigned to splits ATOMICALLY by "
+    "hashing the cluster representative, so no near-duplicate pair can "
+    "straddle train and test — the contamination mode a plain per-doc "
+    "hash split cannot prevent and the reason dedup must run before "
+    "splitting in every serious corpus pipeline. Unclustered docs hash "
+    "their own id (rep = coalesce(cluster, doc)); same zero-reassignment "
+    "append-stability as corpus_hash_split, and the only extra cost over "
+    "the CC build is one broadcast-size left join",
+)
+def q_corpus_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import split as so
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_duplicate_pairs(docs, min_jaccard=0.02)
+    cl = dedup.duplicate_clusters(pairs)
+    rep = docs.select("doc_id").join(cl, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_rep")
+    )
+    out = so.hash_split(rep, id_col="cluster_rep", salt="css")
+    return out.select(
+        "doc_id", "cluster_rep", F.col("bucket").cast("long").alias("bucket"), "split"
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    {_CLUSTERS_CTE}
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
+    """,
+    doc="EXT end-to-end near-dedup keep-list: LSH candidate pairs → "
+    "connected components → keep exactly one doc per duplicate cluster "
+    "(the min-id representative) — the final materialized step of the "
+    "dedup workflow, i.e. the corpus a training run would actually read. "
+    "The keep decision is a broadcast-size left join against the cluster "
+    "map (clusters are the rare case; the map is |clustered docs| rows, "
+    "orders of magnitude smaller than the corpus), so at 100 TB the "
+    "survivor scan is corpus-linear with no extra shuffle",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_duplicate_pairs(docs, min_jaccard=0.02)
+    cl = dedup.duplicate_clusters(pairs)
+    return (
+        docs.join(F.broadcast(cl), "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "text_intradoc_dup_chunks",
+    oracle=f"""
+    WITH w AS ({_W}),
+    c AS (
+      SELECT doc_id, len(words) AS nw,
+             list_transform(range(1, len(words) + 1, 4),
+                            i -> array_to_string(words[i:i+3], ' ')) AS chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((nw + 3) // 4 AS BIGINT) AS n_chunks,
+           CAST(CASE WHEN nw = 0 THEN 0
+                ELSE len(chunks) - len(list_distinct(chunks)) END AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(CASE WHEN nw = 0 THEN 0.0::DOUBLE
+                 ELSE (len(chunks) - len(list_distinct(chunks)))::DOUBLE
+                      / len(chunks) END, 6) AS dup_chunk_fraction
+    FROM c
+    """,
+    doc="EXT intra-document duplicate-chunk stats (the RefinedWeb / "
+    "Gopher repetition rule at paragraph granularity): each doc's token "
+    "stream is cut into consecutive 4-word chunks and the duplicated-"
+    "chunk fraction is measured WITHIN the doc — high values mark "
+    "boilerplate/spam pages that cross-doc dedup never sees. Pure "
+    "per-row array expressions (transform + array_distinct on a bounded "
+    "chunk list), zero shuffle, zero explode — at 100 TB this is a "
+    "single scan riding whatever partitioning the corpus already has",
+)
+def q_text_intradoc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wdf = text.with_words(_docs(spark, sf_dir))
+    nw = F.size("words")
+    chunks = F.expr(
+        "transform(sequence(1, greatest(size(words), 1), 4),"
+        " i -> concat_ws(' ', slice(words, i, 4)))"
+    )
+    c = wdf.select("doc_id", nw.alias("nw"), chunks.alias("chunks"))
+    n_chunks = ((F.col("nw") + 3) / 4).cast("long")
+    n_dup = F.when(F.col("nw") == 0, F.lit(0)).otherwise(
+        F.size("chunks") - F.size(F.array_distinct("chunks"))
+    )
+    frac = F.when(F.col("nw") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.size("chunks") - F.size(F.array_distinct("chunks"))).cast("double")
+            / F.size("chunks"),
+            6,
+        )
+    )
+    return c.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        n_dup.cast("long").alias("n_dup_chunks"),
+        frac.alias("dup_chunk_fraction"),
+    )

@@ -1664,3 +1664,78 @@ def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").cast("long").alias("max_gap_days"),
         )
     )
+
+
+@register(
+    "part_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1
+      JOIN e e2 ON e1.pb = e2.pa
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    pt AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pt GROUP BY part
+    """,
+    doc="EXT graph triangle counting (clustering-coefficient numerator) "
+    "over the part co-occurrence graph: support-thresholded edges are "
+    "oriented part_a < part_b, so each triangle {a<b<c} is enumerated "
+    "exactly once by joining wedge (a→b, b→c) against closing edge "
+    "(a→c). Orientation is the scale trick — on an oriented graph every "
+    "node's out-degree is bounded by its higher-id neighbors, so the "
+    "wedge join is Σ out-deg² (the compact-forward algorithm), never "
+    "the unoriented Σ deg²; edges themselves come from the same "
+    "basket-bounded co-occurrence join as part_cooccurrence_pairs. "
+    "Three equality joins on partkeys — all shuffle-hash/sort-merge "
+    "friendly, no cartesian anywhere",
+)
+def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct().repartition("l_orderkey")
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    pt = (
+        tri.select(F.col("a").alias("part"))
+        .unionByName(tri.select(F.col("b").alias("part")))
+        .unionByName(tri.select(F.col("c").alias("part")))
+    )
+    return pt.groupBy("part").agg(F.count("*").alias("n_triangles"))

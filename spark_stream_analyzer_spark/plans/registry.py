@@ -116,6 +116,15 @@ _DRIVER_PRIORITY = (
     "streaming_complete_mode_totals",
     "multimodal_wav_decode_stats",
     "multimodal_ppm_decode_stats",
+    # -- round-4b additions (this session, never sampled) --
+    "events_activity_islands",
+    "events_state_intervals",
+    "part_triangle_count",
+    "corpus_cluster_safe_split",
+    "dedup_survivors",
+    "text_intradoc_dup_chunks",
+    "source_csv_roundtrip",
+    "source_json_corrupt_tolerance",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
@@ -141,6 +150,7 @@ def _load_all() -> None:
         return
     from spark_stream_analyzer_spark.plans import (  # noqa: F401
         q_analytics,
+        q_formats,
         q_llm,
         q_reference,
         q_setops,
