@@ -1149,27 +1149,24 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="EXT gaps-and-islands: per-user consecutive-day activity streaks "
     "via the day − row_number() island key — the classic sessionize-on-"
     "a-calendar shape (login streaks, SLA uptime runs, coverage gaps). "
-    "One exchange total: the (user, day) spine is distinct-ed, the "
-    "window runs partitioned by user, and both downstream groupBys key "
-    "on supersets of user_id so Spark reuses the same hash partitioning "
-    "(ClusteredDistribution is satisfied by a subset partitioning) — at "
-    "100 TB the cost is one shuffle of the distinct day spine, not the "
-    "raw event log",
+    "The raw event log never shuffles: distinct() runs a map-side "
+    "partial aggregate first, so only the (user, day) SPINE crosses the "
+    "wire; the window then re-exchanges that spine on user_id (spine-"
+    "sized, trivial), and the two downstream groupBys reuse the window's "
+    "user_id partitioning (ClusteredDistribution is satisfied by a "
+    "subset partitioning) — at 100 TB total shuffle volume is two "
+    "passes over the tiny day spine, never the log",
 )
 def q_events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    d = (
-        ev.select(
-            "user_id",
-            (F.unix_timestamp("ts").cast("long") / F.lit(86400))
-            .cast("long")
-            .alias("day"),
-        )
-        .repartition("user_id")
-        .distinct()
-    )
+    d = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
     isl = g.groupBy("user_id", "grp").agg(

@@ -54,6 +54,22 @@ PROBE_QUERIES = [
     # 10-way tie, measuring tie-chain pathology instead of rank scaling).
     "orders_global_rank",
     "lineitem_price_equidepth",
+    # round-4b: graph + islands + dedup-aware-split families. Events are
+    # cloned with per-copy user_id offsets, so the xN corpus means N×
+    # USERS with unchanged per-user history — the realistic growth axis
+    # for per-user windows (longer-history growth would instead measure
+    # sort-within-partition, which stays bounded by repartitioning on
+    # (user, day-range) at real scale). Triangle counting rides the
+    # offset-orderkey fact clone: same parts, 10× baskets, so edge
+    # support GROWS and pair/triangle output grows with it — row counts
+    # are recorded to separate output growth from candidate-generation
+    # growth, as with the jaccard family.
+    "part_triangle_count",
+    "events_activity_islands",
+    "events_state_intervals",
+    "corpus_cluster_safe_split",
+    "dedup_survivors",
+    "text_intradoc_dup_chunks",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
@@ -61,10 +77,13 @@ _ROT_SRC = "etaoinshr"
 
 
 def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    events = load_table(spark, sf_dir, "events")  # ts-normalized read
     n_docs = docs.count()
     n_emb = emb.count()
     dim_expr = "size(embedding)"
@@ -75,6 +94,21 @@ def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
     emb.write.mode("overwrite").parquet(f"{base}/x1/embeddings.parquet")
     orders.write.mode("overwrite").parquet(f"{base}/x1/orders.parquet")
     lineitem.write.mode("overwrite").parquet(f"{base}/x1/lineitem.parquet")
+    events.write.mode("overwrite").parquet(f"{base}/x1/events.parquet")
+
+    # events copies: new user ids per copy (N× users, same per-user
+    # history), offset event ids to keep them unique
+    ev_copies = [events]
+    for k in range(1, factor):
+        ev_copies.append(
+            events.withColumn(
+                "event_id", F.col("event_id") + F.lit(k * 1_000_000_000)
+            ).withColumn("user_id", F.col("user_id") + F.lit(k * 1_000_000))
+        )
+    big_ev = ev_copies[0]
+    for e in ev_copies[1:]:
+        big_ev = big_ev.unionByName(e)
+    big_ev.write.mode("overwrite").parquet(f"{base}/x{factor}/events.parquet")
 
     # fact copies for the rank family: offset keys, epsilon-shift measures
     # so the xN corpus has a real total order (not 10-way value ties)
