@@ -64,6 +64,31 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
 
+    # ... and, round-4b: EVERY batch query once at sf0.001 (full warm
+    # pass, ~85s measured). Spot warm-ups kept chasing whichever query
+    # the registry reordering put first in a codegen family (r4: bm25
+    # moved ahead of the other text queries and re-absorbed a 9.4s-cold
+    # vs 1.8s-warm first-use cost); warming the whole surface at the
+    # smallest SF makes the timed pass measure steady-state execution
+    # regardless of ordering. Hard time budget so a slow host degrades
+    # to partial warming instead of blowing the bench wall-clock;
+    # SPARK_GRAFT_BENCH_NOWARM=1 skips (for measuring cold starts).
+    if os.path.isdir(_small) and not os.environ.get("SPARK_GRAFT_BENCH_NOWARM"):
+        from spark_stream_analyzer_spark.session import unpersist_rdds as _unp
+
+        _budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_BUDGET", "120"))
+        _w0 = time.perf_counter()
+        for _name, _build in registry.queries().items():
+            if _name.startswith("streaming_"):
+                continue  # live streams: own warm-up below, no codegen reuse
+            if time.perf_counter() - _w0 > _budget_s:
+                break
+            try:
+                _build(spark, _small).collect()
+                _unp(spark)
+            except Exception:  # noqa: BLE001
+                pass
+
     # ... and the Structured Streaming machinery (micro-batch planner,
     # state store, Python state workers): the first streaming query
     # otherwise absorbs ~5s of one-time setup (measured: same query

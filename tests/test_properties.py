@@ -192,3 +192,96 @@ def test_fuzzy_pairs_complete_vs_bruteforce(spark, base, rnd):
         if i < j and _lev(a, b) <= 1
     }
     assert got == want
+
+
+# ---------------------------------------------------- round-4b operators
+
+
+def _brute_islands(days: set[int]) -> tuple[int, int, int]:
+    """(n_active_days, n_streaks, longest) by linear scan — the obvious
+    Python re-derivation, independent of the window-trick identity."""
+    ds = sorted(days)
+    streaks, cur = [], 1
+    for a, b in zip(ds, ds[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            streaks.append(cur)
+            cur = 1
+    streaks.append(cur)
+    return len(ds), len(streaks), max(streaks)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 5),  # user_id
+        st.sets(st.integers(0, 40), min_size=1, max_size=15),  # active days
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_activity_islands_matches_bruteforce(spark, tmp_path_factory, per_user):
+    import datetime as dt
+
+    rows, eid = [], 0
+    for uid, days in per_user.items():
+        for day in days:
+            eid += 1
+            ts = dt.datetime(1970, 1, 1) + dt.timedelta(days=day, hours=eid % 3)
+            rows.append((eid, uid, ts, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path_factory.mktemp("islands_prop")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    got = {
+        r["user_id"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"])
+        for r in QUERIES["events_activity_islands"].build(spark, str(d)).collect()
+    }
+    want = {uid: _brute_islands(days) for uid, days in per_user.items()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20)
+)
+def test_state_intervals_cover_and_collapse(spark, tmp_path_factory, states):
+    """Intervals must partition the event sequence: counts sum to n,
+    consecutive-equal states never split, adjacent intervals differ."""
+    import datetime as dt
+
+    rows = [
+        (i, 1, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=100 * i), s, 1.0, "{}")
+        for i, s in enumerate(states)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path_factory.mktemp("intervals_prop")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    out = sorted(
+        QUERIES["events_state_intervals"].build(spark, str(d)).collect(),
+        key=lambda r: r["seg_id"],
+    )
+    # run-length encoding of states is the independent expectation
+    rle = []
+    for s in states:
+        if rle and rle[-1][0] == s:
+            rle[-1][1] += 1
+        else:
+            rle.append([s, 1])
+    assert [(r["state"], r["n_events"]) for r in out] == [tuple(x) for x in rle]
+    assert out[-1]["valid_to_sec"] is None  # open current interval
+    # each interval's valid_to equals the next interval's valid_from
+    for a, b in zip(out, out[1:]):
+        assert a["valid_to_sec"] == b["valid_from_sec"]
