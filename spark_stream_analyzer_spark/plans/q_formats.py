@@ -188,3 +188,50 @@ def q_source_json_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
         rows,
         "n_good long, n_corrupt long, sum_value_good double, n_users_good long",
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(floor(epoch(MIN(l_shipdate))) AS BIGINT) AS min_ship_sec,
+           CAST(floor(epoch(MAX(l_shipdate))) AS BIGINT) AS max_ship_sec
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="EXT ORC round trip (the OTHER columnar format Spark ships a "
+    "native vectorized reader for): a lineitem projection spanning "
+    "int64 / double / string / timestamp is written as ORC and read "
+    "back; per-flag counts, DECIMAL-exact quantity sums, and min/max "
+    "ship timestamps (epoch seconds — timestamp fidelity is where "
+    "column formats historically diverge) must equal the parquet truth. "
+    "spark-avro's connector jar is absent from this image (same "
+    "environment class as the Kafka connector), so ORC is the bound of "
+    "in-container format coverage; the read-back scan is vectorized and "
+    "predicate-pushdown-capable exactly like the parquet path",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_orcrt_")
+    try:
+        li.write.mode("overwrite").orc(workdir)
+        back = spark.read.orc(workdir)
+        agg = back.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.unix_timestamp(F.min("l_shipdate")).alias("min_ship_sec"),
+            F.unix_timestamp(F.max("l_shipdate")).alias("max_ship_sec"),
+        )
+        rows = agg.collect()  # ≤ |returnflags| rows — harness boundary
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n_lines long, sum_qty double,"
+        " min_ship_sec long, max_ship_sec long",
+    )

@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = (
     "text_intradoc_dup_chunks",
     "source_csv_roundtrip",
     "source_json_corrupt_tolerance",
+    "source_orc_roundtrip",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",

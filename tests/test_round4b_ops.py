@@ -180,3 +180,13 @@ def test_json_permissive_counts_match_id_rule(spark):
     assert row["n_corrupt"] == expect_bad
     assert row["n_good"] == ev.count() - expect_bad
     assert row["sum_value_good"] > 0
+
+
+def test_orc_roundtrip_counts_and_timestamp_fidelity(spark):
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    out = QUERIES["source_orc_roundtrip"].build(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    assert sum(r["n_lines"] for r in out) == li.count()
+    lo = li.agg(F.unix_timestamp(F.min("l_shipdate"))).collect()[0][0]
+    assert min(r["min_ship_sec"] for r in out) == lo
