@@ -1739,3 +1739,56 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("part")))
     )
     return pt.groupBy("part").agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity / 10) AS BIGINT) AS qband,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus, qband,
+           CAST(GROUPING(l_returnflag, l_linestatus, qband) AS BIGINT) AS gid,
+           ROUND(SUM(l_extendedprice), 6) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM l
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag, qband),
+                            (qband),
+                            ())
+    """,
+    doc="arbitrary GROUPING SETS (completes the family beyond "
+    "ROLLUP/CUBE): four NON-hierarchical slices — (flag,status), "
+    "(flag,qband), (qband), grand total — in ONE pass with grouping_id "
+    "disambiguating which slice a row belongs to (Spark's bit order "
+    "matches DuckDB's GROUPING(): leftmost column = MSB, 1 = "
+    "aggregated-away). Physically a single Expand over the scan feeding "
+    "one partial+final aggregation — at 100 TB that is 4 slice rows per "
+    "input row map-side-combined, versus four separate scans+shuffles "
+    "if the slices ran as independent queries",
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity") / 10).alias("qband"),
+        "l_extendedprice",
+    )
+    return l.groupingSets(
+        [
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag", "qband"],
+            ["qband"],
+            [],
+        ],
+        "l_returnflag",
+        "l_linestatus",
+        "qband",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        round6(F.sum("l_extendedprice")).alias("revenue"),
+        F.count("*").alias("n"),
+    )

@@ -190,3 +190,19 @@ def test_orc_roundtrip_counts_and_timestamp_fidelity(spark):
     assert sum(r["n_lines"] for r in out) == li.count()
     lo = li.agg(F.unix_timestamp(F.min("l_shipdate"))).collect()[0][0]
     assert min(r["min_ship_sec"] for r in out) == lo
+
+
+def test_grouping_sets_slices_partition_by_gid(spark):
+    """gid must discriminate the four slices, and each slice must total
+    the same revenue (they are four views of the same fact)."""
+    out = QUERIES["revenue_grouping_sets"].build(spark, SF).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # (flag,status) → qband null: gid bits 0b001; (flag,qband) → 0b010;
+    # (qband) → 0b110? no: grouping(flag,status,qband) 1=aggregated:
+    # (flag,status)=001, (flag,qband)=010, (qband)=110, ()=111
+    assert set(by_gid) == {1, 2, 6, 7}
+    totals = {g: round(sum(r["revenue"] for r in rows), 2) for g, rows in by_gid.items()}
+    assert len(set(totals.values())) == 1  # every slice sums to the grand total
+    assert len(by_gid[7]) == 1  # single grand-total row
