@@ -602,3 +602,82 @@ def q_streaming_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFr
     name = f"cmp_{uuid.uuid4().hex[:8]}"
     _run_to_memory(agg, name, spark, "complete", workdir=workdir)
     return spark.table(name)
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle=f"""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS cs
+               FROM events WHERE event_type = 'click' AND event_id < {EVENT_CAP}),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ps
+          FROM events WHERE event_type = 'purchase' AND event_id < {EVENT_CAP})
+    SELECT p.purchase_id, c.click_id, p.user_id AS user_id,
+           c.cs - p.ps AS delta_s
+    FROM p LEFT JOIN c ON p.user_id = c.user_id
+                      AND c.cs >= p.ps AND c.cs <= p.ps + 3600
+    """,
+    doc="EXT stream-stream LEFT OUTER interval join, LIVE: the hard half "
+    "of streaming joins — an unmatched purchase may only emit its "
+    "null-extended row once the watermark proves no matching click can "
+    "still arrive (state expiry drives OUTPUT, not just cleanup). Two "
+    "far-future sentinel batches on BOTH streams push the watermark past "
+    "every real purchase's join window and trigger the application "
+    "micro-batch (watermark from batch N applies in N+1), so every "
+    "unmatched purchase emits EXACTLY one null row deterministically; "
+    "span-sized delay keeps interleaved replay rows from being "
+    "late-dropped. Oracle is the equivalent batch LEFT range join",
+)
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "sec", "event_type"
+    ).collect()  # harness boundary
+    max_sec = max(r.sec for r in rows)
+    delay_s = 36_500 * 86_400
+    sent0 = max_sec + delay_s + 2 * 86_400
+    workdir = tempfile.mkdtemp(prefix="ssa_lojstream_")
+    for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+        _write_batches(
+            [r for r in rows if r.event_type == etype],
+            f"{workdir}/{sub}",
+            batch_of=lambda r: [r.event_id % 2],
+            fmt=lambda r: f"{r.event_id},{r.user_id},{r.sec}",
+        )
+        for i, s in ((2, sent0), (3, sent0 + 3600)):
+            with open(f"{workdir}/{sub}/{i:03d}.txt", "w") as f:
+                f.write(f"-1,-1,{s}\n")
+            _stamp_batch_file(f"{workdir}/{sub}/{i:03d}.txt", i)
+
+    def _parse(path: str, prefix: str) -> DataFrame:
+        parts = F.split("value", ",")
+        return file_lines_stream(spark, path).select(
+            parts[0].cast("long").alias(f"{prefix}_id"),
+            parts[1].cast("long").alias(f"{prefix}_user"),
+            F.timestamp_seconds(parts[2].cast("long")).alias(f"{prefix}_ts"),
+        )
+
+    clicks = _parse(f"{workdir}/clicks", "click").withWatermark(
+        "click_ts", f"{delay_s} seconds"
+    )
+    purchases = _parse(f"{workdir}/purchases", "purchase").withWatermark(
+        "purchase_ts", f"{delay_s} seconds"
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("interval 1 hour")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("purchase_user").alias("user_id"),
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")
+        ).cast("long").alias("delta_s"),
+    )
+    name = f"loj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, spark, "append", workdir=workdir)
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = (
     "source_json_corrupt_tolerance",
     "source_orc_roundtrip",
     "revenue_grouping_sets",
+    "streaming_left_outer_join",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",

@@ -206,3 +206,17 @@ def test_grouping_sets_slices_partition_by_gid(spark):
     totals = {g: round(sum(r["revenue"] for r in rows), 2) for g, rows in by_gid.items()}
     assert len(set(totals.values())) == 1  # every slice sums to the grand total
     assert len(by_gid[7]) == 1  # single grand-total row
+
+
+def test_streaming_left_outer_emits_null_rows(spark):
+    """The outer half must actually fire: at least one unmatched purchase
+    emits a null click_id, and matched rows equal the inner-join set."""
+    out = QUERIES["streaming_left_outer_join"].build(spark, SF).collect()
+    nulls = [r for r in out if r["click_id"] is None]
+    matched = [r for r in out if r["click_id"] is not None]
+    assert nulls, "no null-extended rows — watermark never closed any window"
+    assert all(r["delta_s"] is None for r in nulls)
+    assert all(0 <= r["delta_s"] <= 3600 for r in matched)
+    # exactly one row per unmatched purchase (no duplicate null emission)
+    ids = [r["purchase_id"] for r in nulls]
+    assert len(ids) == len(set(ids))
