@@ -235,3 +235,80 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, n_lines long, sum_qty double,"
         " min_ship_sec long, max_ship_sec long",
     )
+
+
+#: XML landmines: markup metacharacters that MUST entity-escape in
+#: flight (&lt; &amp; &quot;) plus embedded newlines
+_SPARK_XML_GNARLY = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN replace(text, ' ', '<')"
+    " WHEN 1 THEN replace(text, ' ', '&')"
+    " WHEN 2 THEN replace(text, ' ', char(10))"
+    " ELSE replace(text, ' ', '\"') END"
+)
+
+_DUCK_XML_GNARLY = (
+    "CASE doc_id % 4"
+    " WHEN 0 THEN replace(text, ' ', '<')"
+    " WHEN 1 THEN replace(text, ' ', '&')"
+    " WHEN 2 THEN replace(text, ' ', chr(10))"
+    " ELSE replace(text, ' ', '\"') END"
+)
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, {_DUCK_XML_GNARLY} AS text FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+           CAST(SUM({TH.duck_hash60("text")} % {_CK_MOD}) AS BIGINT) AS checksum
+    FROM g GROUP BY source
+    """,
+    doc="EXT XML round trip (Spark 4 ships the former spark-xml as a "
+    "built-in source): doc text salted with markup metacharacters — "
+    "'<', '&', double quotes, newlines — that must entity-escape on "
+    "write and un-escape on read; the per-source md5 checksum of the "
+    "READ-BACK text must equal the oracle's checksum of the parquet "
+    "truth. Same distributed write/read + tiny-aggregate harness "
+    "boundary as the CSV/JSON/ORC round trips",
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_SPARK_XML_GNARLY).alias("text")
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_xmlrt_")
+    try:
+        (
+            docs.write.format("xml")
+            .option("rootTag", "docs")
+            .option("rowTag", "doc")
+            .mode("overwrite")
+            .save(workdir)
+        )
+        back = (
+            spark.read.format("xml")
+            .schema("doc_id long, source string, text string")
+            .option("rowTag", "doc")
+            .load(workdir)
+        )
+        agg = (
+            back.select("source", F.coalesce("text", F.lit("")).alias("text"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_len"),
+                F.sum(F.expr(f"{TH.spark_hash60('text')} % {_CK_MOD}")).alias(
+                    "checksum"
+                ),
+            )
+        )
+        rows = agg.collect()  # ≤ |sources| rows — harness boundary
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs long, sum_len long, checksum long"
+    )

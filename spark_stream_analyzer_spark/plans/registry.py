@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = (
     "source_orc_roundtrip",
     "revenue_grouping_sets",
     "streaming_left_outer_join",
+    "source_xml_roundtrip",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",

@@ -220,3 +220,12 @@ def test_streaming_left_outer_emits_null_rows(spark):
     # exactly one row per unmatched purchase (no duplicate null emission)
     ids = [r["purchase_id"] for r in nulls]
     assert len(ids) == len(set(ids))
+
+
+def test_xml_roundtrip_preserves_markup_metacharacters(spark):
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    out = QUERIES["source_xml_roundtrip"].build(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert all(r["checksum"] > 0 for r in out)
