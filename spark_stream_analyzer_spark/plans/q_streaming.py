@@ -680,4 +680,112 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"loj_{uuid.uuid4().hex[:8]}"
     _run_to_memory(joined, name, spark, "append", workdir=workdir)
+    # sentinel exclusion on the SINK table, never in the streaming plan —
+    # an in-pipeline filter would be pushed below EventTimeWatermark and
+    # starve the watermark (see streaming_join_then_window's doc)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "streaming_join_then_window",
+    oracle=f"""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS cs
+               FROM events WHERE event_type = 'click' AND event_id < {EVENT_CAP}),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ps
+          FROM events WHERE event_type = 'purchase' AND event_id < {EVENT_CAP}),
+    j AS (SELECT p.purchase_id, p.ps, c.cs - p.ps AS delta_s
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND c.cs >= p.ps AND c.cs <= p.ps + 3600)
+    SELECT (ps // 86400) * 86400 AS day_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(delta_s) AS BIGINT) AS sum_delta_s
+    FROM j GROUP BY 1
+    """,
+    doc="EXT CHAINED stateful operators, LIVE: a stream-stream interval "
+    "join feeding a tumbling-day windowed aggregation in ONE streaming "
+    "query — two state stores in a single pipeline (the multi-stateful "
+    "topology Spark only made correct in 3.5+ via separate late-event "
+    "and eviction watermarks; the join's interval bound delays the "
+    "window operator's eviction watermark). Dual-stream sentinels push "
+    "the final watermark past every real day window so all of them "
+    "close and emit in append mode. Gotcha pinned here: a sentinel "
+    "filter placed ANYWHERE in the streaming pipeline gets pushed below "
+    "the EventTimeWatermark node by the optimizer and STARVES the "
+    "watermark (the sentinels are dropped before their event times are "
+    "observed — measured: watermark stuck at epoch 0, zero rows "
+    "emitted); sentinels must flow through the plan, and they "
+    "self-exclude because their own far-future day window can never "
+    "close. Oracle = batch join + GROUP BY day",
+)
+def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "sec", "event_type"
+    ).collect()  # harness boundary
+    max_sec = max(r.sec for r in rows)
+    delay_s = 36_500 * 86_400
+    sent0 = max_sec + delay_s + 5 * 86_400
+    workdir = tempfile.mkdtemp(prefix="ssa_jwstream_")
+    for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+        _write_batches(
+            [r for r in rows if r.event_type == etype],
+            f"{workdir}/{sub}",
+            batch_of=lambda r: [r.event_id % 2],
+            fmt=lambda r: f"{r.event_id},{r.user_id},{r.sec}",
+        )
+        for i, s in ((2, sent0), (3, sent0 + 3600)):
+            with open(f"{workdir}/{sub}/{i:03d}.txt", "w") as f:
+                f.write(f"-1,-1,{s}\n")
+            _stamp_batch_file(f"{workdir}/{sub}/{i:03d}.txt", i)
+
+    def _parse(path: str, prefix: str) -> DataFrame:
+        parts = F.split("value", ",")
+        return file_lines_stream(spark, path).select(
+            parts[0].cast("long").alias(f"{prefix}_id"),
+            parts[1].cast("long").alias(f"{prefix}_user"),
+            F.timestamp_seconds(parts[2].cast("long")).alias(f"{prefix}_ts"),
+        )
+
+    clicks = _parse(f"{workdir}/clicks", "click").withWatermark(
+        "click_ts", f"{delay_s} seconds"
+    )
+    purchases = _parse(f"{workdir}/purchases", "purchase").withWatermark(
+        "purchase_ts", f"{delay_s} seconds"
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("interval 1 hour")),
+        "inner",
+    )
+    daily = (
+        joined.select(
+            "purchase_ts",
+            (
+                F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")
+            ).cast("long").alias("delta_s"),
+        )
+        .groupBy(F.window("purchase_ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("delta_s").alias("sum_delta_s"),
+        )
+    )
+    name = f"jw_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(daily, name, spark, "append", workdir=workdir)
+    # sentinel self-exclusion: the sentinel pair's far-future day window
+    # can never close under the final watermark, so it is never emitted;
+    # the bound filter below is pure belt-and-suspenders on the SINK
+    # table (an in-pipeline filter would starve the watermark — above)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("day_start_s"),
+            "n_pairs",
+            "sum_delta_s",
+        )
+        .filter(F.col("day_start_s") <= max_sec)
+    )

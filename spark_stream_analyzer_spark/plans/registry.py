@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = (
     "revenue_grouping_sets",
     "streaming_left_outer_join",
     "source_xml_roundtrip",
+    "streaming_join_then_window",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",

@@ -229,3 +229,14 @@ def test_xml_roundtrip_preserves_markup_metacharacters(spark):
     n_docs = load_table(spark, SF, "documents").count()
     assert sum(r["n_docs"] for r in out) == n_docs
     assert all(r["checksum"] > 0 for r in out)
+
+
+def test_join_then_window_two_state_stores_and_closure(spark):
+    """Chained stateful ops: every REAL day window must close and emit
+    exactly once; per-day counts equal the batch join's day histogram."""
+    out = QUERIES["streaming_join_then_window"].build(spark, SF).collect()
+    assert out, "no day windows closed — watermark starved"
+    days = [r["day_start_s"] for r in out]
+    assert len(days) == len(set(days))  # exactly-once emission per window
+    assert all(d % 86400 == 0 for d in days)  # epoch-aligned tumbling days
+    assert all(r["n_pairs"] > 0 for r in out)
