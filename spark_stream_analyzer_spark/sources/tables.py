@@ -47,11 +47,18 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       conf deliberately stays set for the session so every later events
       read under the same SparkSession decodes consistently);
     * parquet ``timestamp[us]`` WITHOUT isAdjustedToUTC (pandas-written)
-      → Spark reads ``TIMESTAMP_NTZ``; the wall clock is UTC by the
-      generator's construction, so ``to_utc_timestamp(ts, 'UTC')``
-      re-anchors it to the epoch *independently of the session timezone*;
+      → the wall clock is UTC by the generator's construction, so the
+      read happens with ``inferTimestampNTZ.enabled=false`` (scoped to
+      this one ``spark.read`` — schema is captured at read() time), which
+      passes the stored micros through as a UTC-anchored LTZ timestamp
+      *independently of the session timezone*. The round-4 sweep under
+      ``TZ=America/New_York`` proved the previous
+      ``to_utc_timestamp(ntz, 'UTC')`` form was NOT tz-free: Spark first
+      implicitly casts NTZ→LTZ **in the session zone**, so every ts (and
+      everything derived from ts_ns — 24 registry queries) shifted by
+      the host's UTC offset;
     * parquet ``timestamp[us]`` UTC-adjusted → plain ``TIMESTAMP`` (LTZ),
-      already epoch-anchored.
+      already epoch-anchored (the conf is a no-op for adjusted columns).
 
     Round-4 hardening (the driver changed encodings in BOTH prior rounds,
     so assume it will again): raw int64 ``ts`` self-identifies its unit
@@ -65,7 +72,20 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Scoped NTZ override: read unadjusted (NTZ) parquet timestamps as
+    # UTC-anchored LTZ — stored micros pass through unchanged, which is
+    # the ONLY session-timezone-independent reading (see docstring).
+    # Restored immediately: orders/lineitem must KEEP reading as NTZ,
+    # their tz-freeness under calendar functions and timestamp literals
+    # depends on it. Schema resolves eagerly inside read(), so restoring
+    # before the DataFrame is consumed is safe.
+    _ntz_conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    _prev_ntz = spark.conf.get(_ntz_conf, "true")
+    spark.conf.set(_ntz_conf, "false")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        spark.conf.set(_ntz_conf, _prev_ntz)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # Unit detection by magnitude, per row in the scan projection (no
@@ -87,14 +107,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
         )
     else:
-        if ts_type == "timestamp_ntz":
-            # NTZ wall clock is UTC by construction; to_utc_timestamp
-            # pins that interpretation regardless of session timezone
-            # (a bare cast to TIMESTAMP would re-read the wall clock in
-            # the session zone instead).
-            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
-        # unix_micros keeps sub-second precision; unix_timestamp would
-        # silently truncate to whole seconds
+        # the scoped NTZ override above means ts is LTZ here for both the
+        # unadjusted and UTC-adjusted µs encodings; unix_micros keeps
+        # sub-second precision (unix_timestamp would silently truncate
+        # to whole seconds)
         df = df.withColumn(
             "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1_000)
         )

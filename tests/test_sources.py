@@ -243,3 +243,39 @@ def test_events_loader_ms_and_raw_long_units(spark, ms_encoded_dirs):
     assert [r[2] for r in results["s_as_long"]] == [
         ms // 1000 * 1_000_000_000 for ms in _EPOCH_MS
     ]
+
+
+def test_events_loader_is_session_timezone_independent(spark, sf_dir):
+    """Round-4 regression: ts_ns must be identical under ANY session
+    timezone. The old NTZ branch (to_utc_timestamp after Spark's implicit
+    session-zone NTZ→LTZ cast) shifted every event by the host's UTC
+    offset — 24 registry queries went red under TZ=America/New_York."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = [
+            r[0]
+            for r in load_table(spark, sf_dir, "events")
+            .orderBy("event_id").limit(5).select("ts_ns").collect()
+        ]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = [
+            r[0]
+            for r in load_table(spark, sf_dir, "events")
+            .orderBy("event_id").limit(5).select("ts_ns").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == ny
+    import duckdb
+
+    con = duckdb.connect()
+    truth = [
+        r[0] * 1000
+        for r in con.sql(
+            f"SELECT epoch_us(ts) FROM '{sf_dir}/events.parquet'"
+            " ORDER BY event_id LIMIT 5"
+        ).fetchall()
+    ]
+    con.close()
+    assert utc == truth  # UTC-anchored, matching the oracle's naive read
