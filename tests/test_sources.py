@@ -279,3 +279,22 @@ def test_events_loader_is_session_timezone_independent(spark, sf_dir):
     ]
     con.close()
     assert utc == truth  # UTC-anchored, matching the oracle's naive read
+
+
+def test_events_loader_dtype_matrix_under_foreign_timezone(spark, encoded_dirs):
+    """Cross product: every ts encoding × a non-UTC session timezone must
+    yield the same exact ts_ns — the two driver-surprise axes composed
+    (round 2 changed the encoding; a future round could change the host
+    zone; neither, nor both at once, may move an event)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Adelaide")
+        for label, d in encoded_dirs.items():
+            got = [
+                r.ts_ns
+                for r in load_table(spark, d, "events")
+                .orderBy("event_id").select("ts_ns").collect()
+            ]
+            assert got == [us * 1000 for us in _EPOCH_US], label
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
