@@ -628,3 +628,48 @@ def pq_recall_audit(
             (F.count("*").cast("double") / float(len(queries) * k)) >= recall_floor
         ).cast("int").alias("recall_ok"),
     )
+
+
+def rank_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists.
+
+    The standard hybrid-retrieval combiner (Cormack et al.'s RRF):
+    ``score = Σ_lists 1 / (rrf_k + rank)``, missing-from-a-list
+    contributes 0. Inputs are (query_id, neighbor_id, rank, ...) frames
+    such as :func:`cosine_topk` / :func:`lsh_topk` output; result is the
+    fused top-``k`` per query with deterministic neighbor-id tie-breaks.
+
+    Scale shape: a full outer join on (query_id, neighbor_id) between two
+    k-bounded lists — at most 2k rows per query ever shuffle, so fusion
+    cost is query-set-bounded no matter the corpus size; the expensive
+    part stays inside the retrievers, which are bucketed/broadcast as
+    documented on each.
+    """
+    a = ranked_a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    b = ranked_b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(b, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+    )

@@ -1568,3 +1568,56 @@ def q_text_intradoc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dup.cast("long").alias("n_dup_chunks"),
         frac.alias("dup_chunk_fraction"),
     )
+
+
+@register(
+    "similarity_rank_fusion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket AS qbucket FROM e WHERE vec_id < 8),
+    exact_c AS (SELECT q.query_id, e.vec_id,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e, q WHERE e.vec_id != q.query_id),
+    exact_r AS (SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank_a
+          FROM exact_c),
+    lsh_c AS (SELECT q.query_id, e.vec_id,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.query_id),
+    lsh_r AS (SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank_b
+          FROM lsh_c),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.vec_id, b.vec_id) AS neighbor_id,
+             COALESCE(1.0 / (60 + a.rank_a), 0.0)
+               + COALESCE(1.0 / (60 + b.rank_b), 0.0) AS rrf_score
+      FROM (SELECT * FROM exact_r WHERE rank_a <= 10) a
+      FULL OUTER JOIN (SELECT * FROM lsh_r WHERE rank_b <= 10) b
+        ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+    ),
+    ranked AS (SELECT query_id, neighbor_id, rrf_score, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS fr
+          FROM fused)
+    SELECT query_id, neighbor_id, CAST(fr AS BIGINT) AS fused_rank,
+           ROUND(rrf_score, 6) AS rrf_score
+    FROM ranked WHERE fr <= 5
+    """,
+    doc="EXT hybrid retrieval via reciprocal-rank fusion: the exact "
+    "cosine top-10 and the LSH-bucket top-10 rankings are fused with "
+    "the standard RRF score (Σ 1/(60+rank), absent list contributes 0) "
+    "and re-ranked to a top-5 — the combiner every hybrid "
+    "(lexical+vector / multi-index) retrieval stack runs today. Fusion "
+    "is a full outer join between two k-bounded lists, so its cost is "
+    "query-set-bounded regardless of corpus size; RRF terms are exact "
+    "dyadic-free rationals evaluated identically by both engines",
+)
+def q_similarity_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") < 8
+    exact = similarity.cosine_topk(emb, pred, k=10)
+    lsh = similarity.lsh_topk(emb, pred, k=10)
+    return similarity.rank_fusion(exact, lsh, k=5)

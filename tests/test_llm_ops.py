@@ -590,3 +590,25 @@ def test_decode_ppm_parses_header_and_pixels():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_rank_fusion_prefers_doubly_ranked_neighbors(spark):
+    """A neighbor on BOTH lists must outscore one on a single list at
+    comparable ranks, and every fused score must equal the closed form."""
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10, rank=1),
+         Row(query_id=1, neighbor_id=11, rank=2)]
+    )
+    b = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10, rank=3),
+         Row(query_id=1, neighbor_id=12, rank=1)]
+    )
+    from spark_stream_analyzer_spark.operators.similarity import rank_fusion
+
+    out = {r.neighbor_id: r for r in rank_fusion(a, b, k=5).collect()}
+    assert out[10].fused_rank == 1  # on both lists
+    assert round(1 / 61 + 1 / 63, 6) == out[10].rrf_score
+    assert round(1 / 61, 6) == out[12].rrf_score  # single-list
+    assert out[12].fused_rank == 2 and out[11].fused_rank == 3
