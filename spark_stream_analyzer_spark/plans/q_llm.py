@@ -1621,3 +1621,59 @@ def q_similarity_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, pred, k=10)
     lsh = similarity.lsh_topk(emb, pred, k=10)
     return similarity.rank_fusion(exact, lsh, k=5)
+
+
+@register(
+    "embedding_whitening_stats",
+    oracle="""
+    WITH prof AS (
+      SELECT dim, ROUND(AVG(v), 6) AS mean_v, ROUND(STDDEV_SAMP(v), 6) AS std_v
+      FROM (SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+            FROM embeddings, generate_series(1, 64) AS t(i))
+      GROUP BY dim
+    ),
+    w AS (
+      SELECT e.vec_id,
+             CASE WHEN p.std_v > 0
+                  THEN (e.embedding[p.dim + 1]::DOUBLE - p.mean_v) / p.std_v
+                  ELSE 0.0 END AS wv
+      FROM embeddings e, prof p
+    )
+    SELECT vec_id,
+           ROUND(sqrt(SUM(wv * wv)), 6) AS wnorm,
+           ROUND(MAX(abs(wv)), 6) AS wmax
+    FROM w GROUP BY vec_id
+    """,
+    doc="EXT embedding whitening (per-dimension standardization), the "
+    "transform the dim-profile exists to feed: each coordinate is "
+    "centered/scaled by the corpus mean/std (rounded once so both "
+    "engines whiten with IDENTICAL constants), and the whitened "
+    "per-vector norm and max-|coordinate| are emitted as the audit "
+    "output. The 64-row profile is broadcast back over the corpus — "
+    "one bounded-output aggregation plus one scan; the explode is "
+    "partial-aggregated map-side so only per-vector partials shuffle",
+)
+def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    prof = (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+            F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("std_v"),
+        )
+    )
+    wv = F.when(
+        F.col("std_v") > 0,
+        (F.col("v").cast("double") - F.col("mean_v")) / F.col("std_v"),
+    ).otherwise(0.0)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .join(F.broadcast(prof), "dim")
+        .select("vec_id", wv.alias("wv"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("wv") * F.col("wv"))), 6).alias("wnorm"),
+            F.round(F.max(F.abs("wv")), 6).alias("wmax"),
+        )
+    )
