@@ -69,8 +69,11 @@ def decode_image(payload: bytes) -> dict:
     """
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires PIL/cv2 (not in this env); P6 PPM decodes natively"
+        "JPEG/PNG decoding requires PIL/cv2 (not in this env); "
+        "P6 PPM and uncompressed 24-bit BMP decode natively"
     )
 
 
@@ -418,6 +421,122 @@ def synth_ppm_payloads(df: DataFrame) -> DataFrame:
                 v = int(doc_id) % 256
                 header = f"P6 {w} {h} 255\n".encode()
                 payloads.append(header + bytes([v]) * (w * h * 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode for uncompressed 24-bit BMP — the container the
+    PPM decoder can't stand in for: little-endian struct header at fixed
+    offsets, rows padded to 4-byte boundaries, and BOTTOM-UP row storage
+    (positive height means the first stored row is the image's bottom).
+    Pure stdlib struct + numpy; compressed/paletted BMPs raise."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise NotImplementedError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is decoded here")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    rows = []
+    for r in range(h):
+        start = data_off + r * stride
+        rows.append(
+            np.frombuffer(payload[start : start + w * 3], dtype=np.uint8)
+        )
+    if bottom_up:
+        rows.reverse()  # storage order bottom→top; present top→bottom
+    px = np.concatenate(rows).astype(np.float64) if rows else np.empty(0)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "mean_pixel": float(px.mean()) if len(px) else 0.0,
+        "top_left": float(rows[0][0]) if rows else 0.0,
+        "bottom_left": float(rows[-1][0]) if rows else 0.0,
+    }
+
+
+BMP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("top_left", DoubleType()),
+        StructField("bottom_left", DoubleType()),
+    ]
+)
+
+
+def bmp_decode_stats(df: DataFrame) -> DataFrame:
+    """BMP payloads → per-item metadata incl. row-order witnesses."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_bmp(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_pixels": m["n_pixels"],
+                        "mean_pixel": round(m["mean_pixel"], 6),
+                        "top_left": round(m["top_left"], 6),
+                        "bottom_left": round(m["bottom_left"], 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, BMP_SCHEMA)
+
+
+def synth_bmp_payloads(df: DataFrame) -> DataFrame:
+    """Encode a REAL uncompressed 24-bit BMP per doc, written BOTTOM-UP
+    with genuine row padding. Image row r (top = 0) is uniformly
+    v + r with v = doc_id % 200 and h ≤ 5, so no uint8 wrap — the
+    decoded stats are closed-form (mean = v + (h-1)/2, top_left = v,
+    bottom_left = v + h - 1) and any decoder that ignores padding or
+    row order produces different values, not just a different mean."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 3 + int(doc_id) % 5  # w*3 rarely a multiple of 4 → real padding
+                h = 2 + int(doc_id) % 4
+                v = int(doc_id) % 200
+                stride = (w * 3 + 3) // 4 * 4
+                data_off = 14 + 40
+                size = data_off + stride * h
+                hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+                )
+                body = bytearray()
+                for r in range(h - 1, -1, -1):  # bottom-up storage order
+                    row = bytes([(v + r) & 0xFF]) * (w * 3)
+                    body += row + b"\x00" * (stride - w * 3)
+                payloads.append(hdr + info + bytes(body))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     from pyspark.sql.types import BinaryType

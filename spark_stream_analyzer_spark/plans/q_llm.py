@@ -1677,3 +1677,35 @@ def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.abs("wv")), 6).alias("wmax"),
         )
     )
+
+
+@register(
+    "multimodal_bmp_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 5 AS BIGINT) AS width,
+           CAST(2 + doc_id % 4 AS BIGINT) AS height,
+           CAST((3 + doc_id % 5) * (2 + doc_id % 4) AS BIGINT) AS n_pixels,
+           ROUND(doc_id % 200 + (2 + doc_id % 4 - 1) / 2.0, 6) AS mean_pixel,
+           ROUND(CAST(doc_id % 200 AS DOUBLE), 6) AS top_left,
+           ROUND(CAST(doc_id % 200 + (2 + doc_id % 4) - 1 AS DOUBLE), 6)
+             AS bottom_left
+    FROM documents
+    """,
+    doc="EXT REAL image decode #2 — uncompressed 24-bit BMP, the "
+    "container PPM can't stand in for: little-endian struct header at "
+    "fixed byte offsets, rows PADDED to 4-byte boundaries, and "
+    "BOTTOM-UP row storage. The encoder writes image row r uniformly "
+    "as v+r (v = doc_id % 200), so top_left / bottom_left are "
+    "row-ORDER witnesses: a decoder that ignores the bottom-up flag "
+    "or mis-strides the padding gets different VALUES, not just a "
+    "different mean. Same Arrow mapInPandas plumbing as the WAV/PPM "
+    "round trips; with this, all three dependency-free container "
+    "classes (RIFF chunked, ASCII-header planar, struct-header padded "
+    "rows) decode for real",
+)
+def q_multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    d = _docs(spark, sf_dir)
+    return mm.bmp_decode_stats(mm.synth_bmp_payloads(d))

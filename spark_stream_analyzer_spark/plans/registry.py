@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = (
     "streaming_join_then_window",
     "similarity_rank_fusion",
     "embedding_whitening_stats",
+    "multimodal_bmp_decode_stats",
     # xml sits at position 51 — first to fall off if the driver samples
     # exactly 50; csv_roundtrip (sampled) covers the same round-trip
     # mechanism, so it is the least-lost row

@@ -612,3 +612,20 @@ def test_rank_fusion_prefers_doubly_ranked_neighbors(spark):
     assert round(1 / 61 + 1 / 63, 6) == out[10].rrf_score
     assert round(1 / 61, 6) == out[12].rrf_score  # single-list
     assert out[12].fused_rank == 2 and out[11].fused_rank == 3
+
+
+def test_bmp_decoder_row_order_and_padding_witnesses(spark):
+    """The decoder must honor bottom-up storage and row padding: the
+    top-left witness equals the IMAGE top row's value (stored LAST)."""
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    out = mm.bmp_decode_stats(mm.synth_bmp_payloads(d)).collect()
+    for r in out:
+        v = r.doc_id % 200
+        h = 2 + r.doc_id % 4
+        assert r.top_left == v
+        assert r.bottom_left == v + h - 1
+        assert r.mean_pixel == v + (h - 1) / 2.0
+        assert r.width == 3 + r.doc_id % 5

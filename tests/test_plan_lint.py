@@ -35,6 +35,7 @@ ARROW_PYTHON_OK = {
     # (the whole point is exercising the Arrow binary-payload path)
     "multimodal_wav_decode_stats",
     "multimodal_ppm_decode_stats",
+    "multimodal_bmp_decode_stats",  # round-4b third real codec
 }
 
 # Live Structured Streaming queries run their plan through a memory-sink
