@@ -133,3 +133,55 @@ def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("p95_ok"),
     )
+
+
+@register(
+    "part_multiset_diff",
+    oracle="""
+    WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+               EXCEPT ALL
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS surplus
+    FROM r GROUP BY l_partkey
+    """,
+    doc="BAG-semantics set ops (exceptAll): multiplicity-aware "
+    "difference — each part keeps max(0, returned_count − "
+    "accepted_count) copies, the semantics DISTINCT-based EXCEPT "
+    "destroys (churned_customers_except covers that form). Spark plans "
+    "exceptAll as a counted anti-aggregation (Expand + sum of signed "
+    "multiplicities), one shuffle on the key — same partial-agg "
+    "discipline as a plain GROUP BY at 100 TB",
+)
+def q_part_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return (
+        r.exceptAll(a)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("surplus"))
+    )
+
+
+@register(
+    "part_multiset_common",
+    oracle="""
+    WITH c AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+               INTERSECT ALL
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS common
+    FROM c GROUP BY l_partkey
+    """,
+    doc="BAG-semantics set ops (intersectAll): per-part "
+    "min(returned_count, accepted_count) multiplicity — the overlap "
+    "measure multiset-diff's twin; same counted-aggregation plan shape",
+)
+def q_part_multiset_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return (
+        r.intersectAll(a)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("common"))
+    )

@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = (
     "similarity_rank_fusion",
     "embedding_whitening_stats",
     "multimodal_bmp_decode_stats",
+    "part_multiset_diff",
     # xml sits at position 51 — first to fall off if the driver samples
     # exactly 50; csv_roundtrip (sampled) covers the same round-trip
     # mechanism, so it is the least-lost row
