@@ -285,3 +285,70 @@ def test_state_intervals_cover_and_collapse(spark, tmp_path_factory, states):
     # each interval's valid_to equals the next interval's valid_from
     for a, b in zip(out, out[1:]):
         assert a["valid_to_sec"] == b["valid_from_sec"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.sets(st.integers(1, 6), min_size=2, max_size=4)),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, tmp_path_factory, orders):
+    """Oriented wedge-join triangle enumeration == brute force over the
+    support-thresholded co-occurrence graph."""
+    from itertools import combinations
+
+    rows, lid = [], 0
+    for ok, parts in orders:
+        for p in parts:
+            lid += 1
+            rows.append((ok, p, lid))
+    # brute-force edges: distinct (order, part); pairs in >= 2 orders
+    baskets = {}
+    for ok, parts in orders:
+        baskets.setdefault(ok, set()).update(parts)
+    from collections import Counter
+
+    support = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    edges = {e for e, n in support.items() if n >= 2}
+    tri_count = Counter()
+    nodes = sorted({x for e in edges for x in e})
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for x in (a, b, c):
+                tri_count[x] += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, lid long")
+    d = tmp_path_factory.mktemp("tri_prop")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in QUERIES["part_triangle_count"].build(spark, str(d)).collect()
+    }
+    assert got == dict(tri_count)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from("ab"), min_size=0, max_size=17))
+def test_intradoc_chunks_match_bruteforce(spark, tmp_path_factory, letters):
+    words = list(letters)
+    text = " ".join(words)
+    chunks = [" ".join(words[i : i + 4]) for i in range(0, len(words), 4)]
+    n_dup = len(chunks) - len(set(chunks))
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("chunk_prop")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    r = QUERIES["text_intradoc_dup_chunks"].build(spark, str(d)).collect()[0]
+    assert r["n_chunks"] == len(chunks)
+    assert r["n_dup_chunks"] == n_dup
