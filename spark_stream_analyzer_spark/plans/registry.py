@@ -133,6 +133,7 @@ _DRIVER_PRIORITY = (
     "embedding_whitening_stats",
     "multimodal_bmp_decode_stats",
     "part_multiset_diff",
+    "events_variant_shred",
     # xml sits at position 51 — first to fall off if the driver samples
     # exactly 50; csv_roundtrip (sampled) covers the same round-trip
     # mechanism, so it is the least-lost row
