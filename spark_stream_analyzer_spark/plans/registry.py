@@ -65,15 +65,16 @@ _LOADED = False
 
 #: Names surfaced FIRST in ``queries()`` / ``oracle_sql()`` iteration order.
 #: The driver snapshots only ~50 of the registry per round (in iteration
-#: order).  Round-4 cut: after round 3 went 50/50 green, exactly 14
-#: registry queries have never received a green driver row (11 round-3
-#: additions never sampled + 3 that were red in round 2 via the since-fixed
-#: events-loader bug).  They occupy the first 14 slots.  Next come the 6
-#: reference-core rows whose LATEST driver sample (round 2) was red via the
-#: same loader bug — green in round 1 and locally, but the most recent
-#: driver signal should be green too.  The remainder of the ~50-sample is
-#: filled with round-4 additions (fresh surface) and then a rotation of
-#: high-value rows whose last green is oldest.
+#: order).  Round-4 cut: 14 never-driver-green rows first (11 round-3
+#: additions never sampled + 3 red in round 2 via the since-fixed
+#: events-loader bug), then the 6 reference-core rows whose latest driver
+#: sample (r2) was red from the same bug, then the round-4 and round-4b
+#: additions in build order so every new operator gets a hard driver
+#: signal; positions 51+ (xml round trip onward, plus the old-green
+#: rotation block) are the deliberate first-to-drop tail if the sample
+#: is exactly 50 — each is either a variant of a sampled mechanism or
+#: already driver-green in an earlier round, and all have vanilla-session
+#: local oracle runs regardless.
 _DRIVER_PRIORITY = (
     # -- 14 never-driver-green (verdict r3 item 1) --
     "events_value_percentiles",

@@ -70,6 +70,14 @@ PROBE_QUERIES = [
     "corpus_cluster_safe_split",
     "dedup_survivors",
     "text_intradoc_dup_chunks",
+    # round-4b second batch: hybrid retrieval (k-bounded fusion over two
+    # retrievers), whitening (broadcast-profile scan), variant shredding
+    # (scan-shaped binary-JSON extraction), bag-semantics set ops
+    # (counted anti-aggregation)
+    "similarity_rank_fusion",
+    "embedding_whitening_stats",
+    "events_variant_shred",
+    "part_multiset_diff",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
