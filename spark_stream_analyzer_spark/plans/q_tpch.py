@@ -1792,3 +1792,100 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.sum("l_extendedprice")).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "revenue_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT year(l_shipdate) AS yr,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, ROUND(revenue, 6) AS revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY yr), 6) AS delta,
+           ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY yr) > 0
+                 THEN (revenue - LAG(revenue) OVER (ORDER BY yr))
+                      / LAG(revenue) OVER (ORDER BY yr) END, 6) AS growth
+    FROM y
+    """,
+    doc="year-over-year growth: the fact collapses to a |years|-row "
+    "series (partial agg does all the work map-side), then LAG over the "
+    "tiny series computes deltas/growth — the standard BI trend shape. "
+    "Revenue is rounded BEFORE the ratio so both engines divide "
+    "identical operands; year() runs on a TIMESTAMP_NTZ column, which "
+    "is wall-clock (session-timezone-free) by construction",
+)
+def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    y = l.groupBy(F.year("l_shipdate").cast("long").alias("yr")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "yr",
+        round6(F.col("revenue")).alias("revenue"),
+        round6(F.col("revenue") - prev).alias("delta"),
+        round6(
+            F.when(prev > 0, (F.col("revenue") - prev) / prev)
+        ).alias("growth"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM base
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 6) AS segment_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+    doc="RFM segmentation (recency/frequency/monetary quartiles): the "
+    "classic customer-value grid every CRM pipeline derives. Per-key "
+    "aggregation shrinks the fact to one row per customer; three "
+    "global ntile windows score the small per-customer table (at "
+    "100 TB swap each for the global-rank decomposition used by "
+    "orders_global_rank — the SEMANTICS, quartile by rank, is the "
+    "portable part); deterministic custkey tie-breaks pin the quartile "
+    "boundaries identically on both engines",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = base.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        round6(F.sum("monetary")).alias("segment_monetary"),
+    )

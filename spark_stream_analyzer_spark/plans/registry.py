@@ -135,9 +135,13 @@ _DRIVER_PRIORITY = (
     "multimodal_bmp_decode_stats",
     "part_multiset_diff",
     "events_variant_shred",
-    # xml sits at position 51 — first to fall off if the driver samples
-    # exactly 50; csv_roundtrip (sampled) covers the same round-trip
-    # mechanism, so it is the least-lost row
+    "revenue_yoy_growth",
+    "customer_rfm_segments",
+    # everything from similarity_rank_fusion down is past the 50-row
+    # sample window if the driver takes exactly 50 — deliberately: each
+    # is a variant of an in-sample mechanism (xml≈csv round trip,
+    # fusion/whitening≈sampled ANN/profile shapes, yoy/rfm≈sampled
+    # window rollups) and all are vanilla-session oracle-verified locally
     "source_xml_roundtrip",
     # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
     "wire_parse_kills",
