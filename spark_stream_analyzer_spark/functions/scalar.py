@@ -59,3 +59,32 @@ def round6(col: Column) -> Column:
     hashes (Spark vs DuckDB double aggregation drift is << 1e-6 at the
     oracle's scale factors)."""
     return F.round(col, 6)
+
+
+def dsum6(col: Column) -> Column:
+    """Order-independent exact SUM for money-like doubles, as double.
+
+    ``round6(F.sum(double))`` is only stable while accumulated float
+    error stays below 5e-7 — the round-4b sf0.1 sweep caught 8 queries
+    whose sums drifted a last-ulp apart between Spark's partial-agg
+    tree and DuckDB's sequential fold (…160003 vs …160004). Casting
+    each addend to DECIMAL(18,6) first quantizes identically on both
+    engines (the true values carry ≤6 decimals, so the cast is
+    lossless) and makes the SUM exact integer arithmetic — any
+    partitioning, any merge order, any engine. Oracle twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``.
+    """
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+def round6_half_up(col: Column) -> Column:
+    """Engine-agnostic 6-decimal HALF-UP rounding for positive doubles.
+
+    Spark's ``round`` is HALF_UP, DuckDB's ``round`` is half-to-even on
+    doubles — a value landing EXACTLY on a tie (l_extendedprice /
+    l_quantity = 266.9078125 at sf0.1) rounds differently. ``floor(x *
+    1e6 + 0.5) / 1e6`` runs the same IEEE ops on both engines, so ties
+    break identically. Oracle twin: ``floor(x * 1000000 + 0.5) /
+    1000000``.
+    """
+    return F.floor(col * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_stream_analyzer_spark.functions.scalar import round6
+from spark_stream_analyzer_spark.functions.scalar import dsum6, round6, round6_half_up
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
 
@@ -40,12 +40,17 @@ def _t(spark, sf_dir, name):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,17 +65,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # decimal-exact money sums (dsum6) — round6 over a raw double
+            # SUM went a last-ulp apart from DuckDB at sf0.1; quantity
+            # sums stay plain (integer-valued doubles sum exactly)
             round6(F.sum("l_quantity")).alias("sum_qty"),
-            round6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            round6(dsum6(F.col("l_extendedprice"))).alias("sum_base_price"),
             round6(
-                F.sum(
+                dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            round6(
+                dsum6(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
                 )
             ).alias("sum_charge"),
             round6(F.avg("l_quantity")).alias("avg_qty"),
-            round6(F.avg("l_extendedprice")).alias("avg_price"),
-            round6(F.avg("l_discount")).alias("avg_disc"),
+            round6(
+                dsum6(F.col("l_extendedprice")) / F.count(F.lit(1)).cast("double")
+            ).alias("avg_price"),
+            round6(
+                dsum6(F.col("l_discount")) / F.count(F.lit(1)).cast("double")
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -285,7 +299,8 @@ def q_lineitem_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_rollup",
     oracle="""
     SELECT n.n_name, o.o_orderpriority,
-           ROUND(SUM(o.o_totalprice), 6) AS revenue,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -304,7 +319,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "o_orderpriority")
         .agg(
-            round6(F.sum("o_totalprice")).alias("revenue"),
+            round6(dsum6(F.col("o_totalprice"))).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -487,7 +502,8 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 6) AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -497,7 +513,7 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
-        round6(F.sum("l_extendedprice")).alias("revenue"),
+        round6(dsum6(F.col("l_extendedprice"))).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -621,7 +637,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_or_brand_revenue",
     oracle="""
-    SELECT ROUND(COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)), 0), 6) AS revenue,
+    SELECT ROUND(COALESCE(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE), 0), 6) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -654,7 +671,10 @@ def q_or_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             round6(
-                F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0))
+                F.coalesce(
+                    dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    F.lit(0.0),
+                )
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -866,7 +886,7 @@ def q_lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
     SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
-           ROUND(c.unit_cost, 6) AS unit_cost
+           floor(c.unit_cost * 1000000 + 0.5) / 1000000 AS unit_cost
     FROM part p
     JOIN cost c ON c.l_partkey = p.p_partkey
     JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
@@ -909,7 +929,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            round6(F.col("unit_cost")).alias("unit_cost"),
+            # half-up floor rounding: unit costs can land EXACTLY on a
+            # 6th-decimal tie (price/qty = x.9078125) where Spark round
+            # (HALF_UP) and DuckDB round (half-even) split
+            round6_half_up(F.col("unit_cost")).alias("unit_cost"),
         )
     )
 
@@ -1752,7 +1775,8 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, l_linestatus, qband,
            CAST(GROUPING(l_returnflag, l_linestatus, qband) AS BIGINT) AS gid,
-           ROUND(SUM(l_extendedprice), 6) AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM l
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -1789,7 +1813,7 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qband",
     ).agg(
         F.grouping_id().cast("long").alias("gid"),
-        round6(F.sum("l_extendedprice")).alias("revenue"),
+        round6(dsum6(F.col("l_extendedprice"))).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1799,7 +1823,8 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH y AS (
       SELECT year(l_shipdate) AS yr,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY 1
     )
     SELECT CAST(yr AS BIGINT) AS yr, ROUND(revenue, 6) AS revenue,
@@ -1812,16 +1837,14 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="year-over-year growth: the fact collapses to a |years|-row "
     "series (partial agg does all the work map-side), then LAG over the "
     "tiny series computes deltas/growth — the standard BI trend shape. "
-    "Revenue is rounded BEFORE the ratio so both engines divide "
+    "Revenue is a DECIMAL-exact sum (dsum6) so both engines divide "
     "identical operands; year() runs on a TIMESTAMP_NTZ column, which "
     "is wall-clock (session-timezone-free) by construction",
 )
 def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     y = l.groupBy(F.year("l_shipdate").cast("long").alias("yr")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     w = Window.orderBy("yr")
     prev = F.lag("revenue").over(w)
@@ -1842,7 +1865,7 @@ def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              MAX(o_orderdate) AS last_order,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             ROUND(SUM(o_totalprice), 2) AS monetary
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -1855,7 +1878,7 @@ def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
            CAST(m AS BIGINT) AS m,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(monetary), 6) AS segment_monetary
+           ROUND(CAST(SUM(monetary) AS DOUBLE), 6) AS segment_monetary
     FROM scored GROUP BY r, f, m
     """,
     doc="RFM segmentation (recency/frequency/monetary quartiles): the "
@@ -1864,15 +1887,19 @@ def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global ntile windows score the small per-customer table (at "
     "100 TB swap each for the global-rank decomposition used by "
     "orders_global_rank — the SEMANTICS, quartile by rank, is the "
-    "portable part); deterministic custkey tie-breaks pin the quartile "
-    "boundaries identically on both engines",
+    "portable part); monetary stays DECIMAL through the windows and "
+    "custkey tie-breaks are explicit, so quartile boundaries land "
+    "identically on both engines at any SF",
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # monetary stays DECIMAL through the quartile windows: a rounded
+    # double sum flipped quartile BOUNDARIES at sf0.1 (rank on a value
+    # that differs in the last ulp reorders customers)
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
     r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
     f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
@@ -1887,5 +1914,5 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_customers"),
-        round6(F.sum("monetary")).alias("segment_monetary"),
+        round6(F.sum("monetary").cast("double")).alias("segment_monetary"),
     )
