@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.functions.scalar import dsum6, round6_half_up
 from spark_stream_analyzer_spark.operators import dedup, multimodal, similarity, text
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
@@ -1709,3 +1710,56 @@ def q_multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = _docs(spark, sf_dir)
     return mm.bmp_decode_stats(mm.synth_bmp_payloads(d))
+
+
+@register(
+    "corpus_cross_source_dup_matrix",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL})
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor(CAST(SUM(CAST(p.jaccard AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS mean_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+    doc="EXT cross-source duplication matrix (corpus forensics): "
+    "near-dup pairs annotated with each side's source, folded into an "
+    "unordered (source, source) grid of pair counts + mean similarity "
+    "— the dashboard that tells you WHICH feeds mirror each other "
+    "(syndication, scrapes of scrapes) before you debug dedup rates "
+    "per source. Pairs come from the same banded-LSH candidate join as "
+    "every dedup query (never all-pairs); the source annotation is two "
+    "broadcast-size joins against the doc dimension columns; mean "
+    "jaccard uses tie-free floor rounding — two-pair groups average "
+    "EXACTLY onto 7th-decimal halves, where the engines' round modes "
+    "split",
+)
+def q_corpus_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_duplicate_pairs(docs, min_jaccard=0.02)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # DECIMAL-exact sum first (a plain double AVG folds in
+            # partition order, so small groups landed a last-ulp apart
+            # at sf0.1), then tie-free floor rounding on the now
+            # bit-identical quotient
+            round6_half_up(
+                dsum6(F.col("jaccard")) / F.count(F.lit(1)).cast("double")
+            ).alias("mean_jaccard"),
+        )
+    )

@@ -137,6 +137,7 @@ _DRIVER_PRIORITY = (
     "events_variant_shred",
     "revenue_yoy_growth",
     "customer_rfm_segments",
+    "corpus_cross_source_dup_matrix",
     # everything from similarity_rank_fusion down is past the 50-row
     # sample window if the driver takes exactly 50 — deliberately: each
     # is a variant of an in-sample mechanism (xml≈csv round trip,
