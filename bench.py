@@ -221,7 +221,8 @@ def main() -> None:
     # round's worst window: a 0.44s query measured 5.67s, a stream's
     # first run 81.9s — co-tenant bursts outlive one retry) get one more
     # attempt once the suite tail has likely cleared the burst.
-    med = sorted(t for t in timings.values() if t >= 0)[len(timings) // 2]
+    ok_times = sorted(t for t in timings.values() if t >= 0)
+    med = ok_times[len(ok_times) // 2] if ok_times else 0.0
     stubborn = [
         k for k, v in timings.items() if v >= max(8.0, 12 * med)
     ]

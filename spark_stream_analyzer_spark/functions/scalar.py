@@ -61,20 +61,45 @@ def round6(col: Column) -> Column:
     return F.round(col, 6)
 
 
-def dsum6(col: Column) -> Column:
-    """Order-independent exact SUM for money-like doubles, as double.
+def msum6(col: Column) -> Column:
+    """Order-independent exact SUM for NON-NEGATIVE money-like doubles.
 
     ``round6(F.sum(double))`` is only stable while accumulated float
     error stays below 5e-7 — the round-4b sf0.1 sweep caught 8 queries
     whose sums drifted a last-ulp apart between Spark's partial-agg
-    tree and DuckDB's sequential fold (…160003 vs …160004). Casting
-    each addend to DECIMAL(18,6) first quantizes identically on both
-    engines (the true values carry ≤6 decimals, so the cast is
-    lossless) and makes the SUM exact integer arithmetic — any
-    partitioning, any merge order, any engine. Oracle twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``.
+    tree and DuckDB's sequential fold (…160003 vs …160004). The first
+    fix (per-addend ``cast(decimal(18,6))``) was exact but put a
+    decimal conversion on every row of the hottest aggregates — the r4
+    verdict measured ``tpch_pricing_summary`` 0.53→1.22s from it.
+
+    This form stays in pure LONG codegen: quantize each addend once to
+    integer micro-units ``m = floor(x*1e6 + 0.5)`` (tie-free — the true
+    values carry ≤6 decimals so ``x*1e6`` sits within 1e-4 of an
+    integer, never at a tie; ``floor(+0.5)`` runs the same IEEE ops on
+    Spark and DuckDB), then run TWO long sums — whole units
+    ``m div 1e6`` and micro residue ``m mod 1e6`` — and recombine as
+    ``hi + lo/1e6`` in double. Exact integer arithmetic under any
+    partitioning / merge order / engine.
+
+    Why split instead of one ``sum(m)``: at 100 TB a TPC-H-Q1-shaped
+    group holds ~1.5e11 rows; one micro-unit sum overflows int64 at
+    ~9e7 rows/group (1e5-valued money × 1e6), while the split's hi sum
+    (≤~1e5/row) and lo sum (<1e6/row) both carry ~1e13-row headroom and
+    stay exactly representable in the final double (<9.007e15).
+
+    Domain: non-negative addends (all money/ratio consumers are —
+    ``div``/``%`` truncation semantics differ between engines for
+    negatives). Oracle twin::
+
+        CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) // 1000000)
+             AS DOUBLE)
+        + CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) % 1000000)
+               AS DOUBLE) / 1000000.0
     """
-    return F.sum(col.cast("decimal(18,6)")).cast("double")
+    m = F.floor(col * F.lit(1_000_000) + F.lit(0.5))
+    hi = F.sum(F.call_function("div", m, F.lit(1_000_000).cast("long")))
+    lo = F.sum(m % F.lit(1_000_000).cast("long"))
+    return hi.cast("double") + lo.cast("double") / F.lit(1_000_000.0)
 
 
 def round6_half_up(col: Column) -> Column:

@@ -452,6 +452,17 @@ def decode_bmp(payload: bytes) -> dict:
     h = abs(h_signed)
     bottom_up = h_signed > 0
     stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    # Header fields are untrusted input: reject dimensions that would
+    # produce empty/ragged rows or drive an unbounded loop, and demand
+    # the full advertised pixel region be present (a truncated payload
+    # must be an error, never silently-short rows and wrong stats).
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"malformed BMP header: width={w} height={h_signed}")
+    if data_off < 0 or data_off + h * stride > len(payload):
+        raise ValueError(
+            f"truncated BMP: header promises {data_off + h * stride} bytes, "
+            f"payload has {len(payload)}"
+        )
     rows = []
     for r in range(h):
         start = data_off + r * stride

@@ -191,7 +191,11 @@ def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
-        (F.unix_timestamp("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
+        # floor division (not cast-truncation) so negative-epoch
+        # timestamps land on the same day as the oracle's // — the
+        # loader is hardened against driver encoding changes, the day
+        # bucketing must be too
+        F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
     ).distinct()
     # day-shifted image: a (user, day) pair here means "user was active on
     # day+1", so joining on equal (user_id, day) asks next-day presence
@@ -1163,7 +1167,8 @@ def q_events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
-        (F.unix_timestamp("ts").cast("long") / F.lit(86400))
+        # floor semantics to match the oracle's // for negative epochs
+        F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400))
         .cast("long")
         .alias("day"),
     ).distinct()

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_analyzer_spark.functions import texthash as TH
-from spark_stream_analyzer_spark.functions.scalar import dsum6, round6_half_up
+from spark_stream_analyzer_spark.functions.scalar import msum6, round6_half_up
 from spark_stream_analyzer_spark.operators import dedup, multimodal, similarity, text
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
@@ -1719,7 +1719,10 @@ def q_multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT LEAST(da.source, db.source) AS source_x,
            GREATEST(da.source, db.source) AS source_y,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           floor(CAST(SUM(CAST(p.jaccard AS DECIMAL(18,6))) AS DOUBLE)
+           floor((CAST(SUM(CAST(FLOOR(p.jaccard * 1000000 + 0.5) AS BIGINT)
+                           // 1000000) AS DOUBLE)
+                  + CAST(SUM(CAST(FLOOR(p.jaccard * 1000000 + 0.5) AS BIGINT)
+                             % 1000000) AS DOUBLE) / 1000000.0)
                  / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
              AS mean_jaccard
     FROM pairs p
@@ -1754,12 +1757,12 @@ def q_corpus_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            # DECIMAL-exact sum first (a plain double AVG folds in
+            # integer-micro-unit exact sum first (a plain double AVG folds in
             # partition order, so small groups landed a last-ulp apart
             # at sf0.1), then tie-free floor rounding on the now
             # bit-identical quotient
             round6_half_up(
-                dsum6(F.col("jaccard")) / F.count(F.lit(1)).cast("double")
+                msum6(F.col("jaccard")) / F.count(F.lit(1)).cast("double")
             ).alias("mean_jaccard"),
         )
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_stream_analyzer_spark.functions.scalar import dsum6, round6, round6_half_up
+from spark_stream_analyzer_spark.functions.scalar import msum6, round6, round6_half_up
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
 
@@ -35,21 +35,30 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _msum6_sql(expr: str) -> str:
+    """DuckDB twin of ``scalar.msum6`` — split integer micro-unit sum
+    (see its docstring for the exactness/overflow argument)."""
+    m = f"CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT)"
+    return (
+        f"(CAST(SUM({m} // 1000000) AS DOUBLE)"
+        f" + CAST(SUM({m} % 1000000) AS DOUBLE) / 1000000.0)"
+    )
+
+
 @register(
     "tpch_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
-             AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
+           ROUND({_msum6_sql("l_extendedprice")}, 6) AS sum_base_price,
+           ROUND({_msum6_sql("l_extendedprice * (1 - l_discount)")}, 6)
+             AS sum_disc_price,
+           ROUND({_msum6_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 6)
+             AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND({_msum6_sql("l_extendedprice")}
                  / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND({_msum6_sql("l_discount")}
                  / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -65,25 +74,25 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # decimal-exact money sums (dsum6) — round6 over a raw double
+            # exact money sums (msum6) — round6 over a raw double
             # SUM went a last-ulp apart from DuckDB at sf0.1; quantity
             # sums stay plain (integer-valued doubles sum exactly)
             round6(F.sum("l_quantity")).alias("sum_qty"),
-            round6(dsum6(F.col("l_extendedprice"))).alias("sum_base_price"),
+            round6(msum6(F.col("l_extendedprice"))).alias("sum_base_price"),
             round6(
-                dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                msum6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("sum_disc_price"),
             round6(
-                dsum6(
+                msum6(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
                 )
             ).alias("sum_charge"),
             round6(F.avg("l_quantity")).alias("avg_qty"),
             round6(
-                dsum6(F.col("l_extendedprice")) / F.count(F.lit(1)).cast("double")
+                msum6(F.col("l_extendedprice")) / F.count(F.lit(1)).cast("double")
             ).alias("avg_price"),
             round6(
-                dsum6(F.col("l_discount")) / F.count(F.lit(1)).cast("double")
+                msum6(F.col("l_discount")) / F.count(F.lit(1)).cast("double")
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -297,9 +306,9 @@ def q_lineitem_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_rollup",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name, o.o_orderpriority,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           ROUND({_msum6_sql("o.o_totalprice")}, 6)
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
@@ -319,7 +328,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "o_orderpriority")
         .agg(
-            round6(dsum6(F.col("o_totalprice"))).alias("revenue"),
+            round6(msum6(F.col("o_totalprice"))).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -500,9 +509,9 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           ROUND({_msum6_sql("l_extendedprice")}, 6)
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -513,7 +522,7 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
-        round6(dsum6(F.col("l_extendedprice"))).alias("revenue"),
+        round6(msum6(F.col("l_extendedprice"))).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -636,9 +645,9 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_or_brand_revenue",
-    oracle="""
-    SELECT ROUND(COALESCE(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-             AS DECIMAL(18,6))) AS DOUBLE), 0), 6) AS revenue,
+    oracle=f"""
+    SELECT ROUND(COALESCE({_msum6_sql("l.l_extendedprice * (1 - l.l_discount)")},
+             0), 6) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -672,7 +681,7 @@ def q_or_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             round6(
                 F.coalesce(
-                    dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    msum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                     F.lit(0.0),
                 )
             ).alias("revenue"),
@@ -1766,7 +1775,7 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_grouping_sets",
-    oracle="""
+    oracle=f"""
     WITH l AS (
       SELECT l_returnflag, l_linestatus,
              CAST(floor(l_quantity / 10) AS BIGINT) AS qband,
@@ -1775,7 +1784,7 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, l_linestatus, qband,
            CAST(GROUPING(l_returnflag, l_linestatus, qband) AS BIGINT) AS gid,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           ROUND({_msum6_sql("l_extendedprice")}, 6)
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM l
@@ -1813,18 +1822,17 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qband",
     ).agg(
         F.grouping_id().cast("long").alias("gid"),
-        round6(dsum6(F.col("l_extendedprice"))).alias("revenue"),
+        round6(msum6(F.col("l_extendedprice"))).alias("revenue"),
         F.count("*").alias("n"),
     )
 
 
 @register(
     "revenue_yoy_growth",
-    oracle="""
+    oracle=f"""
     WITH y AS (
       SELECT year(l_shipdate) AS yr,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             {_msum6_sql("l_extendedprice * (1 - l_discount)")} AS revenue
       FROM lineitem GROUP BY 1
     )
     SELECT CAST(yr AS BIGINT) AS yr, ROUND(revenue, 6) AS revenue,
@@ -1837,14 +1845,14 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="year-over-year growth: the fact collapses to a |years|-row "
     "series (partial agg does all the work map-side), then LAG over the "
     "tiny series computes deltas/growth — the standard BI trend shape. "
-    "Revenue is a DECIMAL-exact sum (dsum6) so both engines divide "
+    "Revenue is an integer-micro-unit exact sum (msum6) so both engines divide "
     "identical operands; year() runs on a TIMESTAMP_NTZ column, which "
     "is wall-clock (session-timezone-free) by construction",
 )
 def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     y = l.groupBy(F.year("l_shipdate").cast("long").alias("yr")).agg(
-        dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        msum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     w = Window.orderBy("yr")
     prev = F.lag("revenue").over(w)

@@ -629,3 +629,33 @@ def test_bmp_decoder_row_order_and_padding_witnesses(spark):
         assert r.bottom_left == v + h - 1
         assert r.mean_pixel == v + (h - 1) / 2.0
         assert r.width == 3 + r.doc_id % 5
+
+
+def test_bmp_decoder_rejects_malformed_headers():
+    """Header fields are untrusted: zero/negative dims and truncated
+    pixel regions must raise cleanly, never IndexError or silent
+    short-row stats (r4 ADVICE)."""
+    import struct
+
+    import pytest
+
+    from spark_stream_analyzer_spark.operators.multimodal import decode_bmp
+
+    def bmp(w, h, body_bytes):
+        data_off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", data_off + body_bytes, 0, 0, data_off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        return hdr + info + b"\x00" * body_bytes
+
+    with pytest.raises(ValueError, match="width=0"):
+        decode_bmp(bmp(0, 2, 64))
+    with pytest.raises(ValueError, match="width=-3"):
+        decode_bmp(bmp(-3, 2, 64))
+    with pytest.raises(ValueError, match="height=0"):
+        decode_bmp(bmp(4, 0, 64))
+    # stride(4px)=12; h=100 promises 1200 bytes but only 24 are present
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp(4, 100, 24))
+    # intact: same header shape decodes fine
+    m = decode_bmp(bmp(4, 2, 24))
+    assert m["width"] == 4 and m["height"] == 2 and m["n_pixels"] == 8
