@@ -65,86 +65,26 @@ _LOADED = False
 
 #: Names surfaced FIRST in ``queries()`` / ``oracle_sql()`` iteration order.
 #: The driver snapshots only ~50 of the registry per round (in iteration
-#: order).  Round-4 cut: 14 never-driver-green rows first (11 round-3
-#: additions never sampled + 3 red in round 2 via the since-fixed
-#: events-loader bug), then the 6 reference-core rows whose latest driver
-#: sample (r2) was red from the same bug, then the round-4 and round-4b
-#: additions in build order so every new operator gets a hard driver
-#: signal; positions 51+ (xml round trip onward, plus the old-green
-#: rotation block) are the deliberate first-to-drop tail if the sample
-#: is exactly 50 — each is either a variant of a sampled mechanism or
-#: already driver-green in an earlier round, and all have vanilla-session
-#: local oracle runs regardless.
+#: order).  Round-6 cut (verdict r5 task 1): the 11 queries that have never
+#: received a driver row come first so every registry entry finally has a
+#: hard driver signal; then this round's new additions; then the rows whose
+#: most recent driver sample is oldest (r1), as rotation; everything already
+#: re-confirmed green in r4/r5 drops past the window.
 _DRIVER_PRIORITY = (
-    # -- 14 never-driver-green (verdict r3 item 1) --
-    "events_value_percentiles",
-    "events_daily_retention",
-    "events_user_lag_features",
-    "orders_column_profile",
-    "events_incremental_rollup",
-    "events_anomaly_zscore",
-    "events_salted_type_counts",
-    "lineitem_price_equidepth",
-    "text_bm25_top_terms",
-    "corpus_weighted_sample",
-    "embedding_dim_profile",
-    "multimodal_phash_dedup",
-    "dedup_containment_pairs",
-    "part_pagerank",
-    # -- 6 reference-core rows whose latest driver row (r2) was red --
-    "player_stats",
-    "player_stats_named",
-    "player_stats_timeseries",
-    "latest_snapshot",
-    "player_trend",
-    "pivot_asof",
-    # -- round-4 additions (never sampled) --
-    "tpch_forecast_revenue_q6",
-    "orders_pareto_share",
-    "orders_priority_status_contingency",
-    "lineitem_shipping_delay_bands",
-    "supplier_balance_deciles",
-    "customer_order_gap_stats",
-    "events_hour_of_week_profile",
-    "events_type_transition_matrix",
-    "events_cusum_drift",
-    "events_minute_resample_gapfill",
-    "embedding_label_cosine_matrix",
-    "embedding_centroid_outliers",
-    "corpus_domain_cap_sample",
-    "corpus_source_quality_profile",
-    "text_langid_confusion",
-    "streaming_complete_mode_totals",
-    "multimodal_wav_decode_stats",
-    "multimodal_ppm_decode_stats",
-    # -- round-4b additions (this session, never sampled) --
-    "events_activity_islands",
-    "events_state_intervals",
-    "part_triangle_count",
-    "corpus_cluster_safe_split",
-    "dedup_survivors",
-    "text_intradoc_dup_chunks",
-    "source_csv_roundtrip",
-    "source_json_corrupt_tolerance",
-    "source_orc_roundtrip",
-    "revenue_grouping_sets",
-    "streaming_left_outer_join",
-    "streaming_join_then_window",
+    # -- never driver-sampled in any round (verdict r5 task 1) --
     "similarity_rank_fusion",
     "embedding_whitening_stats",
     "multimodal_bmp_decode_stats",
     "part_multiset_diff",
+    "part_multiset_common",
     "events_variant_shred",
     "revenue_yoy_growth",
     "customer_rfm_segments",
-    "corpus_cross_source_dup_matrix",
-    # everything from similarity_rank_fusion down is past the 50-row
-    # sample window if the driver takes exactly 50 — deliberately: each
-    # is a variant of an in-sample mechanism (xml≈csv round trip,
-    # fusion/whitening≈sampled ANN/profile shapes, yoy/rfm≈sampled
-    # window rollups) and all are vanilla-session oracle-verified locally
     "source_xml_roundtrip",
-    # -- rotation: oldest-green high-value rows (r1 green, not sampled since) --
+    "corpus_cross_source_dup_matrix",
+    # -- round-6 additions (never sampled) --
+    "multimodal_png_decode_stats",
+    # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
     "wire_parse_players",
@@ -159,6 +99,42 @@ _DRIVER_PRIORITY = (
     "text_token_stats",
     "text_language_id",
     "corpus_decontamination",
+    # -- r2/r3-green rows not sampled since --
+    "tpch_pricing_summary",
+    "tpch_min_cost_supplier",
+    "revenue_cube",
+    "customer_mktsegment_stats",
+    "events_json_props",
+    "customer_running_spend",
+    "lineitem_unpivot_measures",
+    "orders_global_rank",
+    "top_orders_per_customer",
+    "events_asof_last_purchase",
+    "embedding_kmeans_assign",
+    "customer_name_fuzzy_pairs",
+    # -- r5-green rows (freshest; refresh last within the window) --
+    "player_stats",
+    "player_stats_named",
+    "player_stats_timeseries",
+    "latest_snapshot",
+    "player_trend",
+    "pivot_asof",
+    "events_value_percentiles",
+    "events_daily_retention",
+    "events_user_lag_features",
+    "orders_column_profile",
+    "events_incremental_rollup",
+    "events_anomaly_zscore",
+    "events_salted_type_counts",
+    "lineitem_price_equidepth",
+    "text_bm25_top_terms",
+    "corpus_weighted_sample",
+    "embedding_dim_profile",
+    "multimodal_phash_dedup",
+    "dedup_containment_pairs",
+    "part_pagerank",
+    "tpch_forecast_revenue_q6",
+    "orders_pareto_share",
 )
 
 
