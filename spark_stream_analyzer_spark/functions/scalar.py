@@ -84,8 +84,13 @@ def msum6(col: Column) -> Column:
     Why split instead of one ``sum(m)``: at 100 TB a TPC-H-Q1-shaped
     group holds ~1.5e11 rows; one micro-unit sum overflows int64 at
     ~9e7 rows/group (1e5-valued money × 1e6), while the split's hi sum
-    (≤~1e5/row) and lo sum (<1e6/row) both carry ~1e13-row headroom and
-    stay exactly representable in the final double (<9.007e15).
+    (≤~1e5/row) and lo sum (<1e6/row) carry ~9e13-row int64 headroom.
+    The scaling limit is the final ``hi.cast(double)`` recombination:
+    the hi sum stays exactly double-representable only below 2^53,
+    i.e. ~9e10 rows/group of 1e5-valued money — past that the int64
+    sums are still exact but the double conversion loses last-ulp
+    precision (the 1.5e11-row group above sits just over that line;
+    keep hi/lo as longs if bit-exactness is required there).
 
     Domain: non-negative addends (all money/ratio consumers are —
     ``div``/``%`` truncation semantics differ between engines for

@@ -458,7 +458,12 @@ def decode_bmp(payload: bytes) -> dict:
     # must be an error, never silently-short rows and wrong stats).
     if w <= 0 or h_signed == 0:
         raise ValueError(f"malformed BMP header: width={w} height={h_signed}")
-    if data_off < 0 or data_off + h * stride > len(payload):
+    # data_off is unpacked unsigned so it can't be negative, but it CAN
+    # point back inside the 54-byte header — reject that rather than
+    # silently decoding header bytes as pixels
+    if data_off < 54:
+        raise ValueError(f"malformed BMP header: data_off={data_off} < 54")
+    if data_off + h * stride > len(payload):
         raise ValueError(
             f"truncated BMP: header promises {data_off + h * stride} bytes, "
             f"payload has {len(payload)}"

@@ -171,7 +171,7 @@ def q_customer_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT DISTINCT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+             CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day
       FROM events
     )
     SELECT a.day AS day,
@@ -191,10 +191,10 @@ def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
-        # floor division (not cast-truncation) so negative-epoch
-        # timestamps land on the same day as the oracle's // — the
-        # loader is hardened against driver encoding changes, the day
-        # bucketing must be too
+        # floor-day semantics on BOTH engines: the oracle pairs this with
+        # CAST(floor(floor(epoch)/86400.0) AS BIGINT) because DuckDB's
+        # integer // truncates toward zero and would disagree on
+        # negative epochs (pre-1970 timestamps)
         F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
     ).distinct()
     # day-shifted image: a (user, day) pair here means "user was active on
@@ -1130,7 +1130,7 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH d AS (
       SELECT DISTINCT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+             CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day
       FROM events
     ),
     g AS (
@@ -1167,7 +1167,8 @@ def q_events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
-        # floor semantics to match the oracle's // for negative epochs
+        # floor-day semantics; oracle uses floor(floor(epoch)/86400.0)
+        # (DuckDB // truncates toward zero, diverging on negative epochs)
         F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400))
         .cast("long")
         .alias("day"),

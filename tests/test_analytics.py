@@ -222,3 +222,49 @@ def test_incremental_rollup_merge_equals_full_recompute(spark):
     )
     got = {r.user_id: (r.n, r.s, r.m) for r in merged.collect()}
     assert got == {10: (3, 16, 300), 20: (1, 1, 50), 30: (2, 8, 500)}
+
+
+def test_day_bucketing_negative_epoch_cross_engine(spark, tmp_path):
+    """Pre-1970 timestamps must land on the same day in the Spark plan
+    and the DuckDB oracle.  Spark uses F.floor(epoch/86400); DuckDB's
+    integer // truncates toward zero, so the oracle pins the explicit
+    floor form — this test runs BOTH engines on the same parquet and
+    asserts the retention rows agree (ADVICE r5, high)."""
+    import duckdb
+
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    # user 1: active epoch-days -1 and 0 (one second before/after the
+    # epoch) → retained across the boundary; truncation would collapse
+    # both events onto day 0 and report no retention at all
+    rows = [(1, -1), (1, 1), (2, -90_000), (2, -86_399)]
+    df = spark.createDataFrame(
+        [(i, u, s) for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, sec long",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out_dir = tmp_path / "ev"
+    df.coalesce(1).write.parquet(str(out_dir / "events.parquet"))
+
+    spark_out = {
+        (r.day, r.actives, r.retained)
+        for r in QUERIES["events_daily_retention"].build(spark, str(out_dir)).collect()
+    }
+    # expected under floor-day semantics: u1 on days -1,0; u2 on days -2,-1
+    assert spark_out == {(-2, 1, 1), (-1, 2, 1), (0, 1, 0)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{out_dir}/events.parquet/*.parquet')"
+    )
+    oracle_out = {
+        tuple(r) for r in con.execute(QUERIES["events_daily_retention"].oracle).fetchall()
+    }
+    assert oracle_out == spark_out

@@ -656,6 +656,18 @@ def test_bmp_decoder_rejects_malformed_headers():
     # stride(4px)=12; h=100 promises 1200 bytes but only 24 are present
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(bmp(4, 100, 24))
+    # a crafted data_off pointing back inside the 54-byte header must be
+    # rejected, not silently decode header bytes as pixels (r5 ADVICE)
+    def bmp_off(data_off, w=4, h=2, body_bytes=1024):
+        hdr = b"BM" + struct.pack("<IHHI", 54 + body_bytes, 0, 0, data_off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        return hdr + info + b"\x00" * body_bytes
+
+    with pytest.raises(ValueError, match="data_off=0"):
+        decode_bmp(bmp_off(0))
+    with pytest.raises(ValueError, match="data_off=14"):
+        decode_bmp(bmp_off(14))
+    assert decode_bmp(bmp_off(54))["n_pixels"] == 8
     # intact: same header shape decodes fine
     m = decode_bmp(bmp(4, 2, 24))
     assert m["width"] == 4 and m["height"] == 2 and m["n_pixels"] == 8
