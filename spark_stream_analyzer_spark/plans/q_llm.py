@@ -1119,7 +1119,7 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_pq_recall_audit",
     oracle="""
     SELECT CAST(32 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
-           1::INT AS recall_ok
+           1::INT AS recall_ok, 0.2::DOUBLE AS recall_bucket
     """,
     doc="EXT product-quantization ANN audit: 64-dim float vectors -> 4 "
     "one-byte codes (16-dim subspaces, 16-centroid deterministic "
@@ -1127,11 +1127,12 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exploded scan per side; verdict row checks recall@10 vs exact L2 "
     "top-10 >= a floor DERIVED from the measured batch distribution "
     "(see pq_recall_audit docstring — worst disjoint-batch recall "
-    "0.075 at sf0.1, floor 0.06, random baseline ~1e-3). Codebook "
-    "training = bounded sample at scale; encode = one scan; ADC = "
-    "scan + per-query TopK (no all-pairs anywhere). The oracle is the "
-    "audit's fixed contract: n_queries/k echo the config, recall_ok "
-    "must hold on any corpus this engine ships",
+    "0.075 at sf0.1, floor 0.06, random baseline ~1e-3), PLUS a "
+    "width-0.2 recall bucket pinned to the measured deterministic "
+    "value (0.241@sf0.01 -> bucket 0.2; same at sf0.001) so a "
+    "halved-recall regression flips the row red, not just a collapse. "
+    "Codebook training = bounded sample at scale; encode = one scan; "
+    "ADC = scan + per-query TopK (no all-pairs anywhere)",
 )
 def q_similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_recall_audit(_emb(spark, sf_dir))

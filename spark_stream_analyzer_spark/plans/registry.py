@@ -82,8 +82,9 @@ _DRIVER_PRIORITY = (
     "customer_rfm_segments",
     "source_xml_roundtrip",
     "corpus_cross_source_dup_matrix",
-    # -- round-6 additions (never sampled) --
+    # -- round-6 additions / changed-output rows (need a fresh driver row) --
     "multimodal_png_decode_stats",
+    "similarity_pq_recall_audit",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",

@@ -527,6 +527,9 @@ def test_pq_recall_perfect_when_data_is_its_own_codebook(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].recall_ok == 1 and out[0].n_queries == 2 and out[0].k == 3
+    # recall 1.0 -> floor(5.0)/5 = 1.0: the bucket column tracks the
+    # actual level, not just the collapse bit (r5 verdict task 2)
+    assert out[0].recall_bucket == pytest.approx(1.0)
 
 
 def test_containment_catches_planted_doc_in_doc(spark):
