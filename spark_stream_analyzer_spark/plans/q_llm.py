@@ -1714,6 +1714,38 @@ def q_multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_png_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 5 AS BIGINT) AS width,
+           CAST(2 + doc_id % 4 AS BIGINT) AS height,
+           CAST((3 + doc_id % 5) * (2 + doc_id % 4) AS BIGINT) AS n_pixels,
+           ROUND(doc_id % 200 + (2 + doc_id % 4 - 1) / 2.0, 6) AS mean_pixel,
+           ROUND(CAST(doc_id % 200 AS DOUBLE), 6) AS top_left,
+           ROUND(CAST(doc_id % 200 + (2 + doc_id % 4) - 1 AS DOUBLE), 6)
+             AS bottom_left,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_filters_used
+    FROM documents
+    """,
+    doc="EXT REAL image decode #3 — non-interlaced 8-bit RGB PNG, the "
+    "first COMPRESSED container to decode for real (round-6; stdlib "
+    "zlib + struct, no PIL): CRC32-verified chunk stream, IDAT data "
+    "concatenated across two chunks, DEFLATE inflate, and sequential "
+    "per-row filter reversal. The encoder cycles the row filter r % 5 "
+    "(None/Sub/Up/Average/Paeth) and rows are uniformly v+r, so "
+    "top_left / bottom_left witness row ORDER and n_filters_used == "
+    "height witnesses that every distinct filter reversal actually "
+    "ran — a decoder that skips filtering gets wrong VALUES, not a "
+    "parse error. Same Arrow mapInPandas plumbing as WAV/PPM/BMP",
+)
+def q_multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    d = _docs(spark, sf_dir)
+    return mm.png_decode_stats(mm.synth_png_payloads(d))
+
+
+@register(
     "corpus_cross_source_dup_matrix",
     oracle=f"""
     WITH pairs AS ({_LSH_PAIRS_SQL})
