@@ -190,21 +190,54 @@ def main() -> None:
             # the next query so timings stay independent
             unpersist_rdds(spark)
 
-    # best-of-2 for the slowest rows: on a shared host, transient
-    # contention lands on WHICHEVER query is running when a neighbor
-    # spikes (measured this round: back-to-back idle-calibration runs
-    # disagreed 2x on individual heavy queries — pq_recall_audit 3.1s vs
-    # 9.5s — while 140 other rows matched). Re-running the top decile
-    # and keeping the min removes the spike without re-running the suite.
+    # Contention control (round 6; replaces the reactive top-decile-only
+    # retry). On a shared host, transient neighbor bursts land on
+    # WHICHEVER query is running — r5 recorded three untouched queries at
+    # 2-5x their r4 times purely from host noise. The fix: a committed
+    # per-query baseline of best prior recorded times
+    # (BENCH_BASELINE.json, min across every BENCH_DETAIL.json in git
+    # history at sf0.1) plus the calibration probe lets the bench TELL
+    # contention from regression at run time and re-sample exactly the
+    # suspicious rows, escalating to best-of-3 while samples disagree.
+    samples: dict[str, list[float]] = {k: [v] for k, v in timings.items() if v >= 0}
+    baseline_q: dict[str, float] = {}
+    calib_ratio = 1.0
+    if sf == 0.1:
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+        )
+        if os.path.isfile(base_path):
+            with open(base_path) as f:
+                _base = json.load(f)
+            baseline_q = _base.get("queries", {})
+            # >=1: a faster-than-any-prior host must not shrink the
+            # suspicion threshold below 2x the recorded best
+            calib_ratio = max(1.0, calib / _base.get("calib_sec", calib))
+
+    def _suspicious(name: str) -> bool:
+        b = baseline_q.get(name)
+        return b is not None and timings[name] > 2.0 * calib_ratio * max(b, 0.2)
+
     retry = sorted(
         (k for k, v in timings.items() if v >= 0),
         key=lambda k: -timings[k],
     )[: max(8, len(timings) // 10)]
+    retry += [k for k in timings if _suspicious(k) and k not in retry]
     for name in retry:
-        t0 = time.perf_counter()
-        try:
-            n = len(qs[name](spark, sf_dir).collect())
-            t = round(time.perf_counter() - t0, 3)
+        # best-of-3 escalation: keep sampling while the row still reads
+        # >2x its calibration-scaled best prior time AND the samples
+        # disagree >2x among themselves (i.e. the evidence says
+        # contention, not a real plan change)
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            try:
+                n = len(qs[name](spark, sf_dir).collect())
+                t = round(time.perf_counter() - t0, 3)
+            except Exception:  # noqa: BLE001
+                break
+            finally:
+                unpersist_rdds(spark)
+            samples.setdefault(name, []).append(t)
             if t < timings[name]:
                 print(
                     f"# retry {name}: {timings[name]:.2f}s -> {t:.2f}s",
@@ -212,25 +245,26 @@ def main() -> None:
                 )
                 timings[name] = t
                 rows[name] = n
-        except Exception:  # noqa: BLE001
-            pass
-        finally:
-            unpersist_rdds(spark)
+            ss = samples[name]
+            if not (_suspicious(name) and max(ss) > 2.0 * min(ss)):
+                break
 
-    # second chance: rows STILL an outlier after their retry (this
+    # second chance: rows STILL an outlier after their retries (the r4
     # round's worst window: a 0.44s query measured 5.67s, a stream's
     # first run 81.9s — co-tenant bursts outlive one retry) get one more
     # attempt once the suite tail has likely cleared the burst.
     ok_times = sorted(t for t in timings.values() if t >= 0)
     med = ok_times[len(ok_times) // 2] if ok_times else 0.0
     stubborn = [
-        k for k, v in timings.items() if v >= max(8.0, 12 * med)
+        k for k, v in timings.items()
+        if v >= max(8.0, 12 * med) or (_suspicious(k) and len(samples.get(k, [])) >= 3)
     ]
     for name in stubborn:
         t0 = time.perf_counter()
         try:
             n = len(qs[name](spark, sf_dir).collect())
             t = round(time.perf_counter() - t0, 3)
+            samples.setdefault(name, []).append(t)
             if t < timings[name]:
                 print(
                     f"# retry2 {name}: {timings[name]:.2f}s -> {t:.2f}s",
@@ -242,6 +276,21 @@ def main() -> None:
             pass
         finally:
             unpersist_rdds(spark)
+
+    # residue annotation: anything still past the threshold after up to 4
+    # samples is either a real regression or a sustained burst — record
+    # its samples + the calibration ratio so the record is attributable
+    noise_residue = {
+        k: {
+            "samples": samples.get(k, []),
+            "baseline_best": baseline_q.get(k),
+            "calib_ratio": round(calib_ratio, 3),
+        }
+        for k in timings
+        if timings[k] >= 0 and _suspicious(k)
+    }
+    for k, info in noise_residue.items():
+        print(f"# residue {k}: {info}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_failed = sum(1 for t in timings.values() if t < 0)
@@ -259,8 +308,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": n_failed,
                 "calib_sec": calib,
+                "calib_ratio_vs_baseline": round(calib_ratio, 3),
                 "queries": timings,
                 "rows": rows,
+                "noise_residue": noise_residue,
             },
             f,
             indent=1,
@@ -278,6 +329,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": n_failed,
                 "calib_sec": calib,
+                "calib_ratio": round(calib_ratio, 3),
                 "sf": sf,
             }
         )
