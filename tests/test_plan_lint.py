@@ -36,6 +36,7 @@ ARROW_PYTHON_OK = {
     "multimodal_wav_decode_stats",
     "multimodal_ppm_decode_stats",
     "multimodal_bmp_decode_stats",  # round-4b third real codec
+    "multimodal_png_decode_stats",  # round-6 compressed codec (zlib)
 }
 
 # Live Structured Streaming queries run their plan through a memory-sink
