@@ -1262,3 +1262,81 @@ def q_events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_sec").over(ws).alias("valid_to_sec"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# round-6: declarative data-quality expectations (Great-Expectations-
+# style rule engine as ONE scan)
+# --------------------------------------------------------------------------
+
+#: (rule name, SQL predicate that must hold for every row) — identical
+#: text runs on both engines, so the rule table IS the contract
+_ORDER_EXPECTATIONS = (
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("orderdate_not_null", "o_orderdate IS NOT NULL"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("priority_wellformed", "o_orderpriority LIKE '_-%'"),
+    ("custkey_present", "o_custkey IS NOT NULL AND o_custkey > 0"),
+    ("orderkey_positive", "o_orderkey > 0"),
+    ("totalprice_in_range", "o_totalprice < 1000000"),
+)
+
+
+@register(
+    "orders_expectations_report",
+    oracle="""
+    SELECT r.rule,
+           CAST(t.n AS BIGINT) AS n_checked,
+           CAST(r.v AS BIGINT) AS n_violations,
+           CAST(r.v = 0 AS INT) AS pass
+    FROM (
+      SELECT COUNT(*) AS n,
+    """
+    + ",\n".join(
+        f"        COUNT(*) FILTER (WHERE NOT coalesce({pred}, FALSE)) AS v{i}"
+        for i, (_, pred) in enumerate(_ORDER_EXPECTATIONS)
+    )
+    + """
+      FROM orders
+    ) t, LATERAL (VALUES
+    """
+    + ",\n".join(
+        f"      ('{name}', t.v{i})" for i, (name, _) in enumerate(_ORDER_EXPECTATIONS)
+    )
+    + """
+    ) AS r(rule, v)
+    """,
+    doc="EXT declarative data-quality expectations: a rule table of "
+    "(name, SQL predicate) evaluated as conditional aggregates in ONE "
+    "scan of the fact — per rule, checked count, violation count and a "
+    "pass bit. The post-load QA gate a 100 TB ingest runs beside the "
+    "FK audit: N rules cost one pass regardless of N (each rule is a "
+    "codegen'd when/sum column, no per-rule scan, no shuffle beyond "
+    "the single partial-agg merge row), and the report unpivots from "
+    "the one wide agg row via a literal stack — driver never sees data",
+)
+def q_orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+            ).cast("long").alias(f"__v{i}")
+            for i, (_, pred) in enumerate(_ORDER_EXPECTATIONS)
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', __v{i}" for i, (name, _) in enumerate(_ORDER_EXPECTATIONS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_ORDER_EXPECTATIONS)}, {stack}) AS (rule, n_violations)"
+        ),
+        F.col("__n").alias("n_checked"),
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("pass"),
+    )

@@ -1924,3 +1924,113 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         round6(F.sum("monetary").cast("double")).alias("segment_monetary"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-6 additions: ingest-integrity + non-equi dim join families
+# --------------------------------------------------------------------------
+
+_FK_EDGES = (
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "tpch_fk_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE p.__pk IS NULL) AS BIGINT) AS n_orphans
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pkey} AS __pk FROM {parent}) p
+      ON c.{ckey} = p.__pk
+    """
+        for label, child, ckey, parent, pkey in _FK_EDGES
+    ),
+    doc="EXT referential-integrity audit (ingest QA): every FK edge of "
+    "the star schema checked in one result table — per edge, child "
+    "cardinality + orphan count via a left join against the DISTINCT "
+    "parent key spine. The operation a 100 TB ingest runs after every "
+    "load: each edge is ONE key-projected join (Catalyst/AQE "
+    "broadcasts the dim-sized spines — region/nation/supplier — and "
+    "shuffle-joins the fact-to-fact edges on the key, the same "
+    "physical split as the TPC-H joins themselves); key projection "
+    "means only the join column is ever read from the child scan",
+)
+def q_tpch_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(ckey).alias("__ck"))
+        p = _t(spark, sf_dir, parent).select(F.col(pkey).alias("__pk")).distinct()
+        parts.append(
+            c.join(p, F.col("__ck") == F.col("__pk"), "left").agg(
+                F.lit(label).alias("edge"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+#: price-tier dimension for the broadcast range join — a literal table,
+#: the shape of every band/bucket lookup dim (rate cards, SLA tiers,
+#: bucket boundaries) that equality joins cannot express
+_PRICE_TIERS = (
+    ("budget", 0.0, 10_000.0),
+    ("mid", 10_000.0, 30_000.0),
+    ("premium", 30_000.0, 60_000.0),
+    ("luxury", 60_000.0, 1e18),
+)
+
+
+@register(
+    "lineitem_price_tier_rangejoin",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (VALUES
+      {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _PRICE_TIERS)})
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND({_msum6_sql("l.l_extendedprice")}, 6) AS sum_price
+    FROM lineitem l
+    JOIN tiers t ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi
+    GROUP BY t.tier
+    """,
+    doc="EXT non-equi dim join (range/band join): each fact row joins "
+    "the tier whose [lo, hi) interval contains its price. Equality "
+    "joins cannot express interval containment; the scale answer for "
+    "a BOUNDED band dim is an explicit broadcast nested-loop join — "
+    "the fact NEVER shuffles (no exchange on the fact side; each "
+    "partition scans the 4-row broadcast per row), unlike a "
+    "sort-merge range join which would exchange 100 TB to sort it. "
+    "Aggregation then reuses the scan: partial map-side agg on the "
+    "tier label, one |tiers|-row merge. Sums are msum6-exact",
+)
+def q_lineitem_price_tier_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    tiers = F.broadcast(
+        li.sparkSession.createDataFrame(
+            list(_PRICE_TIERS), "tier string, lo double, hi double"
+        )
+    )
+    joined = li.join(
+        tiers,
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_items"),
+        round6(msum6(F.col("l_extendedprice"))).alias("sum_price"),
+    )

@@ -85,6 +85,10 @@ _DRIVER_PRIORITY = (
     # -- round-6 additions / changed-output rows (need a fresh driver row) --
     "multimodal_png_decode_stats",
     "similarity_pq_recall_audit",
+    "tpch_fk_integrity_audit",
+    "lineitem_price_tier_rangejoin",
+    "orders_expectations_report",
+    "source_binaryfile_ingest",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
