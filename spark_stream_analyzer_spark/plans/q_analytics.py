@@ -1340,3 +1340,92 @@ def q_orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("pass"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-6: bigram-LM perplexity scoring (the CCNet-style quality filter,
+# one n-gram order up from text_unigram_surprisal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TH.duck_norm_words("text")} AS ws FROM documents),
+    bgd AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 1, 0)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w),
+    cb AS (SELECT bg, COUNT(*) AS c, string_split(bg, ' ')[1] AS w1
+           FROM bgd GROUP BY bg),
+    cx AS (SELECT w1, SUM(c) AS c1 FROM cb GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT word) AS v
+           FROM (SELECT unnest(ws) AS word FROM w)),
+    sc AS (SELECT bgd.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  AVG(-log2((cb.c + 0.5)
+                            / (cx.c1 + 0.5 * (SELECT v FROM vv)))) AS bits
+           FROM bgd JOIN cb USING (bg) JOIN cx ON cx.w1 = cb.w1
+           GROUP BY bgd.doc_id)
+    SELECT d.doc_id,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           ROUND(COALESCE(sc.bits, 0.0), 6) AS bits_per_bigram,
+           ROUND(POWER(2, ROUND(COALESCE(sc.bits, 0.0), 6)), 6) AS ppl
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+    doc="EXT bigram-LM perplexity scoring (CCNet-style quality filter, "
+    "with the corpus itself as the LM): per-doc average bits "
+    "-log2 P(w2|w1) under add-0.5-smoothed corpus bigram frequencies, "
+    "plus perplexity 2^bits. Bigrams are built ARRAY-SIDE (zip_with of "
+    "two aligned slices — zero extra shuffle, same trick as the "
+    "shingle builder) before one explode; the model is two "
+    "bigram-vocab-sized aggregations (context counts derive from the "
+    "bigram table, never a second pass over the stream), the vocab "
+    "size V crosses as a one-row broadcast, and scoring is one join "
+    "on the bigram key. The doc-ppl histogram is what a curation "
+    "pipeline thresholds; at 100 TB the model tables shuffle on "
+    "n-gram keys (uniform by construction) and nothing touches the "
+    "driver",
+)
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ws = TH.spark_norm_words("text")
+    n = f"greatest(size({ws}) - 1, 0)"
+    bg_expr = (
+        f"zip_with(slice({ws}, 1, {n}), slice({ws}, 2, {n}),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    bgd = d.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
+    cb = bgd.groupBy("bg").agg(F.count("*").alias("c")).withColumn(
+        "w1", F.split(F.col("bg"), " ")[0]
+    )
+    cx = cb.groupBy("w1").agg(F.sum("c").alias("c1"))
+    vv = (
+        d.select(F.explode(F.expr(ws)).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    sc = (
+        bgd.join(cb.select("bg", "c", "w1"), "bg")
+        .join(cx, "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(
+                -F.log2(
+                    (F.col("c") + F.lit(0.5))
+                    / (F.col("c1") + F.lit(0.5) * F.col("v"))
+                )
+            ).alias("bits"),
+        )
+    )
+    bits_r = round6(F.coalesce("bits", F.lit(0.0)))
+    return d.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        bits_r.alias("bits_per_bigram"),
+        round6(F.pow(F.lit(2.0), bits_r)).alias("ppl"),
+    )

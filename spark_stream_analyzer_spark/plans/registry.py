@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "lineitem_price_tier_rangejoin",
     "orders_expectations_report",
     "source_binaryfile_ingest",
+    "text_bigram_perplexity",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
