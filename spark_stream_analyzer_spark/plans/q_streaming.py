@@ -789,3 +789,70 @@ def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("day_start_s") <= max_sec)
     )
+
+
+@register(
+    "streaming_media_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 5 AS BIGINT) AS width,
+           CAST(2 + doc_id % 4 AS BIGINT) AS height,
+           ROUND(doc_id % 200 + (2 + doc_id % 4 - 1) / 2.0, 6) AS mean_pixel,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_filters_used
+    FROM documents WHERE doc_id % 23 = 5
+    """,
+    doc="EXT live streaming media ingestion: real .png FILES discovered "
+    "incrementally by a binaryFile file-stream source (explicit "
+    "path/length/content schema — streaming file sources cannot infer "
+    "— pathGlobFilter in the listing, maxFilesPerTrigger forcing "
+    "MULTIPLE micro-batches so discovery is genuinely incremental), "
+    "decoded in-stream by the round-6 PNG codec over Arrow mapInPandas "
+    "(stateless, so it rides micro-batches unchanged), appended to the "
+    "sink. The continuous twin of source_binaryfile_ingest — the shape "
+    "of a media corpus landing in object storage while training-data "
+    "prep tails it; closed-form decode witnesses prove every file "
+    "survived discovery + decode byte-exact",
+)
+def q_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 5)
+        .select("doc_id")
+        .collect()  # ids only (~4% of docs) — fixture harness boundary
+    ]
+    workdir = tempfile.mkdtemp(prefix="ssa_mediastream_")
+    import os
+
+    os.makedirs(f"{workdir}/in", exist_ok=True)
+    for doc_id in ids:
+        w, h, v = 3 + doc_id % 5, 2 + doc_id % 4, doc_id % 200
+        pixels = [[(v + r) & 0xFF] * (w * 3) for r in range(h)]
+        with open(f"{workdir}/in/doc_{doc_id}.png", "wb") as f:
+            f.write(mm.encode_png(pixels, w, h))
+
+    binf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.png")
+        # at least two discovery micro-batches at every SF
+        .option("maxFilesPerTrigger", max(1, len(ids) // 2))
+        .load(f"{workdir}/in")
+    )
+    parsed = binf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    stats = mm.png_decode_stats(parsed).select(
+        "doc_id", "width", "height", "mean_pixel", "n_filters_used"
+    )
+    name = f"media_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stats, name, spark, "append", workdir=workdir)
+    return spark.table(name)

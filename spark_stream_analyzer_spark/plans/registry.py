@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "orders_expectations_report",
     "source_binaryfile_ingest",
     "text_bigram_perplexity",
+    "streaming_media_ingest",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
