@@ -348,13 +348,17 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wd AS (
       SELECT doc_id, unnest({TH.duck_norm_words("text")}) AS word
       FROM documents),
-    cnt AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY word),
-    tot AS (SELECT COUNT(*) AS n FROM wd),
-    sc AS (SELECT wd.doc_id,
-                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                  AVG(-log2(CAST(cnt.c AS DOUBLE) / (SELECT n FROM tot))) AS s
-           FROM wd JOIN cnt ON wd.word = cnt.word
-           GROUP BY wd.doc_id)
+    dwc AS (SELECT doc_id, word, COUNT(*) AS nw
+            FROM wd GROUP BY doc_id, word),
+    cnt AS (SELECT word, SUM(nw) AS c FROM dwc GROUP BY word),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    sc AS (SELECT dwc.doc_id,
+                  CAST(SUM(dwc.nw) AS BIGINT) AS n_tokens,
+                  SUM(dwc.nw * (-log2(CAST(cnt.c AS DOUBLE)
+                                      / (SELECT n FROM tot))))
+                    / SUM(dwc.nw) AS s
+           FROM dwc JOIN cnt ON dwc.word = cnt.word
+           GROUP BY dwc.doc_id)
     SELECT d.doc_id,
            COALESCE(sc.n_tokens, 0) AS n_tokens,
            ROUND(COALESCE(sc.s, 0.0), 6) AS avg_surprisal
@@ -363,28 +367,47 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXT unigram-LM quality scoring (the perplexity-filter shape of "
     "CCNet/C4 pipelines, with the corpus itself as the LM): per-token "
     "surprisal -log2 p(w) under corpus unigram frequencies, averaged "
-    "per document. One explode of the token stream feeds BOTH the "
-    "frequency table and the scoring join (exchange reuse); the "
-    "frequency side is vocabulary-sized, shuffles on the token key, "
-    "and the global total crosses as a one-row broadcast — no driver "
-    "collect at any SF",
+    "per document. The token stream explodes EXACTLY ONCE (round-6 "
+    "plan audit: the pre-r6 form re-exploded it three times) into "
+    "per-(doc, word) counts; the frequency table, the global total "
+    "(one-row broadcast) and the count-weighted per-doc average all "
+    "derive from that bounded table — at 100 TB only (doc, word) "
+    "count rows ever shuffle, never the raw token stream twice",
 )
 def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     wd = d.select(
         "doc_id", F.explode(F.expr(TH.spark_norm_words("text"))).alias("word")
     )
-    cnt = wd.groupBy("word").agg(F.count("*").alias("c"))
-    # global token total from the (vocab-sized) counts table, not a third
-    # pass over the exploded token stream
+    # fold the exploded stream ONCE into per-(doc, word) counts and
+    # MATERIALIZE it (localCheckpoint, the simhash-fingerprint idiom):
+    # three consumers (frequency table, global total, scoring join)
+    # would otherwise each re-explode the raw token stream — plan-audit
+    # measured 3 explodes pre-r6, and exchange reuse cannot dedup them
+    # (the canonicalizer does not match across the consumers' differing
+    # parents). hash(word) pre-partitioning makes the fold's only
+    # exchange the narrow (doc, word) records; downstream re-exchanges
+    # touch the bounded count table, never the stream
+    dwc = (
+        wd.repartition("word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("nw"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = dwc.groupBy("word").agg(F.sum("nw").alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
     scored = (
-        wd.join(cnt, "word")
+        dwc.join(cnt, "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))).alias("s"),
+            F.sum("nw").cast("long").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("nw") * -F.log2(F.col("c").cast("double") / F.col("n"))
+                )
+                / F.sum("nw")
+            ).alias("s"),
         )
     )
     return d.select("doc_id").join(scored, "doc_id", "left").select(
@@ -1359,17 +1382,18 @@ def q_orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_series(1, greatest(len(ws) - 1, 0)),
                i -> ws[i] || ' ' || ws[i + 1])) AS bg
       FROM w),
-    cb AS (SELECT bg, COUNT(*) AS c, string_split(bg, ' ')[1] AS w1
-           FROM bgd GROUP BY bg),
+    dbg AS (SELECT doc_id, bg, COUNT(*) AS nb FROM bgd GROUP BY doc_id, bg),
+    cb AS (SELECT bg, SUM(nb) AS c, string_split(bg, ' ')[1] AS w1
+           FROM dbg GROUP BY bg),
     cx AS (SELECT w1, SUM(c) AS c1 FROM cb GROUP BY w1),
-    vv AS (SELECT COUNT(DISTINCT word) AS v
-           FROM (SELECT unnest(ws) AS word FROM w)),
-    sc AS (SELECT bgd.doc_id,
-                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                  AVG(-log2((cb.c + 0.5)
-                            / (cx.c1 + 0.5 * (SELECT v FROM vv)))) AS bits
-           FROM bgd JOIN cb USING (bg) JOIN cx ON cx.w1 = cb.w1
-           GROUP BY bgd.doc_id)
+    vv AS (SELECT COUNT(*) AS v FROM cx),
+    sc AS (SELECT dbg.doc_id,
+                  CAST(SUM(dbg.nb) AS BIGINT) AS n_bigrams,
+                  SUM(dbg.nb * (-log2((cb.c + 0.5)
+                                      / (cx.c1 + 0.5 * (SELECT v FROM vv)))))
+                    / SUM(dbg.nb) AS bits
+           FROM dbg JOIN cb USING (bg) JOIN cx ON cx.w1 = cb.w1
+           GROUP BY dbg.doc_id)
     SELECT d.doc_id,
            COALESCE(sc.n_bigrams, 0) AS n_bigrams,
            ROUND(COALESCE(sc.bits, 0.0), 6) AS bits_per_bigram,
@@ -1378,17 +1402,16 @@ def q_orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="EXT bigram-LM perplexity scoring (CCNet-style quality filter, "
     "with the corpus itself as the LM): per-doc average bits "
-    "-log2 P(w2|w1) under add-0.5-smoothed corpus bigram frequencies, "
-    "plus perplexity 2^bits. Bigrams are built ARRAY-SIDE (zip_with of "
-    "two aligned slices — zero extra shuffle, same trick as the "
-    "shingle builder) before one explode; the model is two "
-    "bigram-vocab-sized aggregations (context counts derive from the "
-    "bigram table, never a second pass over the stream), the vocab "
-    "size V crosses as a one-row broadcast, and scoring is one join "
-    "on the bigram key. The doc-ppl histogram is what a curation "
-    "pipeline thresholds; at 100 TB the model tables shuffle on "
-    "n-gram keys (uniform by construction) and nothing touches the "
-    "driver",
+    "-log2 P(w2|w1) under add-0.5-smoothed corpus bigram frequencies "
+    "(V = context vocabulary), plus perplexity 2^bits. Bigrams are "
+    "built ARRAY-SIDE (zip_with of two aligned slices — same trick as "
+    "the shingle builder) and the stream explodes EXACTLY ONCE into "
+    "per-(doc, bigram) counts; the bigram model, context counts, "
+    "vocab size (one-row broadcast) and the count-weighted per-doc "
+    "score ALL derive from that bounded table — at 100 TB only "
+    "(doc, bigram) count rows shuffle (uniform n-gram keys), the raw "
+    "token stream is never re-scanned, nothing touches the driver. "
+    "The doc-ppl histogram is what a curation pipeline thresholds",
 )
 def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1399,26 +1422,41 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (a, b) -> concat(a, ' ', b))"
     )
     bgd = d.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
-    cb = bgd.groupBy("bg").agg(F.count("*").alias("c")).withColumn(
+    # fold ONCE to per-(doc, bigram) counts and MATERIALIZE
+    # (localCheckpoint, the simhash-fingerprint idiom): the model
+    # chain and the scoring join would otherwise re-explode the
+    # zip_with bigram stream once per consumer (plan-audit: 4 explodes
+    # pre-r6; lambda expressions defeat exchange-reuse canonicalization
+    # outright). hash(bg) pre-partitioning keeps the fold to one
+    # exchange of narrow records; downstream shuffles touch only the
+    # bounded (doc, bigram) count table
+    dbg = (
+        bgd.repartition("bg")
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+    cb = dbg.groupBy("bg").agg(F.sum("nb").alias("c")).withColumn(
         "w1", F.split(F.col("bg"), " ")[0]
     )
     cx = cb.groupBy("w1").agg(F.sum("c").alias("c1"))
-    vv = (
-        d.select(F.explode(F.expr(ws)).alias("word"))
-        .agg(F.countDistinct("word").alias("v"))
-    )
+    vv = cx.agg(F.count("*").alias("v"))  # context vocabulary size
     sc = (
-        bgd.join(cb.select("bg", "c", "w1"), "bg")
+        dbg.join(cb.select("bg", "c", "w1"), "bg")
         .join(cx, "w1")
         .crossJoin(F.broadcast(vv))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.avg(
-                -F.log2(
-                    (F.col("c") + F.lit(0.5))
-                    / (F.col("c1") + F.lit(0.5) * F.col("v"))
+            F.sum("nb").cast("long").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("nb")
+                    * -F.log2(
+                        (F.col("c") + F.lit(0.5))
+                        / (F.col("c1") + F.lit(0.5) * F.col("v"))
+                    )
                 )
+                / F.sum("nb")
             ).alias("bits"),
         )
     )
