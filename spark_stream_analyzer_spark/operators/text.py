@@ -172,7 +172,20 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     terms = with_words(df, text_col).select(
         "doc_id", F.explode("words").alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    # fold the exploded stream ONCE and MATERIALIZE (localCheckpoint):
+    # three consumers (doc length, doc freq, scoring join) would each
+    # re-explode the corpus otherwise — round-6 plan audit measured the
+    # explode executing once per consumer with no exchange reuse.
+    # hash(term) pre-partitioning satisfies the (doc_id, term) clustered
+    # distribution as a subset and co-locates the doc_freq rollup and
+    # the term-keyed scoring join; downstream shuffles touch only the
+    # bounded (doc, term, count) table, never the token stream
+    tf = (
+        terms.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tc"))
+        .localCheckpoint(eager=True)
+    )
     n_words = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_words"))
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     scored = (
@@ -221,7 +234,13 @@ def bm25_top_terms(
     terms = with_words(df, text_col).select(
         "doc_id", F.explode("words").alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    # single materialized fold — same rationale as tfidf_top_terms above
+    tf = (
+        terms.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tc"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
     consts = dl.agg(
