@@ -856,3 +856,95 @@ def q_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"media_{uuid.uuid4().hex[:8]}"
     _run_to_memory(stats, name, spark, "append", workdir=workdir)
     return spark.table(name)
+
+
+@register(
+    "streaming_late_data_drop",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT (event_id % 3) * 3 * 86400 AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base
+    WHERE event_id < {EVENT_CAP}
+      AND NOT (event_id % 3 = 0 AND event_id % 5 = 0)
+    GROUP BY 1, 2
+    """,
+    doc="EXT watermark LATE-DATA DROP, LIVE — the semantics twin of "
+    "streaming_windowed_counts (which proves merge-never-drop under a "
+    "span-sized delay): a 1-hour watermark over day windows three days "
+    "apart (each row in its day's last hour), batch 0 advances the "
+    "watermark far past every day-0 window, batch 1 interposes on-time "
+    "day-6 rows, and batch 2 replays ONLY planted day-0 stragglers "
+    "(event_id % 5 = 0) — the state store must refuse them. The "
+    "stragglers get their own TRAILING batch because Spark's late-row "
+    "filter uses the watermark as of the PREVIOUS batch's start (one "
+    "batch behind the eviction watermark — measured in this round's "
+    "probes: a straggler sharing a batch with the rows one batch after "
+    "those that advanced the watermark is still ADMITTED); the "
+    "interposed batch makes the drop deterministic with ~2 days of "
+    "margin under either predicate. The oracle counts every row "
+    "EXCEPT the planted stragglers: admitted late rows (watermark not "
+    "enforced) or dropped on-time day-0 rows (over-applied) both "
+    "mismatch. Batch order pinned by mtime stamping; windows reduce "
+    "by per-window max in update mode (monotone counts)",
+)
+def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "sec", "event_type").collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_latestream_")
+    os.makedirs(f"{workdir}/in")
+
+    def ts_of(r):
+        # synthetic days 0/3/6, every row in its day's last hour: batch
+        # 0's max event time (day 3) minus the 1h delay lands multiple
+        # window-durations past every day-0 window — no boundary cases
+        day = (r.event_id % 3) * 3
+        return day * 86400 + 82800 + (r.event_id * 7919) % 3600
+
+    def batch_of(r):
+        idx = r.event_id % 3
+        if idx == 0 and r.event_id % 5 == 0:
+            return 2  # straggler: own batch, TWO batches after the advance
+        return 0 if idx in (0, 1) else 1
+
+    batches: dict[int, list[str]] = {0: [], 1: [], 2: []}
+    for r in rows:
+        batches[batch_of(r)].append(f"{ts_of(r)},{r.event_id % 3},{r.event_type}")
+    for idx, lines in sorted(batches.items()):
+        path = f"{workdir}/in/{idx:03d}.txt"
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        _stamp_batch_file(path, idx)
+
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[2].alias("event_type"),
+    )
+    counted = (
+        parsed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_part"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        counted.select(
+            F.unix_timestamp("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_part",
+        ),
+        name,
+        spark,
+        "update",
+        workdir=workdir,
+    )
+    # update mode re-emits a window each time it grows: monotone counts
+    # reduce by max, independent of batch interleaving
+    return (
+        spark.table(name)
+        .groupBy("win_start", "event_type")
+        .agg(F.max("n_part").cast("long").alias("n"))
+    )

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = (
     "source_binaryfile_ingest",
     "text_bigram_perplexity",
     "streaming_media_ingest",
+    "streaming_late_data_drop",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
