@@ -376,3 +376,78 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, mean_pixel double, "
         "n_filters_used long",
     )
+
+
+@register(
+    "source_python_datasource_wire",
+    oracle=f"""
+    WITH lines AS (
+      SELECT event_id % 8 AS file_idx,
+             'e' || CAST(event_id AS VARCHAR) || ','
+                 || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || ','
+                 || event_type AS value
+      FROM events WHERE event_id < 20000
+    )
+    SELECT file_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({TH.duck_hash60("value")} % {_CK_MOD}) AS BIGINT)
+             AS checksum
+    FROM lines GROUP BY file_idx
+    """,
+    doc="EXT custom Python Data Source (Spark 4 pyspark.sql.datasource) "
+    "— the engine's demonstrated CONNECTOR-GAP pattern (the same env "
+    "class as the absent Kafka jar): the wirelog format declares "
+    "schema + one-InputPartition-per-file planning in Python, so a "
+    "directory of N log files reads as N parallel tasks and only the "
+    "file LIST crosses the driver. Eight replay files are read back "
+    "through the source and checksummed per file against the parquet "
+    "truth — identity from the source's src_file column, fidelity "
+    "from the md5-60bit line checksum. Slow path by design (rows "
+    "cross the Python worker): bespoke formats only, never a stand-in "
+    "for JVM readers",
+)
+def q_source_python_datasource_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.plans.q_wire import _base
+    from spark_stream_analyzer_spark.sources.wire_datasource import register_wirelog
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < 20000)
+    rows = b.select(
+        (F.col("event_id") % 8).alias("file_idx"),
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("e"), F.col("event_id")),
+            F.col("sec"),
+            F.col("event_type"),
+        ).alias("value"),
+    ).collect()  # bounded replay fixture — harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_pyds_")
+    by_file: dict[int, list[str]] = {}
+    for r in rows:
+        by_file.setdefault(r.file_idx, []).append(r.value)
+    for idx, lines in by_file.items():
+        with open(f"{workdir}/{idx:03d}.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+    register_wirelog(spark)
+    try:
+        back = spark.read.format("wirelog").options(path=workdir).load()
+        agg = (
+            back.select(
+                F.regexp_extract("src_file", r"^(\d+)\.txt$", 1)
+                .cast("long")
+                .alias("file_idx"),
+                "value",
+            )
+            .groupBy("file_idx")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.expr(f"{TH.spark_hash60('value')} % {_CK_MOD}")).alias(
+                    "checksum"
+                ),
+            )
+        )
+        out = agg.collect()  # 8 rows
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "file_idx long, n_lines long, checksum long"
+    )

@@ -948,3 +948,85 @@ def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_start", "event_type")
         .agg(F.max("n_part").cast("long").alias("n"))
     )
+
+
+@register(
+    "streaming_python_datasource_tail",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT event_id % 8 AS file_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY 1
+    """,
+    doc="EXT custom Python Data Source STREAM reader (Spark 4 "
+    "DataSourceStreamReader), LIVE: the wirelog source's offset = "
+    "count of files in sorted-name order, so each micro-batch reads "
+    "exactly the files added since the last committed offset — "
+    "file-tail semantics through the user-defined offset API (the "
+    "connector-gap answer for incremental bespoke feeds). The harness "
+    "writes files 0-3, drains the stream, then writes files 4-7 and "
+    "drains again: the second wave is discovered INCREMENTALLY by a "
+    "separate micro-batch (latestOffset moved 4 -> 8), and per-file "
+    "counts must cover both waves exactly once — a reader that "
+    "re-reads old offsets double-counts, one that misses the offset "
+    "advance drops the wave",
+)
+def q_streaming_python_datasource_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_stream_analyzer_spark.sources.wire_datasource import register_wirelog
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select(
+        (F.col("event_id") % 8).alias("file_idx"),
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("e"), F.col("event_id")),
+            F.col("sec"),
+            F.col("event_type"),
+        ).alias("value"),
+    ).collect()  # bounded replay fixture — harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_pydstail_")
+    os.makedirs(f"{workdir}/in")
+    by_file: dict[int, list[str]] = {}
+    for r in rows:
+        by_file.setdefault(r.file_idx, []).append(r.value)
+
+    def write_wave(indices):
+        for idx in indices:
+            with open(f"{workdir}/in/{idx:03d}.txt", "w") as f:
+                f.write("\n".join(by_file.get(idx, [])) + "\n")
+
+    register_wirelog(spark)
+    write_wave(range(0, 4))
+    stream = spark.readStream.format("wirelog").options(path=f"{workdir}/in").load()
+    counted = stream.select(
+        F.regexp_extract("src_file", r"^(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("file_idx")
+    )
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counted.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # wave 0: files 0-3
+            write_wave(range(4, 8))
+            q.processAllAvailable()  # wave 1: discovered incrementally
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.table(name).groupBy("file_idx").agg(
+        F.count("*").alias("n_lines")
+    )

@@ -92,6 +92,8 @@ _DRIVER_PRIORITY = (
     "text_bigram_perplexity",
     "streaming_media_ingest",
     "streaming_late_data_drop",
+    "source_python_datasource_wire",
+    "streaming_python_datasource_tail",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
