@@ -298,3 +298,55 @@ def test_events_loader_dtype_matrix_under_foreign_timezone(spark, encoded_dirs):
             assert got == [us * 1000 for us in _EPOCH_US], label
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_wirelog_datasource_partition_planning(spark, tmp_path):
+    """One InputPartition per file: the distributed unit of the custom
+    Python Data Source is the log file, and empty lines are skipped."""
+    from spark_stream_analyzer_spark.sources.wire_datasource import register_wirelog
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"{i:03d}.txt").write_text(f"a{i},1\n\nb{i},2\n")
+    (d / "ignored.dat").write_text("not a log\n")
+    register_wirelog(spark)
+    df = spark.read.format("wirelog").options(path=str(d)).load()
+    assert df.rdd.getNumPartitions() == 3  # .dat file excluded from planning
+    rows = {(r.value, r.src_file) for r in df.collect()}
+    assert rows == {
+        ("a0,1", "000.txt"), ("b0,2", "000.txt"),
+        ("a1,1", "001.txt"), ("b1,2", "001.txt"),
+        ("a2,1", "002.txt"), ("b2,2", "002.txt"),
+    }
+
+
+def test_wirelog_stream_reader_reads_each_offset_range_once(spark, tmp_path):
+    """The stream reader's offset (count of sorted files) must advance
+    per wave and never re-read committed ranges: two drains with a
+    mid-stream wave land every line exactly once."""
+    import uuid
+
+    from spark_stream_analyzer_spark.sources.wire_datasource import register_wirelog
+
+    d = tmp_path / "tail"
+    d.mkdir()
+    (d / "000.txt").write_text("w0a,1\nw0b,2\n")
+    register_wirelog(spark)
+    s = spark.readStream.format("wirelog").options(path=str(d)).load()
+    name = f"wtail_{uuid.uuid4().hex[:6]}"
+    q = s.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        (d / "001.txt").write_text("w1a,3\n")
+        q.processAllAvailable()
+        (d / "002.txt").write_text("w2a,4\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(tuple(r) for r in spark.table(name).collect())
+    assert rows == [
+        ("w0a,1", "000.txt"), ("w0b,2", "000.txt"),
+        ("w1a,3", "001.txt"), ("w2a,4", "002.txt"),
+    ]
+    spark.catalog.dropTempView(name)
