@@ -1751,6 +1751,13 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
+        # the oriented edge list joins against itself THREE times below;
+        # without materialization each side re-runs the distinct + basket
+        # self-join from the raw fact (round-6 plan audit: 18 lineitem
+        # scans). localCheckpoint (the pagerank-edges idiom two queries
+        # up) pins it to one computation — at 100 TB the edge list is
+        # support-thresholded and graph-sized, not fact-sized
+        .localCheckpoint(eager=True)
     )
     tri = (
         e.alias("e1")
@@ -1765,11 +1772,10 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.pb").alias("c"),
         )
     )
-    pt = (
-        tri.select(F.col("a").alias("part"))
-        .unionByName(tri.select(F.col("b").alias("part")))
-        .unionByName(tri.select(F.col("c").alias("part")))
-    )
+    # one explode instead of a 3-way union of tri (which would triple
+    # the whole wedge-join subtree): each triangle contributes its three
+    # corners from a single enumeration
+    pt = tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
     return pt.groupBy("part").agg(F.count("*").alias("n_triangles"))
 
 
