@@ -94,6 +94,12 @@ _DRIVER_PRIORITY = (
     "streaming_late_data_drop",
     "source_python_datasource_wire",
     "streaming_python_datasource_tail",
+    # -- round-6 plan-refactor rows (values re-verified both SFs; a fresh
+    #    driver row pins the new single-fold / materialized-edge plans) --
+    "part_triangle_count",
+    "text_unigram_surprisal",
+    "text_tfidf_top_terms",
+    "text_bm25_top_terms",
     # -- rotation: oldest driver-green rows (r1, not sampled since) --
     "wire_parse_kills",
     "wire_parse_damages",
