@@ -143,7 +143,6 @@ _DRIVER_PRIORITY = (
     "events_anomaly_zscore",
     "events_salted_type_counts",
     "lineitem_price_equidepth",
-    "text_bm25_top_terms",
     "corpus_weighted_sample",
     "embedding_dim_profile",
     "multimodal_phash_dedup",
