@@ -211,8 +211,11 @@ def main() -> None:
                 _base = json.load(f)
             baseline_q = _base.get("queries", {})
             # >=1: a faster-than-any-prior host must not shrink the
-            # suspicion threshold below 2x the recorded best
-            calib_ratio = max(1.0, calib / _base.get("calib_sec", calib))
+            # suspicion threshold below 2x the recorded best; guard the
+            # divisor so a zero calib_sec (or zero probe) can't abort
+            # the bench after the suite already ran
+            _base_calib = _base.get("calib_sec") or calib or 1.0
+            calib_ratio = max(1.0, calib / _base_calib)
 
     def _suspicious(name: str) -> bool:
         b = baseline_q.get(name)

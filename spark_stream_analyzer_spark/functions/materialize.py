@@ -1,0 +1,86 @@
+"""Cluster-safe DataFrame materialization for fan-out plans.
+
+Several single-fold plans (tfidf/bm25 term folds, unigram/bigram LM
+folds, the pagerank/triangle edge lists) compute an intermediate table
+once and feed it to 2+ downstream consumers.  Without pinning, each
+consumer re-derives the intermediate from the raw fact (round-6 plan
+audits measured 3-18 redundant scans; exchange-reuse cannot dedup them
+because the consumers' differing parents defeat canonicalization).
+
+Rounds 3-6 pinned these with ``localCheckpoint(eager=True)``.  That is
+fast on ``local[*]`` but truncates lineage onto *executor-local*
+storage: on a real cluster, losing one executor mid-query makes the
+checkpointed partitions unrecoverable — the job dies instead of
+recomputing.  At 100 TB the fault-tolerant form is
+``persist(StorageLevel.DISK_ONLY)``: blocks live on local disk with the
+same one-computation guarantee (BlockManager takes a per-block write
+lock, so racing consumers never double-compute), but the lineage
+survives, so a lost executor's blocks are recomputed from source.
+
+``materialize`` defaults to the cluster-safe persist path; single-node
+deployments that want checkpoint's lineage-cut (slightly cheaper
+scheduling for iterative loops) opt in via the argument or the
+``SSA_MATERIALIZE=local_checkpoint`` environment variable.  Blocks from
+either path are reclaimed by the caller's post-collect sweep
+(``session.unpersist_rdds``, called between queries by bench.py /
+verify tools).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_STRATEGIES = ("persist", "local_checkpoint")
+
+
+def materialize(
+    df: DataFrame, strategy: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Compute ``df`` once and return a pinned handle for fan-out plans.
+
+    strategy: ``persist`` (default — DISK_ONLY, lineage kept, partitions
+    recomputable after executor loss) or ``local_checkpoint``
+    (single-node opt-in — truncates lineage onto executor-local storage;
+    faster for deep iterative plans, unrecoverable on executor loss).
+    Resolution order: explicit argument > ``SSA_MATERIALIZE`` env var >
+    ``persist``.  ``eager=False`` defers computation to the first action
+    (per-block write locks still guarantee one computation even when
+    consumers race).
+    """
+    strategy = strategy or os.environ.get("SSA_MATERIALIZE", "persist")
+    if strategy not in _STRATEGIES:
+        raise ValueError(
+            f"unknown materialize strategy {strategy!r}; expected one of {_STRATEGIES}"
+        )
+    if strategy == "local_checkpoint":
+        return df.localCheckpoint(eager=eager)
+    out = df.persist(StorageLevel.DISK_ONLY)
+    if eager:
+        # populate the cache up front (same job cost
+        # localCheckpoint(eager=True) paid)
+        out.count()
+    return out
+
+
+def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate plan lineage — for iterative fixpoint loops only.
+
+    Unlike :func:`materialize`, persist is NOT an option here: an
+    iterative loop's logical plan deepens every round, and analysis /
+    optimization time compounds even when execution reads cached blocks.
+    The cut must replace the plan with a scan of materialized output.
+
+    Cluster-safe form: when the SparkContext has a checkpoint directory
+    configured (``sc.setCheckpointDir`` to fault-tolerant storage — the
+    deployment step on a real cluster), uses reliable ``checkpoint()``;
+    otherwise falls back to ``localCheckpoint`` (single-node: blocks on
+    executor-local storage, unrecoverable on executor loss — fine in
+    ``local[*]`` where executor==driver).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

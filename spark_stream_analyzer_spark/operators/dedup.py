@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.functions.materialize import lineage_cut, materialize
 from spark_stream_analyzer_spark.operators.text import with_words
 
 
@@ -248,11 +249,12 @@ def simhash_pairs(
     byte (pigeonhole) → candidates from an equality join on
     (band_idx, band_byte), never an all-pairs scan. Exact bit_count
     verification on candidates. Fingerprints materialize once
-    (localCheckpoint) — both self-join sides reuse them.
+    (cluster-safe persist, functions.materialize) — both self-join
+    sides reuse them.
     """
-    sim = simhash_fingerprints(df, text_col).select(
-        "doc_id", "simhash"
-    ).localCheckpoint(eager=True)
+    sim = materialize(
+        simhash_fingerprints(df, text_col).select("doc_id", "simhash")
+    )
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -311,14 +313,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
 
     spark = pairs.sparkSession
     _before_edges = persistent_rdd_ids(spark)
-    edges = (
+    # materialize once: every fixpoint round re-joins the edge list, and
+    # recomputing the upstream candidate-pair pipeline per round would
+    # dominate the whole computation (cluster-safe persist — lineage kept)
+    edges = materialize(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        # materialize once: every fixpoint round re-joins the edge list, and
-        # recomputing the upstream candidate-pair pipeline per round would
-        # dominate the whole computation
-        .localCheckpoint(eager=True)
     )
     edge_ids = persistent_rdd_ids(spark) - _before_edges
     prev_round_ids: set[int] = set()
@@ -357,7 +358,11 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             (new_label < F.col("label")).alias("moved"),
         )
         _before = persistent_rdd_ids(spark)
-        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        # cut lineage growth: the plan deepens per round, so a persist
+        # would still compound analysis time — lineage_cut uses reliable
+        # checkpoint() when a checkpoint dir is set (cluster), else
+        # localCheckpoint (single-node)
+        updated = lineage_cut(updated)
         this_round_ids = persistent_rdd_ids(spark) - _before
         changed = updated.filter("moved").limit(1).count()
         # the new checkpoint is materialized — last round's blocks are dead
@@ -474,10 +479,9 @@ def contamination_check(
     # partitioning, so the train×eval join adds NO further shuffle
     # (verified in tests/test_plan_shapes.py). At 100 TB the two-phase
     # form writes the postings table instead.
-    post = (
-        base.select("doc_id", "is_eval", F.explode("sh").alias("s"))
-        .repartition("s")
-        .localCheckpoint(eager=False)
+    post = materialize(
+        base.select("doc_id", "is_eval", F.explode("sh").alias("s")).repartition("s"),
+        eager=False,
     )
     if max_df is not None:
         keep = post.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
@@ -546,10 +550,11 @@ def lsh_pairs_against_index(
     Returns ``doc_a``/``doc_b`` with ``doc_a`` = the new document.
     """
     idx = spark.read.parquet(index_path)
-    new_sig = (
-        minhash_signatures(new_docs, text_col, shingle_k)
-        .select("doc_id", "sh", *[f"band{b}" for b in range(TH.LSH_BANDS)])
-        .localCheckpoint(eager=False)
+    new_sig = materialize(
+        minhash_signatures(new_docs, text_col, shingle_k).select(
+            "doc_id", "sh", *[f"band{b}" for b in range(TH.LSH_BANDS)]
+        ),
+        eager=False,
     )
     cand = (
         _band_posts(new_sig)

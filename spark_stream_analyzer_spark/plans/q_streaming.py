@@ -1030,3 +1030,196 @@ def q_streaming_python_datasource_tail(spark: SparkSession, sf_dir: str) -> Data
     return spark.table(name).groupBy("file_idx").agg(
         F.count("*").alias("n_lines")
     )
+
+# ---------------------------------------------------------------------------
+# round-7: RocksDB state store + Trigger.AvailableNow backfill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_rocksdb_windowed_counts",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT sec // 86400 * 86400 AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           1::INT AS rocksdb_engaged
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY 1, 2
+    """,
+    doc="EXT RocksDB state store provider, LIVE (r6 verdict task 4): the "
+    "same watermarked tumbling-day aggregation as "
+    "streaming_windowed_counts, but with "
+    "spark.sql.streaming.stateStore.providerClass pinned to "
+    "RocksDBStateStoreProvider for the query's lifetime — the "
+    "large-keyspace backend the 100 TB story names (SURVEY §4.1: state "
+    "lives off-heap/on-disk in RocksDB instead of the JVM-heap "
+    "HDFSBackedStateStore, so keyspaces far beyond executor memory "
+    "stream without OOM). The emitted rocksdb_engaged bit is derived "
+    "from the query's OWN progress metrics (stateOperators "
+    "customMetrics carry rocksdb* counters only when the provider is "
+    "actually serving state), so a silently-ignored config flips the "
+    "driver row red rather than quietly testing the default store",
+)
+def q_streaming_rocksdb_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    lines = b.select(
+        "event_id",
+        F.concat_ws(",", F.col("sec"), F.col("event_type")).alias("value"),
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_rocksstream_")
+    os.makedirs(f"{workdir}/in")
+    rows = lines.collect()  # test-harness boundary only, NOT an engine path
+    for parity in (0, 1):
+        path = f"{workdir}/in/{parity:03d}.txt"
+        with open(path, "w") as f:
+            for r in rows:
+                if r.event_id % 2 == parity:
+                    f.write(r.value + "\n")
+        _stamp_batch_file(path, parity)
+
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[1].alias("event_type"),
+    )
+    name = f"rockswin_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            parsed.withWatermark("ts", "36500 days")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # proof-of-engagement: RocksDB-only custom metrics in the
+            # state operator's progress (absent under the default
+            # HDFSBackedStateStore)
+            engaged = 0
+            lp = q.lastProgress or {}
+            for op in lp.get("stateOperators", []):
+                if any("rocksdb" in k.lower() for k in (op.get("customMetrics") or {})):
+                    engaged = 1
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)  # replay files consumed
+
+    snaps = spark.table(name)
+    return snaps.groupBy(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"), "event_type"
+    ).agg(
+        F.max("n").alias("n"),
+        F.lit(engaged).cast("int").alias("rocksdb_engaged"),
+    )
+
+
+@register(
+    "streaming_availablenow_backfill",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT sec // 86400 * 86400 AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           3::INT AS n_data_batches, 1::INT AS clean_stop
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY 1, 2
+    """,
+    doc="EXT Trigger.AvailableNow backfill, LIVE (r6 verdict task 5): the "
+    "batch-drain reprocessing mode every production 100 TB pipeline "
+    "uses for catch-up — process everything currently available, in "
+    "multiple rate-limited micro-batches (maxFilesPerTrigger=1 over 3 "
+    "replay files -> exactly 3 data batches, pinned via the query's own "
+    "progress history), then STOP ON ITS OWN (clean_stop comes from "
+    "awaitTermination returning, not from a harness stop() call). The "
+    "reference runs ProcessingTime only "
+    "(SparkStreamingService.java:259); AvailableNow is the missing "
+    "lifecycle trigger class: same incremental plan + state machinery, "
+    "bounded run. Oracle = the batch aggregation of the same files",
+)
+def q_streaming_availablenow_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    lines = b.select(
+        "event_id",
+        F.concat_ws(",", F.col("sec"), F.col("event_type")).alias("value"),
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_availnow_")
+    os.makedirs(f"{workdir}/in")
+    rows = lines.collect()  # test-harness boundary only, NOT an engine path
+    for third in (0, 1, 2):
+        path = f"{workdir}/in/{third:03d}.txt"
+        with open(path, "w") as f:
+            for r in rows:
+                if r.event_id % 3 == third:
+                    f.write(r.value + "\n")
+        _stamp_batch_file(path, third)
+
+    raw = file_lines_stream(spark, f"{workdir}/in")  # maxFilesPerTrigger=1
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[1].alias("event_type"),
+    )
+    name = f"avnow_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            parsed.withWatermark("ts", "36500 days")
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            # AvailableNow terminates by itself once the drain finishes —
+            # the whole point of the trigger; generous bound, never hit
+            clean_stop = int(q.awaitTermination(600))
+            n_data_batches = sum(
+                1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+            )
+        finally:
+            if q.isActive:  # only on a failed/hung drain
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)  # replay files consumed
+
+    snaps = spark.table(name)
+    return snaps.groupBy(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"), "event_type"
+    ).agg(
+        F.max("n").alias("n"),
+        F.lit(n_data_batches).cast("int").alias("n_data_batches"),
+        F.lit(clean_stop).cast("int").alias("clean_stop"),
+    )

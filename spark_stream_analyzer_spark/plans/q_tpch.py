@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_stream_analyzer_spark.functions.materialize import materialize
 from spark_stream_analyzer_spark.functions.scalar import msum6, round6, round6_half_up
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
@@ -1388,11 +1389,12 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     # materialize the edge list ONCE: degree, and both iterations' joins,
-    # each consume it — without the checkpoint the distinct + self-join +
+    # each consume it — without pinning, the distinct + self-join +
     # co-occurrence filter recomputes per consumer (~5x; measured 9s -> 3s
-    # at sf0.1). Same lineage-cut discipline as dedup.duplicate_clusters;
-    # blocks are reclaimed by the caller's post-collect sweep (bench.py)
-    edges = edges.localCheckpoint(eager=True)
+    # at sf0.1). Cluster-safe persist (functions.materialize) — lineage
+    # kept so a lost executor recomputes its blocks; reclaimed by the
+    # caller's post-collect sweep (bench.py)
+    edges = materialize(edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     nn = deg.agg(F.count("*").alias("n_nodes"))  # one row
     pr = deg.crossJoin(F.broadcast(nn)).select(
@@ -1737,7 +1739,14 @@ def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     op = l.select("l_orderkey", "l_partkey").distinct().repartition("l_orderkey")
-    e = (
+    # the oriented edge list joins against itself THREE times below;
+    # without materialization each side re-runs the distinct + basket
+    # self-join from the raw fact (round-6 plan audit: 18 lineitem
+    # scans). Cluster-safe persist (functions.materialize, the
+    # pagerank-edges idiom two queries up) pins it to one computation —
+    # at 100 TB the edge list is support-thresholded and graph-sized,
+    # not fact-sized
+    e = materialize(
         op.alias("a")
         .join(
             op.alias("b"),
@@ -1751,13 +1760,6 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
-        # the oriented edge list joins against itself THREE times below;
-        # without materialization each side re-runs the distinct + basket
-        # self-join from the raw fact (round-6 plan audit: 18 lineitem
-        # scans). localCheckpoint (the pagerank-edges idiom two queries
-        # up) pins it to one computation — at 100 TB the edge list is
-        # support-thresholded and graph-sized, not fact-sized
-        .localCheckpoint(eager=True)
     )
     tri = (
         e.alias("e1")

@@ -65,91 +65,74 @@ _LOADED = False
 
 #: Names surfaced FIRST in ``queries()`` / ``oracle_sql()`` iteration order.
 #: The driver snapshots only ~50 of the registry per round (in iteration
-#: order).  Round-6 cut (verdict r5 task 1): the 11 queries that have never
-#: received a driver row come first so every registry entry finally has a
-#: hard driver signal; then this round's new additions; then the rows whose
-#: most recent driver sample is oldest (r1), as rotation; everything already
-#: re-confirmed green in r4/r5 drops past the window.
+#: order).  Round-7 cut (verdict r6 task 1): this round's new queries and
+#: every row whose CODE changed this round come first (the round-6 rule —
+#: changed rows need a fresh driver row — applied to the whole diff this
+#: time: the materialize/persist swap, the single-fold repartition drop,
+#: the PQ banded gate, the PNG CRC hardening); then the 5 round-6-touched
+#: rows that missed the r6 sample; then every row whose latest driver
+#: check predates r3 (9 r1-era + 27 r2-era from the CORRECTNESS_r0*.json
+#: union), ordered riskiest-first so anything that slips past the ~50
+#: window is the stablest residue.
 _DRIVER_PRIORITY = (
-    # -- never driver-sampled in any round (verdict r5 task 1) --
-    "similarity_rank_fusion",
-    "embedding_whitening_stats",
-    "multimodal_bmp_decode_stats",
-    "part_multiset_diff",
-    "part_multiset_common",
-    "events_variant_shred",
-    "revenue_yoy_growth",
-    "customer_rfm_segments",
-    "source_xml_roundtrip",
-    "corpus_cross_source_dup_matrix",
-    # -- round-6 additions / changed-output rows (need a fresh driver row) --
-    "multimodal_png_decode_stats",
-    "similarity_pq_recall_audit",
-    "tpch_fk_integrity_audit",
-    "lineitem_price_tier_rangejoin",
-    "orders_expectations_report",
-    "source_binaryfile_ingest",
-    "text_bigram_perplexity",
-    "streaming_media_ingest",
-    "streaming_late_data_drop",
-    "source_python_datasource_wire",
-    "streaming_python_datasource_tail",
-    # -- round-6 plan-refactor rows (values re-verified both SFs; a fresh
-    #    driver row pins the new single-fold / materialized-edge plans) --
-    "part_triangle_count",
-    "text_unigram_surprisal",
+    # -- round-7 additions --
+    "streaming_rocksdb_windowed_counts",
+    "streaming_availablenow_backfill",
+    # -- round-7 changed-code rows (fresh driver row required) --
+    "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",
     "text_bm25_top_terms",
-    # -- rotation: oldest driver-green rows (r1, not sampled since) --
-    "wire_parse_kills",
-    "wire_parse_damages",
-    "wire_parse_players",
-    "union_kill_damage",
-    "distinct_rounds",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
-    "similarity_topk_bruteforce",
-    "similarity_ivf_topk",
-    "text_token_stats",
-    "text_language_id",
-    "corpus_decontamination",
-    # -- r2/r3-green rows not sampled since --
-    "tpch_pricing_summary",
-    "tpch_min_cost_supplier",
-    "revenue_cube",
-    "customer_mktsegment_stats",
-    "events_json_props",
-    "customer_running_spend",
-    "lineitem_unpivot_measures",
-    "orders_global_rank",
-    "top_orders_per_customer",
-    "events_asof_last_purchase",
-    "embedding_kmeans_assign",
-    "customer_name_fuzzy_pairs",
-    # -- r5-green rows (freshest; refresh last within the window) --
-    "player_stats",
-    "player_stats_named",
-    "player_stats_timeseries",
-    "latest_snapshot",
-    "player_trend",
-    "pivot_asof",
-    "events_value_percentiles",
-    "events_daily_retention",
-    "events_user_lag_features",
-    "orders_column_profile",
-    "events_incremental_rollup",
-    "events_anomaly_zscore",
-    "events_salted_type_counts",
-    "lineitem_price_equidepth",
-    "corpus_weighted_sample",
-    "embedding_dim_profile",
-    "multimodal_phash_dedup",
-    "dedup_containment_pairs",
+    "text_unigram_surprisal",
+    "text_bigram_perplexity",
+    "part_triangle_count",
     "part_pagerank",
-    "tpch_forecast_revenue_q6",
-    "orders_pareto_share",
+    "dedup_simhash_pairs",
+    "dedup_duplicate_clusters",
+    "dedup_survivors",
+    "corpus_cluster_safe_split",
+    "corpus_decontamination",
+    "multimodal_png_decode_stats",
+    # -- round-6-touched rows that missed the r6 driver sample --
+    "events_daily_retention",
+    "events_activity_islands",
+    "embedding_centroid_outliers",
+    "corpus_mixture_sample",
+    "dedup_chunk_exact",
+    # -- rotation: rows whose latest driver check is r1 --
+    "streaming_snapshot_stats",
+    "streaming_windowed_counts",
+    "wire_pipeline_stats",
+    "tpch_revenue_forecast",
+    "tpch_shipping_priority",
+    "approx_distinct_check",
+    "approx_quantile_check",
+    "churned_customers_except",
+    "repeat_customers_intersect",
+    # -- rotation: rows whose latest driver check is r2 --
+    "dedup_minhash_signatures",
+    "dedup_lsh_recall_audit",
+    "similarity_ann_lsh",
+    "similarity_ann_multiprobe",
+    "embedding_label_centroids",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "corpus_curation_pipeline",
+    "corpus_hash_split",
+    "corpus_stratified_sample",
+    "corpus_sample_exact_k",
+    "corpus_token_shards",
+    "text_fingerprints",
+    "text_vocab_stats",
+    "text_repetition_stats",
+    "text_pii_redaction",
+    "approx_heavy_hitters_check",
+    "orders_rollup_totals",
+    "lineitem_price_histogram",
+    "multimodal_feature_extract",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize_stats",
+    "doc_chunk_windows",
 )
 
 

@@ -93,8 +93,17 @@ def unpersist_rdds(
     """Unpersist the given RDD ids (or every persistent RDD if ``None``).
 
     Returns the number of RDDs unpersisted. Safe to call on ids that have
-    already been freed.
+    already been freed. The full sweep (``ids=None``) also clears the SQL
+    CacheManager so ``materialize``'s persisted DataFrames don't leave
+    stale InMemoryRelation entries that later identical plan fragments
+    would silently re-cache against.
     """
+    if ids is None:
+        # clear the SQL cache FIRST: it unpersists its own relations, so
+        # the RDD-level loop below only sees what remains (checkpoint
+        # residue) — the other order double-frees and spams
+        # "Asked to remove block" warnings
+        spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for k in list(jmap.keySet().toArray()):

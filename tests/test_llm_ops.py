@@ -524,12 +524,15 @@ def test_pq_recall_perfect_when_data_is_its_own_codebook(spark):
         k=3,
         n_queries=2,
         recall_floor=0.99,
+        expected_recall=1.0,
+        band=0.05,
     ).collect()
     assert len(out) == 1
     assert out[0].recall_ok == 1 and out[0].n_queries == 2 and out[0].k == 3
-    # recall 1.0 -> floor(5.0)/5 = 1.0: the bucket column tracks the
-    # actual level, not just the collapse bit (r5 verdict task 2)
-    assert out[0].recall_bucket == pytest.approx(1.0)
+    # recall 1.0 sits at the band center: the banded meter tracks the
+    # actual level, not just the collapse bit (r5 verdict task 2 /
+    # r7 advice re-cut)
+    assert out[0].recall_in_band == 1
 
 
 def test_containment_catches_planted_doc_in_doc(spark):
@@ -632,6 +635,10 @@ def test_png_round_trip_and_filter_reversal():
         decode_png(bytes(bad))
     with _pytest.raises(ValueError, match="truncated PNG"):
         decode_png(payload[:-8])
+    # truncation INSIDE a chunk's 4-byte CRC field (r7 advice: this case
+    # leaked struct.error before the pos+12+length bound check)
+    with _pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(payload[:-2])
 
     def chunk(ctype, data):
         import struct
