@@ -31,6 +31,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # single-node bench opts into the single-node materialization
+    # strategy (localCheckpoint: ~0.5s/query faster than the persist
+    # default on the tfidf-class folds — measured r7). The cluster-safe
+    # persist(DISK_ONLY) DEFAULT is what a multi-executor deployment
+    # runs (lineage kept → executor-loss recoverable) and is what the
+    # correctness sweeps exercise; on local[*] executor==driver, so the
+    # fault-tolerance distinction is moot and the cheaper pin is honest.
+    os.environ.setdefault("SSA_MATERIALIZE", "local_checkpoint")
+
     spark = get_spark(app_name="ssa-bench")
     # warm-up: JVM + parquet footer/schema caches, so per-query timings
     # measure the queries rather than whichever ran first

@@ -1223,3 +1223,111 @@ def q_streaming_availablenow_backfill(spark: SparkSession, sf_dir: str) -> DataF
         F.lit(n_data_batches).cast("int").alias("n_data_batches"),
         F.lit(clean_stop).cast("int").alias("clean_stop"),
     )
+
+
+@register(
+    "streaming_checkpoint_restart",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           1::INT AS resumed_without_reread
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY 1
+    """,
+    doc="§2.9 checkpointed restart + exactly-once, LIVE as a driver row "
+    "(previously tests-only): run 1 streams wave-1 files through an "
+    "update-mode per-type count with a REAL checkpointLocation and a "
+    "foreachBatch parquet appender (the reference's K2 foreachBatch "
+    "sink shape, distributed write, no driver collect), then STOPS; "
+    "wave-2 files land; run 2 is a NEW query object on the same "
+    "checkpoint — it must restore offsets AND aggregation state: "
+    "resumed_without_reread pins (from run 2's own progress metrics) "
+    "that it read EXACTLY the wave-2 line count (re-reading wave 1 "
+    "from offset 0 would double it, a lost state store would shrink "
+    "the final counts), and the final per-type totals — max over all "
+    "emitted snapshots, both runs — must equal the batch aggregation "
+    "of ALL files. The reference leaves checkpointing commented out "
+    "(SparkStreamingService.java:79) and its sink is not idempotent; "
+    "this row is the fault-tolerant form SURVEY §2.9 commits to",
+)
+def q_streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    lines = b.select(
+        "event_id", F.concat_ws(",", F.col("sec"), F.col("event_type")).alias("value")
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_ckpt_")
+    os.makedirs(f"{workdir}/in")
+    out_dir, chk_dir = f"{workdir}/out", f"{workdir}/chk"
+    rows = lines.collect()  # test-harness boundary only, NOT an engine path
+    n_wave2 = 0
+    for quarter in (0, 1, 2, 3):
+        path = f"{workdir}/in/{quarter:03d}.txt"
+        n = 0
+        with open(path, "w") as f:
+            for r in rows:
+                if r.event_id % 4 == quarter:
+                    f.write(r.value + "\n")
+                    n += 1
+        if quarter >= 2:
+            n_wave2 += n
+        _stamp_batch_file(path, quarter)
+    # wave 2 is invisible to run 1: park the files outside the watched dir
+    os.makedirs(f"{workdir}/wave2")
+    for quarter in (2, 3):
+        os.rename(
+            f"{workdir}/in/{quarter:03d}.txt", f"{workdir}/wave2/{quarter:03d}.txt"
+        )
+
+    def start_run():
+        raw = file_lines_stream(spark, f"{workdir}/in")
+        parts = F.split("value", ",")
+        parsed = raw.select(parts[1].alias("event_type"))
+        counts = parsed.groupBy("event_type").agg(F.count("*").alias("n"))
+        return (
+            counts.writeStream.outputMode("update")
+            .option("checkpointLocation", chk_dir)
+            .foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out_dir)
+            )
+            .start()
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q1 = start_run()
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()  # planned shutdown between waves
+        for quarter in (2, 3):
+            os.rename(
+                f"{workdir}/wave2/{quarter:03d}.txt", f"{workdir}/in/{quarter:03d}.txt"
+            )
+        q2 = start_run()  # NEW query, SAME checkpoint
+        try:
+            q2.processAllAvailable()
+            run2_input = sum(int(p.get("numInputRows", 0)) for p in q2.recentProgress)
+        finally:
+            q2.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # counts are monotone across snapshots (state restored + wave 2
+    # folded in) → final totals = per-type max over everything appended
+    final = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.lit(int(run2_input == n_wave2)).alias("resumed_without_reread"),
+        )
+    )
+    # materialize before the replay/checkpoint dirs go away
+    rows_out = final.collect()  # bounded: one row per event type
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows_out, final.schema)

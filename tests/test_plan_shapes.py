@@ -135,12 +135,15 @@ def executed_plan_of(spark, name: str) -> str:
 
 
 def test_decontamination_materializes_postings_once(spark):
-    """The shingle postings are checkpointed once (Catalyst would push
+    """The shingle postings are materialized once (Catalyst would push
     the is_eval filters below a shared repartition, defeating plain
-    exchange reuse); both join sides read the materialized RDD and
-    candidates come from an equality join, never a product."""
+    exchange reuse); both join sides read the pinned table and
+    candidates come from an equality join, never a product. The pin
+    signature depends on the materialize strategy: InMemoryTableScan
+    under the cluster-safe persist default, ExistingRDD under the
+    local_checkpoint opt-in (r7)."""
     plan = executed_plan_of(spark, "corpus_decontamination")
-    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
