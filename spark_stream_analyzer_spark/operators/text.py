@@ -378,3 +378,39 @@ def redact(df: DataFrame, text_col: str = "text", out: str = "redacted") -> Data
         )
         expr = F.regexp_replace(expr, pat, f"<{kind}>")
     return df.withColumn(out, expr)
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Top-k adjacent character-pair counts — one BPE merge step.
+
+    The core computation of byte-pair-encoding tokenizer training (the
+    merge table is built by repeating exactly this: count all adjacent
+    symbol pairs across the corpus, merge the argmax, re-count): every
+    normalized word contributes its length-1 adjacent pairs, counted
+    globally, ranked with a deterministic pair tiebreak.
+
+    Scale shape: pair generation is a per-row array transform (no
+    shuffle); counting is one groupBy over a SMALL key universe
+    (|alphabet|² — a few hundred for [a-z0-9]), so the map-side partial
+    agg collapses the stream to per-task pair tables before the one
+    bounded exchange. The top-k window sorts only the |alphabet|²-row
+    count table — never a single-reducer pass over data. An iterated
+    BPE trainer would wrap this with the merge applied via translate()
+    and a :func:`..functions.materialize.lineage_cut` per round, like
+    the duplicate-clusters fixpoint loop.
+    """
+    from pyspark.sql.window import Window
+
+    words = with_words(df, text_col).select(F.explode("words").alias("w"))
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "n")
+    )

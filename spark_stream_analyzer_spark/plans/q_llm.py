@@ -1876,3 +1876,33 @@ def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path = tempfile.mkdtemp(prefix="ssa_sigidx_") + "/index"
     dedup.write_signature_index(old, idx_path)
     return dedup.lsh_pairs_against_index(spark, new, idx_path, min_jaccard=0.02)
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS ({_W}),
+    t AS (SELECT unnest(words) AS wd FROM w),
+    f AS (SELECT wd FROM t WHERE length(wd) >= 2),
+    p AS (SELECT unnest(list_transform(range(1, length(wd)),
+                 i -> substr(wd, CAST(i AS INT), 2))) AS pair FROM f),
+    c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank,
+             pair, CAST(n AS BIGINT) AS n
+      FROM c
+    ) WHERE rank <= 20
+    """,
+    doc="EXT BPE merge-step pair counting (r7) — the core computation of "
+    "byte-pair-encoding tokenizer training: every normalized word "
+    "contributes its adjacent character pairs, counted corpus-wide, "
+    "top-20 ranked with a deterministic pair tiebreak (the argmax is "
+    "the first merge a BPE trainer would apply). Pair generation is a "
+    "per-row array transform (zero shuffle); the count's key universe "
+    "is |alphabet|² — map-side partials collapse the stream before one "
+    "bounded exchange, and the rank window sorts only the few-hundred-"
+    "row count table. An iterated trainer wraps this with translate() "
+    "merges + lineage_cut per round (the duplicate-clusters idiom)",
+)
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)

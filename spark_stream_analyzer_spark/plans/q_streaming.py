@@ -1331,3 +1331,140 @@ def q_streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFram
 
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows_out, final.schema)
+
+
+@register(
+    "streaming_jdbc_sink_snapshots",
+    oracle=f"""
+    WITH {_O_BASE},
+    agg AS (
+      SELECT pid AS steam_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS kills,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS deaths,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS assists,
+             ROUND(CAST(COALESCE(SUM(CASE WHEN event_type <> 'error'
+                   THEN CAST(floor(value) AS BIGINT) % 100 END), 0) AS DOUBLE), 6) AS damage,
+             MAX(sec) AS second, MAX(rnd) AS round
+      FROM base WHERE event_id < {EVENT_CAP} GROUP BY pid
+    )
+    SELECT steam_id, kills, deaths, assists, damage, second, round,
+           ROUND(CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
+                      ELSE CAST(kills AS DOUBLE) / CAST(deaths AS DOUBLE) END, 6) AS kd_ratio,
+           ROUND(CASE WHEN round = 0 THEN NULL
+                      ELSE damage / CAST(round AS DOUBLE) END, 6) AS damage_per_round,
+           1::INT AS no_dup_snapshots
+    FROM agg
+    """,
+    doc="K2/K3 JDBC snapshot sink, LIVE as a driver row (previously "
+    "tests-only): the reference's Postgres time-series sink "
+    "(SparkStreamingService.java:254-295 — driver-serial JPA inserts, "
+    "at-least-once) rebuilt as a DISTRIBUTED, IDEMPOTENT foreachBatch "
+    "writer against embedded Derby (delete-batch-then-insert keyed on "
+    "batch_id, write.jdbc append, no driver collect), fed by the NATIVE "
+    "update-mode running aggregation (A2 option (a) — Spark-managed "
+    "state, the scale path) over the parsed kill∪damage union, with a "
+    "checkpointed mid-stream RESTART (run 2 is a new query on the same "
+    "checkpoint, discovering the second replay file per source). The "
+    "result is read BACK through spark.read.jdbc and reduced to final "
+    "state (counters are monotone -> per-key max; derived metrics "
+    "recomputed from the maxima); no_dup_snapshots pins that "
+    "(steam_id, batch_id) stayed unique across the restart — the "
+    "exactly-once contract the reference's sink lacks",
+)
+def q_streaming_jdbc_sink_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_stream_analyzer_spark.streaming.sinks import to_jdbc_snapshots
+    from spark_stream_analyzer_spark.streaming.stateful import (
+        running_player_stats_stream,
+    )
+
+    kills, damages = _synth_uniform_lines(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="ssa_jdbc_")
+    kdir, ddir = f"{workdir}/kills", f"{workdir}/damages"
+    os.makedirs(kdir), os.makedirs(ddir)
+    for df, outdir in ((kills, kdir), (damages, ddir)):
+        rows = df.collect()  # test-harness boundary only, NOT an engine path
+        for parity in (0, 1):
+            path = f"{outdir}/{parity:03d}.txt"
+            with open(path, "w") as f:
+                for r in rows:
+                    if r.event_id % 2 == parity:
+                        f.write(r.value + "\n")
+            _stamp_batch_file(path, parity)
+    # run 1 sees only the 000 files; 001 lands between runs (restart)
+    os.makedirs(f"{workdir}/wave2")
+    for d in (kdir, ddir):
+        os.rename(f"{d}/001.txt", f"{workdir}/wave2/{os.path.basename(d)}_001.txt")
+
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    table, chk = "snapshots", f"{workdir}/chk"
+
+    def start_run():
+        events = parse_kill_lines(file_lines_stream(spark, kdir)).unionByName(
+            parse_damage_lines(file_lines_stream(spark, ddir))
+        )
+        return to_jdbc_snapshots(running_player_stats_stream(events), url, table, chk)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q1 = start_run()
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()
+        for d in (kdir, ddir):
+            os.rename(
+                f"{workdir}/wave2/{os.path.basename(d)}_001.txt", f"{d}/001.txt"
+            )
+        q2 = start_run()  # NEW query, SAME checkpoint → offsets + state restored
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    snaps = spark.read.jdbc(url, table)
+    n_total = snaps.count()
+    n_keys = snaps.select("steam_id", "batch_id").distinct().count()
+    final = (
+        snaps.groupBy("steam_id")
+        .agg(
+            F.max("kills").alias("kills"),
+            F.max("deaths").alias("deaths"),
+            F.max("assists").alias("assists"),
+            F.max("damage").alias("damage"),
+            F.max("second").alias("second"),
+            F.max("round").alias("round"),
+        )
+        .select(
+            "steam_id",
+            "kills",
+            "deaths",
+            "assists",
+            F.round("damage", 6).alias("damage"),
+            "second",
+            "round",
+            F.round(
+                F.when(F.col("deaths") == 0, F.col("kills").cast("double")).otherwise(
+                    F.col("kills").cast("double") / F.col("deaths")
+                ),
+                6,
+            ).alias("kd_ratio"),
+            F.round(
+                F.when(F.col("round") == 0, F.lit(None).cast("double")).otherwise(
+                    F.col("damage") / F.col("round").cast("double")
+                ),
+                6,
+            ).alias("damage_per_round"),
+            F.lit(int(n_total == n_keys)).cast("int").alias("no_dup_snapshots"),
+        )
+    )
+    # materialize before the Derby db / replay dirs go away
+    rows_out = final.collect()  # bounded: one row per player
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows_out, final.schema)

@@ -2042,3 +2042,37 @@ def q_lineitem_price_tier_rangejoin(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_items"),
         round6(msum6(F.col("l_extendedprice"))).alias("sum_price"),
     )
+
+
+@register(
+    "orders_salted_customer_join",
+    oracle=f"""
+    SELECT c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND({_msum6_sql("o_totalprice")}, 6) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="EXT salted fact⋈dim join as a driver row (r7; previously "
+    "tests-only in functions/skew.py): the explicit hot-key fallback "
+    "for the case AQE's skew splitting cannot reach — one mega-key "
+    "against a broadcast-too-big dim. Each fact row gets ONE salt from "
+    "a content hash (task-retry stable), the dim replicates across all "
+    "salts, the join runs on (key, salt) so a hot key's rows spread "
+    "over n_salt tasks instead of one straggler; results are EXACTLY a "
+    "plain join's (the oracle IS the plain join), revenue msum6-exact. "
+    "At 100 TB: dim replication costs n_salt×|dim| shuffle rows — "
+    "bounded and chosen, vs an unbounded straggler",
+)
+def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, on="o_custkey", n_salt=8)
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        round6(msum6(F.col("o_totalprice"))).alias("revenue"),
+    )

@@ -78,6 +78,11 @@ _DRIVER_PRIORITY = (
     # -- round-7 additions --
     "streaming_rocksdb_windowed_counts",
     "streaming_availablenow_backfill",
+    "streaming_checkpoint_restart",
+    "streaming_jdbc_sink_snapshots",
+    "dedup_incremental_index",
+    "text_bpe_pair_counts",
+    "orders_salted_customer_join",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",

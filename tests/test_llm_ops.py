@@ -769,3 +769,21 @@ def test_bmp_decoder_rejects_malformed_headers():
     # intact: same header shape decodes fine
     m = decode_bmp(bmp(4, 2, 24))
     assert m["width"] == 4 and m["height"] == 2 and m["n_pixels"] == 8
+
+
+def test_bpe_pair_counts_planted_corpus(spark):
+    # "banana banana split": pairs of 'banana'x2 = {ba,an,na,an,na}x2,
+    # 'split' = {sp,pl,li,it}; top pair must be 'an'/'na' (4 each) with
+    # the deterministic 'an' < 'na' tiebreak ordering rank 1 vs 2
+    from pyspark.sql import Row
+
+    from spark_stream_analyzer_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([Row(doc_id=0, text="banana banana split")])
+    rows = bpe_pair_counts(df, k=5).collect()
+    got = [(r.rank, r.pair, r.n) for r in rows]
+    assert got[0] == (1, "an", 4) and got[1] == (2, "na", 4)
+    assert got[2] == (3, "ba", 2)
+    # single-char words contribute nothing
+    df2 = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    assert bpe_pair_counts(df2).count() == 0
