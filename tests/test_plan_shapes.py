@@ -327,3 +327,71 @@ def test_domain_cap_is_single_window_with_group_limit_pushdown(spark):
     assert _nodes(plan, "Window") == 1
     assert plan.count("WindowGroupLimit") >= 2
     assert _nodes(plan, "Scan parquet") == 1
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_single_fold_text_plans_explode_once(spark, monkeypatch):
+    """The r6 single-fold refactor must survive the r7 cluster-safe
+    materialize swap: every consumer reads the pinned fold, never a
+    re-explode of the token stream. Checked in local_checkpoint mode,
+    where the pin is opaque (ExistingRDD) — ANY explode in the outer
+    plan would be a consumer re-deriving the fold. (Under the persist
+    default the same materialize() call site pins an InMemoryRelation;
+    formatted explain re-prints the cached plan per occurrence, so a
+    text count over it is not meaningful — the decontamination test
+    covers the persist signature.)"""
+    monkeypatch.setenv("SSA_MATERIALIZE", "local_checkpoint")
+    for name in ("text_tfidf_top_terms", "text_unigram_surprisal"):
+        plan = executed_plan_of(spark, name)
+        assert plan.count("explode(") == 0, name
+        assert "ExistingRDD" in plan, name
+
+
+def test_salted_join_has_no_pathological_join(spark):
+    """Salting must produce a plain (key, salt) equi-join — a fallback
+    that degraded to a nested-loop or cartesian product would be worse
+    than the skew it treats."""
+    plan = executed_plan_of(spark, "orders_salted_customer_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # results merge through partial aggregation like any plain groupBy
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bpe_pair_counts_single_bounded_exchange(spark):
+    """Pair generation is a per-row transform; the only data exchange is
+    the pair-count shuffle over the |alphabet|^2 key universe (plus the
+    window's single partition over the bounded count table). The raw
+    token stream must never hit an exchange un-combined."""
+    plan = plan_of(spark, "text_bpe_pair_counts")
+    assert plan.count("explode(") == 2  # words, then pairs — row fan-out, no shuffle
+    # partial agg below the exchange: map-side combine collapses the pair stream
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_index_joins_on_band_keys(spark, tmp_path):
+    """The new-batch-vs-index candidate join must be an equality join on
+    the band keys (batch-sized left side), and verification must read
+    the STORED shingle arrays — no re-shingling of the indexed corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.operators import dedup
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx_path = str(tmp_path / "idx")
+    dedup.write_signature_index(docs.filter(F.col("doc_id") % 10 < 8), idx_path)
+    out = dedup.lsh_pairs_against_index(
+        spark, docs.filter(F.col("doc_id") % 10 >= 8), idx_path, min_jaccard=0.02
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the index side enters as a parquet scan of the signature table —
+    # its shingles come from storage, not a recompute of the corpus
+    assert plan.count("Scan parquet") >= 2
