@@ -414,3 +414,72 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
         .filter(F.col("rank") <= k)
         .select("rank", "pair", "n")
     )
+
+
+def bpe_merge_table(df: DataFrame, text_col: str = "text", rounds: int = 3) -> DataFrame:
+    """Iterated BPE merge-table training — ``rounds`` merge steps.
+
+    Each round counts adjacent symbol pairs corpus-wide (symbols start
+    as characters), picks the argmax (count desc, pair asc — the
+    deterministic tiebreak), and APPLIES the merge before the next
+    round, exactly how a BPE tokenizer's merge table is built. Merge
+    application is a single-pass non-overlapping left-to-right
+    ``replace`` on a space-delimited symbol string — both engines
+    (Java's String.replace, DuckDB's replace) share that exact
+    semantics, so the operator is oracle-checkable; a chain like
+    ``a n a n a`` therefore merges alternate occurrences per round and
+    the remainder is picked up by a later round (documented deviation
+    from re-scanning greedy BPE, which no two engines implement
+    identically).
+
+    Scale shape per round: pair generation is a per-row array
+    transform; counting collapses map-side onto the bounded pair-key
+    universe; ONLY the single argmax row crosses the driver (the
+    k-means-centroid exchange discipline) and returns to the plan as a
+    literal in the next round's ``replace``. The symbol strings are
+    re-derived lazily through the accumulated replace chain — fine at
+    small ``rounds``; a production trainer (10k+ merges) would
+    ``materialize()`` the symbol table every few rounds and batch
+    multiple disjoint merges per pass.
+
+    Returns one row per round: ``(round, pair, n)``.
+    """
+    words = with_words(df, text_col).select(F.explode("words").alias("w"))
+    sdf = words.select(
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' '), ' ')"
+        ).alias("s")
+    )
+    syms = "split(trim(s), ' ')"
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            sdf.filter(F.expr(f"size({syms}) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size({syms}) - 1),"
+                        f" i -> concat(element_at({syms}, i), ' ',"
+                        f" element_at({syms}, i + 1)))"
+                    )
+                ).alias("pair")
+            )
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()  # ONE row — the argmax merge, kmeans-style exchange
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        out_rows.append((rnd, pair, n))
+        merged = pair.replace(" ", "")
+        sdf = sdf.select(
+            F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s")
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(out_rows, "round int, pair string, n bigint")

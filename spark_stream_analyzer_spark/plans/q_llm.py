@@ -1906,3 +1906,58 @@ def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)
+
+
+def _bpe_merge_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of ``text.bpe_merge_table`` — one CTE stage
+    per merge round (count pairs → argmax → apply via the same
+    non-overlapping ``replace`` semantics Spark uses)."""
+    syms = "string_split(trim(s), ' ')"
+    parts = [
+        f"w AS ({_W})",
+        "t AS (SELECT unnest(words) AS wd FROM w)",
+        "s0 AS (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(wd) + 1), i -> substr(wd, CAST(i AS INT), 1)), ' ')"
+        " || ' ' AS s FROM t)",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT unnest(list_transform(range(1, len({syms})),"
+            f" i -> {syms}[i] || ' ' || {syms}[i + 1])) AS pair"
+            f" FROM {prev} WHERE len({syms}) >= 2)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n"
+            f" FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT replace(s,"
+            f" ' ' || (SELECT pair FROM m{r}) || ' ',"
+            f" ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' ') AS s"
+            f" FROM {prev})"
+        )
+        sel.append(f"SELECT CAST({r} AS INT) AS round, pair, n FROM m{r}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register(
+    "text_bpe_merge_table",
+    oracle=_bpe_merge_sql(3),
+    doc="EXT iterated BPE merge-table training (r7), the flagship "
+    "iterative-operator shape: 3 merge rounds, each counting adjacent "
+    "symbol pairs corpus-wide, taking the deterministic argmax, and "
+    "APPLYING the merge before the next round — how a tokenizer's "
+    "merge table is actually built. Merge application is single-pass "
+    "non-overlapping replace on a space-delimited symbol string (Java "
+    "and DuckDB replace share that semantics exactly, making the "
+    "iteration oracle-checkable as 3 unrolled CTE stages). Per round "
+    "only the ONE argmax row crosses the driver (k-means-centroid "
+    "discipline) and re-enters the plan as a literal; pair counting "
+    "collapses map-side onto the bounded pair-key universe. A "
+    "production 10k-merge trainer would materialize() the symbol "
+    "table every few rounds — the duplicate-clusters idiom",
+)
+def q_text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_merge_table(_docs(spark, sf_dir), rounds=3)

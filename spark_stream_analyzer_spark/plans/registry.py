@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = (
     "streaming_jdbc_sink_snapshots",
     "dedup_incremental_index",
     "text_bpe_pair_counts",
+    "text_bpe_merge_table",
     "orders_salted_customer_join",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)

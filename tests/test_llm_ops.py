@@ -787,3 +787,21 @@ def test_bpe_pair_counts_planted_corpus(spark):
     # single-char words contribute nothing
     df2 = spark.createDataFrame([Row(doc_id=0, text="a b c")])
     assert bpe_pair_counts(df2).count() == 0
+
+
+def test_bpe_merge_table_applies_merges_between_rounds(spark):
+    # hand-traced on "banana" x2:
+    #  r1: pairs {a n:4, n a:4, b a:2} -> argmax 'a n' (tie, asc) ->
+    #      ' b a n a n a ' -replace-> ' b an a n a ' (single-pass
+    #      non-overlap: only the FIRST 'a n' merges; the second lost its
+    #      leading delimiter to the consumed match)
+    #  r2: symbols [b, an, a, n, a] -> all pairs count 2 -> argmax 'a n'
+    #      again (asc) -> ' b an an a '
+    #  r3: symbols [b, an, an, a] -> argmax 'an a' (prefix sorts first)
+    from pyspark.sql import Row
+
+    from spark_stream_analyzer_spark.operators.text import bpe_merge_table
+
+    df = spark.createDataFrame([Row(doc_id=0, text="banana banana")])
+    got = [(r.round, r.pair, r.n) for r in bpe_merge_table(df, rounds=3).collect()]
+    assert got == [(1, "a n", 4), (2, "a n", 2), (3, "an a", 2)]
