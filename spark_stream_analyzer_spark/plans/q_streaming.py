@@ -1468,3 +1468,108 @@ def q_streaming_jdbc_sink_snapshots(spark: SparkSession, sf_dir: str) -> DataFra
 
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows_out, final.schema)
+
+
+@register(
+    "streaming_state_ttl_eviction",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value) AS BIGINT) % 100) AS BIGINT) AS total,
+           CAST(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS evicted
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY user_id
+    """,
+    doc="EXT event-time state timers / TTL eviction, LIVE (r7): the "
+    "stateful-operator capability class the reference never touches "
+    "(its mapGroupsWithState overload configures no GroupStateTimeout "
+    "— state lives forever) and the one that keeps a 100 TB stream's "
+    "state bounded by the ACTIVE keyset. applyInPandasWithState with "
+    "EventTimeTimeout: every update re-arms the key's timer at "
+    "last_event + 1h; group-A users (id%3!=0) send all their rows at "
+    "t0 in batch 0, group-B users send theirs at t0+10d across "
+    "batches 1-2, so the watermark (1h delay) provably passes every "
+    "A timer before batch 2 — A keys are invoked WITH hasTimedOut and "
+    "NO rows, emit a final tombstone (evicted=1, full totals intact) "
+    "and state.remove(); B keys stay live (evicted=0, batch-2 "
+    "timestamps sit 30min after batch 1, inside the gap). Both "
+    "failure directions flip the row red: timers not firing leaves A "
+    "at evicted=0; over-eager eviction (or state loss on eviction) "
+    "breaks B's totals or A's counts",
+)
+def q_streaming_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    T_A = 1_700_000_000
+    T_B = T_A + 864_000  # +10 days
+    T_B2 = T_B + 1_800  # +30 min: inside B's gap, but batch 2 must run
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    b = b.withColumn("val", F.expr("CAST(floor(value) AS LONG) % 100"))
+    is_a = F.col("user_id") % 3 != 0
+    lines = b.select(
+        "event_id",
+        is_a.alias("is_a"),
+        F.concat_ws(
+            ",",
+            F.when(is_a, F.lit(T_A))
+            .when(F.col("event_id") % 2 == 0, F.lit(T_B))
+            .otherwise(F.lit(T_B2)),
+            F.col("user_id"),
+            F.col("val"),
+        ).alias("value"),
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_ttl_")
+    os.makedirs(f"{workdir}/in")
+    rows = lines.collect()  # test-harness boundary only, NOT an engine path
+    batches = {
+        0: [r.value for r in rows if r.is_a],
+        1: [r.value for r in rows if not r.is_a and r.value.startswith(str(T_B) + ",")],
+        2: [r.value for r in rows if not r.is_a and r.value.startswith(str(T_B2) + ",")],
+    }
+    for idx, vals in batches.items():
+        path = f"{workdir}/in/{idx:03d}.txt"
+        with open(path, "w") as f:
+            f.write("\n".join(vals) + "\n")
+        _stamp_batch_file(path, idx)
+
+    from spark_stream_analyzer_spark.streaming.stateful import (
+        ttl_evicting_totals_stream,
+    )
+
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[1].cast("long").alias("user_id"),
+        parts[2].cast("long").alias("val"),
+    ).withWatermark("ts", "1 hour")
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ttl_evicting_totals_stream(parsed, gap_seconds=3600)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)  # replay files consumed
+
+    # totals are monotone; the tombstone repeats the final totals, so
+    # per-key max over every emitted row is batch-interleaving-free
+    snaps = spark.table(name)
+    return snaps.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total").alias("total"),
+        F.max("evicted").alias("evicted"),
+    )

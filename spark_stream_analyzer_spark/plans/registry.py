@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = (
     "streaming_availablenow_backfill",
     "streaming_checkpoint_restart",
     "streaming_jdbc_sink_snapshots",
+    "streaming_state_ttl_eviction",
     "dedup_incremental_index",
     "text_bpe_pair_counts",
     "text_bpe_merge_table",

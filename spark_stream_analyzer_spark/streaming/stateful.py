@@ -248,3 +248,81 @@ def snapshot_player_stats_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+#: ttl-evicting per-key totals — emitted on update AND on timer eviction
+TTL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total", LongType()),
+        StructField("evicted", LongType()),
+    ]
+)
+
+TTL_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def _make_ttl_update(gap_seconds: int):
+    """Closure (see :func:`_make_update_snapshots` for why) implementing
+    idle-key eviction with EVENT-TIME TIMERS: each update re-arms the
+    key's timer at last_event + gap; when the watermark passes it, the
+    group is invoked with ``state.hasTimedOut`` and no rows — it emits a
+    final tombstone row (``evicted=1``) and removes its state."""
+    import pandas as pd  # self-contained closure (pickled by value)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "total": tot, "evicted": 1}]
+            )
+            return
+        n, tot = state.get if state.exists else (0, 0)
+        last_ms = 0
+        for pdf in pdfs:
+            n += int(len(pdf))
+            tot += int(pdf["val"].sum())
+            # ts arrives as pandas datetime64[ns]; timer API wants epoch ms
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, tot))
+        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total": tot, "evicted": 0}]
+        )
+
+    return update
+
+
+def ttl_evicting_totals_stream(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
+    """Per-key running totals whose state EXPIRES after ``gap_seconds``
+    of event-time inactivity — the state-TTL pattern the reference lacks
+    entirely (its 3-arg ``mapGroupsWithState`` overload never configures
+    a ``GroupStateTimeout``, so state lives forever; SURVEY §2.9).
+
+    ``events`` must carry ``user_id:long, ts:timestamp, val:long`` and
+    ALREADY be watermarked (EventTimeTimeout derives timer firing from
+    the watermark). At 100 TB this is how unbounded-keyspace streams
+    stay bounded: idle keys emit a final row and leave the store, so
+    state size tracks the ACTIVE keyset, not the lifetime keyset.
+
+    Pinned engine subtlety (tests/test_streaming.py): a key that
+    receives data in the very batch its timer would fire gets the DATA
+    call, not the timeout — Spark only invokes ``hasTimedOut`` for
+    dataless groups — so its state resurrects and totals merge; the
+    tombstone only ever fires for keys idle through the firing batch.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_ttl_update(gap_seconds),
+        outputStructType=TTL_OUT_SCHEMA,
+        stateStructType=TTL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -692,3 +692,76 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     )
     assert batch_count == 2, f"expected 2 micro-batches, saw {batch_count}"
     spark.catalog.dropTempView("t_available_now")
+
+
+def test_ttl_eviction_timer_fires_and_state_is_removed(spark, tmp_path):
+    """EventTimeTimeout, three pinned behaviors: (1) an idle key's timer
+    fires once the watermark passes last_event + gap and the tombstone
+    carries the full totals; (2) state leaves the store — a later batch
+    for that key restarts from zero; (3) a key receiving data in the
+    very batch its timer would fire gets DATA, not a timeout (Spark
+    processes groups with data normally; only dataless timed-out groups
+    see hasTimedOut), so its state resurrects and totals merge."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.plans.q_streaming import _stamp_batch_file
+    from spark_stream_analyzer_spark.streaming.sources import file_lines_stream
+    from spark_stream_analyzer_spark.streaming.stateful import (
+        ttl_evicting_totals_stream,
+    )
+
+    t0 = 1_700_000_000
+    t1 = t0 + 864_000
+    src = tmp_path / "in"
+    src.mkdir()
+    files = [
+        [f"{t0},1,10", f"{t0},1,5", f"{t0},3,1"],  # keys 1 and 3 at t0
+        [f"{t1},2,7"],                              # key 2 advances watermark
+        [f"{t1 + 60},2,3", f"{t1 + 60},3,2"],       # key1 timer fires; key3 has data -> resurrects
+        [f"{t1 + 120},1,100"],                      # key1 reborn after eviction
+    ]
+    for i, lines in enumerate(files):
+        p = src / f"{i:03d}.txt"
+        p.write_text("\n".join(lines) + "\n")
+        _stamp_batch_file(str(p), i)
+
+    parts = F.split("value", ",")
+    parsed = (
+        file_lines_stream(spark, str(src))
+        .select(
+            F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+            parts[1].cast("long").alias("user_id"),
+            parts[2].cast("long").alias("val"),
+        )
+        .withWatermark("ts", "1 hour")
+    )
+    name = f"ttlu_{_uuid.uuid4().hex[:8]}"
+    q = (
+        ttl_evicting_totals_stream(parsed, gap_seconds=3600)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.user_id, r.n_events, r.total, r.evicted)
+        for r in spark.table(name).collect()
+    ]
+    # (1) key 1: updates then a tombstone with the final totals
+    assert (1, 2, 15, 0) in rows
+    assert (1, 2, 15, 1) in rows, "timer tombstone missing - timeout never fired"
+    # (2) reborn key 1 starts from zero: state really was removed
+    assert (1, 1, 100, 0) in rows, "state not removed - reborn key kept old totals"
+    # (3) key 3 had data in the firing batch: data wins, totals merge,
+    # and NO tombstone is ever emitted for it
+    assert (3, 2, 3, 0) in rows
+    assert not any(u == 3 and ev == 1 for u, _, _, ev in rows)
+    # key 2 stays live throughout
+    assert (2, 2, 10, 0) in rows
+    assert not any(u == 2 and ev == 1 for u, _, _, ev in rows)
