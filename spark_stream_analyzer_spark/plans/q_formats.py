@@ -451,3 +451,174 @@ def q_source_python_datasource_wire(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         out, "file_idx long, n_lines long, checksum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7: storage-layout maintenance as driver rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_partitioned_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           1::INT AS pruned
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    doc="EXT partitioned layout + partition pruning as a driver row (r7; "
+    "previously tests-only in sources/layout.py): events written "
+    "partitionBy(event_type) with repartition-aligned writers (one "
+    "file per directory — the anti-small-files discipline) and "
+    "user_id clustering, read back through a partition-column filter. "
+    "The emitted `pruned` bit comes from the READER'S OWN physical "
+    "scan (PartitionFilters non-empty on the executed plan) — at "
+    "100 TB this is the difference between opening 2 directories and "
+    "scanning the table; a regression that silently drops pruning "
+    "(e.g. a cast on the partition column) flips the driver row red. "
+    "Aggregate values prove the partitioned round trip is lossless",
+)
+def q_source_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.sources.layout import (
+        partition_filters_of,
+        scan_with_pruning,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    workdir = tempfile.mkdtemp(prefix="ssa_part_")
+    try:
+        write_partitioned(ev, workdir, ["event_type"], cluster_by=["user_id"])
+        back = scan_with_pruning(spark, workdir).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        pruned = int(partition_filters_of(back) != "")
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("user_id").alias("user_sum"),
+            F.lit(pruned).cast("int").alias("pruned"),
+        )
+        rows = agg.collect()  # bounded: one row per selected partition
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "source_small_file_compaction",
+    oracle=f"""
+    SELECT CAST(64 AS INT) AS n_files_before,
+           CAST(4 AS INT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND({{msum}}, 6) AS total_price
+    FROM lineitem
+    """.replace(
+        "{msum}",
+        "(CAST(SUM(CAST(FLOOR((l_extendedprice) * 1000000 + 0.5) AS BIGINT)"
+        " // 1000000) AS DOUBLE)"
+        " + CAST(SUM(CAST(FLOOR((l_extendedprice) * 1000000 + 0.5) AS BIGINT)"
+        " % 1000000) AS DOUBLE) / 1000000.0)",
+    ),
+    doc="EXT small-file compaction as a driver row (r7) — the table "
+    "maintenance every 100 TB lake runs on a schedule: a fact slice "
+    "deliberately written as 64 task-sized fragments (what a 10k-task "
+    "job without write repartitioning produces — metadata death at "
+    "scale) is compacted by a distributed read → repartition(4) → "
+    "rewrite. File counts are pinned on BOTH sides from the actual "
+    "directory listings, and row count + msum6-exact price prove the "
+    "rewrite is lossless — a compaction that drops or duplicates rows "
+    "(the classic concurrent-writer bug) flips the driver row red",
+)
+def q_source_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_compact_")
+    small, compact = f"{workdir}/small", f"{workdir}/compact"
+
+    def _nfiles(path: str) -> int:
+        return len(_glob.glob(os.path.join(path, "*.parquet")))
+
+    try:
+        li.repartition(64).write.mode("overwrite").parquet(small)
+        n_before = _nfiles(small)
+        spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(
+            compact
+        )
+        n_after = _nfiles(compact)
+        m = "CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)"
+        agg = spark.read.parquet(compact).agg(
+            F.lit(n_before).cast("int").alias("n_files_before"),
+            F.lit(n_after).cast("int").alias("n_files_after"),
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.expr(f"CAST(SUM({m} DIV 1000000) AS DOUBLE)")
+                + F.expr(f"CAST(SUM({m} % 1000000) AS DOUBLE) / 1000000.0"),
+                6,
+            ).alias("total_price"),
+        )
+        rows = agg.collect()  # one row
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "source_schema_evolution_merge",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN length(o_orderpriority) ELSE 0 END) AS BIGINT)
+             AS v2_prio_chars
+    FROM orders
+    """,
+    doc="EXT schema evolution via mergeSchema (r7) — the ingestion "
+    "reality every long-lived 100 TB table faces: batch 1 lands with "
+    "the v1 schema (orderkey, totalprice), batch 2 lands with an ADDED "
+    "column (orderpriority), both under one table root as partition "
+    "directories. A mergeSchema read must unify them: v1 rows surface "
+    "the new column as NULL (n_v1_rows counts them via the null), v2 "
+    "rows keep their values (v2_prio_chars checksums the evolved "
+    "column's content). Footer-only schema merge — no data rewrite, "
+    "the evolution pattern that avoids recasting 100 TB; a reader that "
+    "drops the new column, fills wrong defaults, or loses v1 rows "
+    "flips the row red",
+)
+def q_source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_evolve_")
+    try:
+        v1.write.mode("overwrite").parquet(f"{workdir}/batch=1")
+        v2.write.mode("overwrite").parquet(f"{workdir}/batch=2")
+        back = spark.read.option("mergeSchema", "true").parquet(workdir)
+        assert "o_orderpriority" in back.columns  # unified schema
+        agg = back.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+            ).alias("n_v1_rows"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+            ).alias("n_v2_rows"),
+            F.sum(
+                F.coalesce(F.length("o_orderpriority"), F.lit(0)).cast("long")
+            ).alias("v2_prio_chars"),
+        )
+        rows = agg.collect()  # one row
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -85,6 +85,9 @@ _DRIVER_PRIORITY = (
     "text_bpe_pair_counts",
     "text_bpe_merge_table",
     "orders_salted_customer_join",
+    "source_partitioned_pruned_scan",
+    "source_small_file_compaction",
+    "source_schema_evolution_merge",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",

@@ -83,6 +83,12 @@ PROBE_QUERIES = [
     # SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and factor 10 → sf1-scale)
     "dedup_containment_pairs",
     "customer_name_fuzzy_pairs",
+    # round-7: incremental index dedup (batch-vs-index join must scale
+    # with the BATCH, not the corpus), BPE pair counting (bounded-key
+    # aggregation over the exploded stream), salted fact⋈dim join
+    "dedup_incremental_index",
+    "text_bpe_pair_counts",
+    "orders_salted_customer_join",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus

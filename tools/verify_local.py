@@ -53,13 +53,20 @@ def main():
         # grading harness does NOT use our tuned get_spark()
         from pyspark.sql import SparkSession
 
-        spark = (
+        builder = (
             SparkSession.builder.master("local[8]")
             .appName("verify-vanilla")
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
-            .getOrCreate()
         )
+        # configuration-robustness sweeps: e.g.
+        # SPARK_GRAFT_EXTRA_CONF="spark.sql.ansi.enabled=false" runs the
+        # whole gate under the non-default ANSI mode (r6/r7 sweeps)
+        for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                builder = builder.config(k.strip(), v.strip())
+        spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
     else:
         spark = get_spark(app_name="verify-local")
