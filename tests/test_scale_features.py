@@ -264,3 +264,81 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling, executed live: a join whose build of one
+    shuffle partition dwarfs the median (70% of fact rows on one key) is
+    re-planned at runtime — the final adaptive plan carries
+    ``SortMergeJoin(skew=true)`` / ``AQEShuffleRead skewed`` and the hot
+    partition is split across extra tasks, with results identical to the
+    un-optimized join. Thresholds are lowered because the defaults gate
+    on 256MB partitions that test-scale shuffles never reach.
+
+    Also pins the OTHER HALF of the skew story, the part that justifies
+    the explicit `functions/skew.py` salted fallback: when the skewed
+    join feeds an aggregation on the join key, AQE must preserve the
+    hash distribution the agg requires, so `OptimizeSkewedJoin` does NOT
+    fire (no skew markers in the final plan) — at 100 TB that shape
+    still stragglers under AQE alone and needs salting.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # force a sort-merge join: broadcast would erase the shuffle skew
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 70% of fact rows land on key 7; sha2 pad gives the hot
+        # partition real shuffle bytes, not just row count
+        fact = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 < 7, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").select("k", "w", F.length("pad").alias("plen"))
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"skew=true", plan), plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+        # correctness: identical multiset with the optimization disabled
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = fact.join(dim, "k").select(
+            "k", "w", F.length("pad").alias("plen")
+        )
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, plain.collect()))
+
+        # the blocked shape: same skewed join, but consumed by a groupBy
+        # on the join key — splitting the hot partition would violate the
+        # agg's required distribution, so AQE leaves it skewed
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        agg = (
+            fact.join(dim, "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.max("pad").alias("mp"))
+        )
+        agg.collect()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in agg_plan
+        assert not re.search(r"skew=true", agg_plan), agg_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
