@@ -1462,3 +1462,81 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_r.alias("bits_per_bigram"),
         round6(F.pow(F.lit(2.0), bits_r)).alias("ppl"),
     )
+
+
+@register(
+    "events_observed_quality",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error_rows,
+           CAST(SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_value,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_msum6,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT DISTINCT epoch_us(ts) // 86400000000, event_type
+                   FROM events)) AS BIGINT) AS n_groups
+    FROM events
+    """,
+    doc="EXT observe()/CollectMetrics data-quality counters (r7) — the "
+    "observability primitive a 100 TB pipeline uses to validate every "
+    "batch WITHOUT a second scan: df.observe attaches aggregate "
+    "counters (row count, error-row count, bad-value count, msum6-"
+    "exact value total, ts min/max) to the SAME plan the business "
+    "aggregation (daily per-type counts) executes, so the metrics "
+    "ride the one fact scan for free — accumulator-style, no extra "
+    "job, and the identical node surfaces per-batch in "
+    "StreamingQueryProgress.observedMetrics on streams. The driver "
+    "row proves the piggybacked counters EQUAL an independent second-"
+    "pass computation (the DuckDB oracle), and n_groups pins that the "
+    "business aggregation actually ran and produced the same group "
+    "count; the value total is fixed-point so summation order cannot "
+    "drift it. A scan-free observe() regression (metrics not firing, "
+    "or firing on a partial plan) flips the row red",
+)
+def q_events_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_error_rows"),
+        F.sum(F.when(F.col("value").isNull() | (F.col("value") < 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_value"),
+        F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_msum6"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+    # the business aggregation — the only action driven against the fact
+    # table; floor-division day bucket matches DuckDB `//` on negatives too
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    agg = observed.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_groups = agg.count()  # fires the scan; obs.get blocks until filled
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_error_rows"],
+                m["n_bad_value"],
+                m["value_msum6"],
+                m["min_ts_us"],
+                m["max_ts_us"],
+                n_groups,
+            )
+        ],
+        "n_rows long, n_error_rows long, n_bad_value long, value_msum6 long, "
+        "min_ts_us long, max_ts_us long, n_groups long",
+    )

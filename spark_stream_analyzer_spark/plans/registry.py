@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = (
     "source_partitioned_pruned_scan",
     "source_small_file_compaction",
     "source_schema_evolution_merge",
+    "events_observed_quality",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",

@@ -765,3 +765,45 @@ def test_ttl_eviction_timer_fires_and_state_is_removed(spark, tmp_path):
     # key 2 stays live throughout
     assert (2, 2, 10, 0) in rows
     assert not any(u == 2 and ev == 1 for u, _, _, ev in rows)
+
+
+def test_streaming_observed_metrics_per_batch(spark, tmp_path):
+    """The streaming half of events_observed_quality's story: the same
+    ``df.observe`` CollectMetrics node, attached to a file-replay
+    stream, surfaces its counters per micro-batch in
+    ``StreamingQueryProgress.observedMetrics`` — the zero-extra-scan
+    hook a production pipeline's monitor reads instead of running a
+    second validation query over each batch. Two replay files drained
+    with maxFilesPerTrigger=1 give two data batches; summed observed
+    row counts must equal the total line count and the per-batch split
+    must match the files."""
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    _write(src, "00.txt", "\n".join(f"a {i}" for i in range(7)))
+    _write(src, "01.txt", "\n".join(f"b {i}" for i in range(5)))
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    observed = lines.observe(
+        "batch_quality",
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").startswith("a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a_rows"),
+    )
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_observe")
+        .start()
+    )
+    _drain(q)
+    seen = []
+    for p in q.recentProgress:
+        om = (p.get("observedMetrics") or {}).get("batch_quality")
+        if om is not None:
+            seen.append((om["n_rows"], om["n_a_rows"]))
+    assert sorted(seen) == [(5, 0), (7, 7)], seen
+    assert spark.table("t_observe").count() == 12
