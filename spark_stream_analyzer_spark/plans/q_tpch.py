@@ -2076,3 +2076,104 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_orders"),
         round6(msum6(F.col("o_totalprice"))).alias("revenue"),
     )
+
+
+@register(
+    "orders_cdc_merge_apply",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey AS cust,
+             o_orderstatus AS status, o_totalprice + 100.0 AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, NULL
+      FROM orders WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 5
+    ),
+    latest AS (
+      SELECT k, op, cust, status, price
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) rn
+            FROM changes)
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT COALESCE(c.k, b.o_orderkey) AS k,
+             COALESCE(c.cust, b.o_custkey) AS cust,
+             COALESCE(c.status, b.o_orderstatus) AS status,
+             COALESCE(c.price, b.o_totalprice) AS price,
+             c.op AS op
+      FROM orders b FULL OUTER JOIN latest c ON b.o_orderkey = c.k
+    )
+    SELECT status AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({{M}}, 6) AS price_msum6
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    GROUP BY status
+    """.replace("{{M}}", "{M}").format(M=_msum6_sql("price")),
+    doc="EXT CDC merge-apply (r7) — MERGE INTO semantics without an ACID "
+    "table format, the update path every parquet-based 100 TB lake "
+    "needs: a change log carrying multi-version upserts, deletes and "
+    "inserts (synthesized deterministically from orders: +100.00 "
+    "price updates on keys %7=0, deletes on %11=3 — which BEAT the "
+    "seq-1 update on keys hit by both, inserts as key+1e9 with status "
+    "'N') is first COMPACTED to latest-change-per-key (row_number "
+    "over seq desc — the argmax discipline, window over the delta "
+    "only, never the base), then applied in ONE full-outer join "
+    "against the base: coalesce picks changed values, 'D' rows drop, "
+    "unmatched inserts survive the outer side. At 100 TB the "
+    "compaction windows O(delta) rows and the apply is one key-"
+    "partitioned shuffle of base+delta (when delta is broadcast-"
+    "small the U/D half degenerates to a map-side hash join; the "
+    "full-outer form is the general case and what AQE picks from "
+    "runtime sizes). Per-status counts + msum6-exact totals pin all "
+    "three op paths: status 'N' exists only if inserts landed, "
+    "deleted keys shrink counts, updated prices shift the sum",
+)
+def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = o.filter(k % 7 == 0).select(
+        k.alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+    )
+    dele = o.filter(k % 11 == 3).select(
+        k.alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cust"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    ins = o.filter(k % 13 == 5).select(
+        (k + F.lit(1_000_000_000)).alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_custkey").alias("cust"),
+        F.lit("N").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    merged = o.join(latest, o.o_orderkey == latest.k, "full_outer")
+    final = merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce("cust", "o_custkey").alias("cust"),
+        F.coalesce("status", "o_orderstatus").alias("status"),
+        F.coalesce("price", "o_totalprice").alias("price"),
+    )
+    return final.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(msum6(F.col("price")), 6).alias("price_msum6"),
+    )

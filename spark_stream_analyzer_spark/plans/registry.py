@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "source_small_file_compaction",
     "source_schema_evolution_merge",
     "events_observed_quality",
+    "orders_cdc_merge_apply",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",
