@@ -185,3 +185,63 @@ def q_part_multiset_common(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count("*").alias("common"))
     )
+
+
+@register(
+    "approx_hll_mergeable_rollup",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+             AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1::INT AS mergeable_ok,
+           1::INT AS within_tol
+    FROM events
+    """,
+    doc="EXT mergeable-sketch rollup (r7) — the 100 TB distinct-count "
+    "architecture: per-day HyperLogLog sketches (datasketches "
+    "hll_sketch_agg, lgConfigK=12) built in ONE partial-aggregated "
+    "pass, then UNION-MERGED (hll_union_agg) to answer the corpus-"
+    "wide distinct-user question from 30 sketch blobs instead of a "
+    "raw rescan — the pattern where a lake stores per-partition "
+    "sketch bytes (~KB each) and any time-range's cardinality is a "
+    "merge over its sketches. mergeable_ok pins the algebraic "
+    "property that makes this sound: merge(sketch(day_1..n)) equals "
+    "sketch(whole) EXACTLY (HLL registers combine by max, which "
+    "commutes with partitioning — any register-merge bug flips it); "
+    "within_tol pins the estimate against the exact distinct count "
+    "(0.05 bound: ~3 sigma of lgK=12's 1.6% rsd; at driver sf the "
+    "sketch is in sparse-exact mode and the error is 0). exact_users "
+    "and n_days come from the oracle's own COUNT(DISTINCT)",
+)
+def q_approx_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    per_day = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = per_day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+            "merged_est"
+        ),
+    )
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "whole_est"
+        ),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(whole).select(
+        "n_days",
+        "exact_users",
+        (F.col("merged_est") == F.col("whole_est")).cast("int").alias(
+            "mergeable_ok"
+        ),
+        (
+            (
+                F.abs(F.col("merged_est") - F.col("exact_users"))
+                / F.col("exact_users")
+            )
+            <= 0.05
+        ).cast("int").alias("within_tol"),
+    )

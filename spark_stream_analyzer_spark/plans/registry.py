@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "source_schema_evolution_merge",
     "events_observed_quality",
     "orders_cdc_merge_apply",
+    "approx_hll_mergeable_rollup",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",
