@@ -193,7 +193,7 @@ def q_part_multiset_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
              AS n_days,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           1::INT AS mergeable_ok,
+           1::INT AS splits_agree,
            1::INT AS within_tol
     FROM events
     """,
@@ -204,44 +204,52 @@ def q_part_multiset_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wide distinct-user question from 30 sketch blobs instead of a "
     "raw rescan — the pattern where a lake stores per-partition "
     "sketch bytes (~KB each) and any time-range's cardinality is a "
-    "merge over its sketches. mergeable_ok pins the algebraic "
-    "property that makes this sound: merge(sketch(day_1..n)) equals "
-    "sketch(whole) EXACTLY (HLL registers combine by max, which "
-    "commutes with partitioning — any register-merge bug flips it); "
-    "within_tol pins the estimate against the exact distinct count "
-    "(0.05 bound: ~3 sigma of lgK=12's 1.6% rsd; at driver sf the "
-    "sketch is in sparse-exact mode and the error is 0). exact_users "
-    "and n_days come from the oracle's own COUNT(DISTINCT)",
+    "merge over its sketches. The verdict bits are BOUNDS, not "
+    "equalities, because this round's probe showed the naive pins "
+    "are false for datasketches HLL (measured at sf0.1, exact 1500): "
+    "a union cannot keep the HIP estimator a directly-fed sketch "
+    "answers with (direct 1499 vs merged 1488), and the post-union "
+    "raw estimate is even PATH-DEPENDENT — a 30-way day split reads "
+    "1488 while a 7-way hash split of the same values reads 1490, "
+    "because each input sketch crosses the sparse-to-dense boundary "
+    "at a different fill point (SCALING.md r7 records the probe). "
+    "So: splits_agree pins two structurally different partitionings "
+    "to within 2% of exact of each other (a register-merge BUG is "
+    "far outside; benign path noise is ~0.1%), within_tol pins the "
+    "merged estimate within 5% of the exact count (~3 sigma of "
+    "lgK=12 rsd; at driver sf the sparse-mode union is exact)",
 )
 def q_approx_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("ts", "user_id")
     day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
-    per_day = ev.groupBy(day.alias("day")).agg(
+    by_day = ev.groupBy(day.alias("g")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
-    merged = per_day.agg(
+    day_union = by_day.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
-            "merged_est"
+            "day_est"
         ),
     )
-    whole = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
-            "whole_est"
-        ),
-        F.count_distinct("user_id").alias("exact_users"),
+    # a second, structurally different partitioning of the same values
+    by_hash = ev.groupBy((F.xxhash64("user_id") % 7).alias("g")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
-    return merged.crossJoin(whole).select(
+    hash_union = by_hash.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+            "hash_est"
+        )
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return day_union.crossJoin(hash_union).crossJoin(exact).select(
         "n_days",
         "exact_users",
-        (F.col("merged_est") == F.col("whole_est")).cast("int").alias(
-            "mergeable_ok"
-        ),
         (
-            (
-                F.abs(F.col("merged_est") - F.col("exact_users"))
-                / F.col("exact_users")
-            )
+            F.abs(F.col("day_est") - F.col("hash_est"))
+            <= 0.02 * F.col("exact_users")
+        ).cast("int").alias("splits_agree"),
+        (
+            (F.abs(F.col("day_est") - F.col("exact_users")) / F.col("exact_users"))
             <= 0.05
         ).cast("int").alias("within_tol"),
     )
