@@ -622,3 +622,108 @@ def q_source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "source_zorder_multidim_pruning",
+    oracle="""
+    SELECT CAST(16 AS INT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1::INT AS z_user_ok,
+           1::INT AS z_day_ok,
+           1::INT AS lin_user_ok,
+           1::INT AS lin_day_all
+    FROM events
+    """,
+    doc="EXT Z-order multi-dimensional clustering (r7) — the layout "
+    "technique ACID lakehouses expose as ZORDER BY, built from plain "
+    "column expressions (sources/layout.py:zorder_key, MSB-aligned "
+    "Morton interleave of user_id and day): events are written 16 "
+    "range-partitioned files sorted by the interleaved key, and the "
+    "verdict bits are computed from the REAL parquet footer min/max "
+    "stats — what row-group/file skipping actually consults. Pinned "
+    "(3 point probes per dimension, worst case): Z-layout confines "
+    "BOTH dimensions to <= 10/16 files (measured <= 8), while the "
+    "single-column linear layout is perfect on its sort key "
+    "(<= 2/16) but touches ALL 16 files for every day probe — the "
+    "asymmetry Z-order exists to fix. At 100 TB this is the "
+    "difference between a secondary-dimension query scanning ~60% "
+    "vs 100% of a partition's files, with no index structure to "
+    "maintain; bounds (not exact counts) keep the row stable under "
+    "range-partitioner sampling. Row count pins the round trip",
+)
+def q_source_zorder_multidim_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from spark_stream_analyzer_spark.sources.layout import (
+        file_minmax_ranges,
+        zorder_key,
+    )
+
+    n_files = 16
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias(
+            "day"
+        ),
+    )
+    # bounded one-row bounds fetch (the k-means-centroid discipline)
+    b = ev.agg(
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+        F.max("user_id").alias("umax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    bu = max(1, math.ceil(math.log2(b.umax + 1)))
+    bd = max(1, math.ceil(math.log2(b.dmax - b.dmin + 1)))
+    z = zorder_key(
+        [(F.col("user_id"), bu), (F.col("day") - F.lit(b.dmin), bd)]
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_zorder_")
+    zp, lp = f"{workdir}/zorder", f"{workdir}/linear"
+    try:
+        (
+            ev.withColumn("z", z)
+            .repartitionByRange(n_files, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(zp)
+        )
+        (
+            ev.repartitionByRange(n_files, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(lp)
+        )
+
+        def worst(path: str, column: str, probes) -> int:
+            ranges = file_minmax_ranges(path, column)
+            return max(
+                sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+            )
+
+        u_probes = [b.umax // 4, b.umax // 2, 3 * b.umax // 4]
+        d_probes = [b.dmin + 7, b.dmin + 15, b.dmin + 22]
+        zu = worst(zp, "user_id", u_probes)
+        zd = worst(zp, "day", d_probes)
+        lu = worst(lp, "user_id", u_probes)
+        ld = worst(lp, "day", d_probes)
+        n_back = spark.read.parquet(zp).count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_files,
+                    n_back,
+                    int(zu <= 10),
+                    int(zd <= 10),
+                    int(lu <= 2),
+                    int(ld == n_files),
+                )
+            ],
+            "n_files int, n_rows long, z_user_ok int, z_day_ok int, "
+            "lin_user_ok int, lin_day_all int",
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -2089,7 +2089,7 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT o_orderkey, 2, 'D', NULL, NULL, NULL
       FROM orders WHERE o_orderkey % 11 = 3
       UNION ALL
-      SELECT o_orderkey + 1000000000, 1, 'I', o_custkey, 'N', o_totalprice
+      SELECT o_orderkey + 100000000000, 1, 'I', o_custkey, 'N', o_totalprice
       FROM orders WHERE o_orderkey % 13 = 5
     ),
     latest AS (
@@ -2117,7 +2117,7 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     "needs: a change log carrying multi-version upserts, deletes and "
     "inserts (synthesized deterministically from orders: +100.00 "
     "price updates on keys %7=0, deletes on %11=3 — which BEAT the "
-    "seq-1 update on keys hit by both, inserts as key+1e9 with status "
+    "seq-1 update on keys hit by both, inserts as key+1e11 (clear of any clone-offset keyspace) with status "
     "'N') is first COMPACTED to latest-change-per-key (row_number "
     "over seq desc — the argmax discipline, window over the delta "
     "only, never the base), then applied in ONE full-outer join "
@@ -2153,7 +2153,7 @@ def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("price"),
     )
     ins = o.filter(k % 13 == 5).select(
-        (k + F.lit(1_000_000_000)).alias("k"),
+        (k + F.lit(100_000_000_000)).alias("k"),
         F.lit(1).alias("seq"),
         F.lit("I").alias("op"),
         F.col("o_custkey").alias("cust"),

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = (
     "events_observed_quality",
     "orders_cdc_merge_apply",
     "approx_hll_mergeable_rollup",
+    "source_zorder_multidim_pruning",
     # -- round-7 changed-code rows (fresh driver row required) --
     "similarity_pq_recall_audit",  # output schema changed (banded gate)
     "text_tfidf_top_terms",

@@ -92,3 +92,40 @@ def file_minmax_ranges(path: str, column: str) -> list[tuple]:
         if lo is not None:
             ranges.append((lo, hi))
     return ranges
+
+
+def zorder_key(col_bits) -> "Column":  # noqa: F821 - Column via pyspark.sql
+    """Morton/Z-order interleave of several non-negative integer columns
+    into one sort key — multi-dimensional clustering for min/max file
+    skipping (the technique ACID lakehouses expose as ZORDER BY, built
+    here from plain column expressions).
+
+    ``col_bits`` is ``[(column, n_bits), ...]``. Bits are interleaved
+    MSB-ALIGNED (dimension 1's top bit, dimension 2's top bit, ...) so
+    dimensions of unequal width still share the high bits of the key —
+    a naive LSB-aligned interleave lets the widest dimension own every
+    high bit and degenerates to a single-column sort (measured: day
+    pruning 8/8 files touched LSB-aligned vs 7/16 MSB-aligned, see
+    SCALING.md r7). Sorting by the result clusters rows so any one
+    dimension's values are confined to a bounded fraction of the
+    files: each dimension's point probes touch ~n^(1-1/d) of n files
+    instead of all of them — the multi-dimension trade a single-column
+    sort cannot make. Total bits must fit a signed long (<= 62).
+    """
+    from pyspark.sql import functions as F
+
+    order = []
+    for j in range(max(b for _, b in col_bits)):
+        for col, bits in col_bits:
+            if j < bits:
+                order.append((col, bits - 1 - j))
+    total = sum(b for _, b in col_bits)
+    z = F.lit(0).cast("long")
+    for idx, (col, bit) in enumerate(order):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(col.cast("long"), bit).bitwiseAND(F.lit(1)),
+                total - 1 - idx,
+            )
+        )
+    return z

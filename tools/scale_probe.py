@@ -89,6 +89,10 @@ PROBE_QUERIES = [
     "dedup_incremental_index",
     "text_bpe_pair_counts",
     "orders_salted_customer_join",
+    # round-7 second batch: CDC merge-apply (delta-windowed compaction +
+    # one full-outer key shuffle of base+delta — must track the base
+    # scan, never the delta squared)
+    "orders_cdc_merge_apply",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
