@@ -352,3 +352,43 @@ def test_intradoc_chunks_match_bruteforce(spark, tmp_path_factory, letters):
     r = QUERIES["text_intradoc_dup_chunks"].build(spark, str(d)).collect()[0]
     assert r["n_chunks"] == len(chunks)
     assert r["n_dup_chunks"] == n_dup
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**11 - 1), st.integers(0, 2**5 - 1)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_zorder_key_matches_reference_and_is_injective(spark, pairs):
+    """zorder_key == a pure-Python MSB-aligned Morton reference on random
+    in-range (user, day) pairs, and distinct pairs map to distinct keys
+    (injectivity — what makes sorting by z a lossless clustering)."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.sources.layout import zorder_key
+
+    bu, bd = 11, 5
+
+    def ref(u, d):
+        order = []
+        for j in range(max(bu, bd)):
+            if j < bu:
+                order.append((u, bu - 1 - j))
+            if j < bd:
+                order.append((d, bd - 1 - j))
+        total = bu + bd
+        z = 0
+        for idx, (val, bit) in enumerate(order):
+            z |= ((val >> bit) & 1) << (total - 1 - idx)
+        return z
+
+    df = spark.createDataFrame(pairs, "u long, d long")
+    z = zorder_key([(F.col("u"), bu), (F.col("d"), bd)])
+    got = {(r.u, r.d): r.z for r in df.withColumn("z", z).collect()}
+    expect = {(u, d): ref(u, d) for u, d in pairs}
+    assert got == expect
+    assert len(set(got.values())) == len(pairs)
