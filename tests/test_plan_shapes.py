@@ -395,3 +395,22 @@ def test_incremental_index_joins_on_band_keys(spark, tmp_path):
     # the index side enters as a parquet scan of the signature table —
     # its shingles come from storage, not a recompute of the corpus
     assert plan.count("Scan parquet") >= 2
+
+
+def test_cdc_merge_windows_delta_only_and_outer_joins_on_key(spark):
+    """CDC compaction's row_number window must sort only the change log
+    (its exchange input is the filtered union, never the base orders
+    scan), and the apply must be a plain full-outer equi-join on the
+    key — no product, no nested loop. Partial aggregation merges the
+    final per-status rollup."""
+    plan = plan_of(spark, "orders_cdc_merge_apply")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one Window node (compaction argmax) — and Spark's rn=1 rewrite
+    # engages WindowGroupLimit, pre-truncating each key's run to its
+    # top row on BOTH sides of the window exchange
+    assert plan.count("Window (") == 1
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin FullOuter" in plan
+    # rollup merges map-side like any groupBy
+    assert plan.count("HashAggregate") >= 2
