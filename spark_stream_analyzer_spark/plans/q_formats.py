@@ -705,7 +705,9 @@ def q_source_zorder_multidim_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             )
 
         u_probes = [b.umax // 4, b.umax // 2, 3 * b.umax // 4]
-        d_probes = [b.dmin + 7, b.dmin + 15, b.dmin + 22]
+        # clamp to the actual day span so a shorter-range corpus cannot
+        # push a probe past dmax (all files would report 0 touched)
+        d_probes = [min(b.dmin + off, b.dmax) for off in (7, 15, 22)]
         zu = worst(zp, "user_id", u_probes)
         zd = worst(zp, "day", d_probes)
         lu = worst(lp, "user_id", u_probes)

@@ -232,7 +232,7 @@ def q_approx_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     # a second, structurally different partitioning of the same values
-    by_hash = ev.groupBy((F.xxhash64("user_id") % 7).alias("g")).agg(
+    by_hash = ev.groupBy(F.pmod(F.xxhash64("user_id"), F.lit(7)).alias("g")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
     hash_union = by_hash.agg(
