@@ -82,5 +82,16 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=eager)
+        # persist before reliable checkpoint: without it Spark computes
+        # the plan twice — once for the action and again when the
+        # checkpoint writer re-traverses the RDD (r7 review finding).
+        # With eager=True the blocks are freed immediately after the
+        # checkpoint files are written; deployments should also set
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true so
+        # out-of-scope checkpoint files are GC'd from the dir
+        pinned = df.persist(StorageLevel.DISK_ONLY)
+        out = pinned.checkpoint(eager=eager)
+        if eager:
+            pinned.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)

@@ -312,7 +312,6 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     )
 
     spark = pairs.sparkSession
-    _before_edges = persistent_rdd_ids(spark)
     # materialize once: every fixpoint round re-joins the edge list, and
     # recomputing the upstream candidate-pair pipeline per round would
     # dominate the whole computation (cluster-safe persist — lineage kept)
@@ -321,7 +320,6 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
     )
-    edge_ids = persistent_rdd_ids(spark) - _before_edges
     prev_round_ids: set[int] = set()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -385,10 +383,14 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         )
     # the converged labels are a checkpoint of their own — the edge list
     # (and every pre-final round, already dropped above) is no longer
-    # reachable from the result, so free its blocks now; the final
-    # checkpoint stays alive for the consumer and is reclaimed by the
-    # caller's post-action cleanup (bench.py) or context GC
-    unpersist_rdds(spark, edge_ids)
+    # reachable from the result, so release it now. Dataset-level
+    # unpersist (not RDD-id unpersist): it evicts the CacheManager entry
+    # too, so a later call with an identical pairs plan re-persists
+    # instead of silently hitting a storage-level-NONE cache entry and
+    # recomputing the candidate pipeline every fixpoint round (r7
+    # review finding). The final checkpoint stays alive for the
+    # consumer and is reclaimed by the caller's post-action cleanup
+    edges.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -501,9 +501,11 @@ def pq_recall_audit(
     corpus shift would flip the gate red without a real regression
     (round-7 advice). The band is instead CENTERED on the per-corpus
     measured value (callers pass it; registry maps sf dir → measured
-    recall), so symmetric drift tolerance is the full half-width while
-    a halved recall (0.241 → 0.12 at sf0.01) still exits the band and
-    turns the driver row red. Raw-number tracking still uses
+    recall), so benign drift tolerance is the half-width (lower edge clamped
+    to 0.6x expected — r7 review: a plain symmetric band at
+    sf0.1's 0.156 center would reach below recall/2) while a
+    halved recall exits the band at every corpus and turns the
+    driver row red. Raw-number tracking still uses
     ``emit="recall"`` via tools/scale_probe.py.
     """
     e = emb.select(F.col(id_col), F.col(vec_col))
@@ -640,11 +642,16 @@ def pq_recall_audit(
         # task, r7 advice re-cut): the pipeline is fully deterministic
         # (fixed init, rounded-6 Lloyd's, id tie-breaks), so on a fixed
         # corpus the measured recall is exactly reproducible — the gate
-        # is centered on it with symmetric margin, and a regression that
-        # halves recall (e.g. 0.24→0.12) exits the band and turns the
-        # driver row red even though the collapse floor (0.06) would
-        # still pass
-        (F.abs(recall - F.lit(expected_recall)) < F.lit(band))
+        # is centered on it with the half-width as the upward/benign
+        # drift margin, and the LOWER edge additionally clamped to
+        # 0.6x expected so a halved recall exits the band at EVERY
+        # corpus (a plain symmetric band loses low-side sensitivity
+        # when expected - band < expected/2, e.g. 0.156 - 0.1 at
+        # sf0.1 — r7 review finding)
+        (
+            (recall < F.lit(expected_recall + band))
+            & (recall >= F.lit(max(expected_recall - band, 0.6 * expected_recall)))
+        )
         .cast("int")
         .alias("recall_in_band"),
     )

@@ -444,8 +444,6 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text", rounds: int = 3) -> D
 
     Returns one row per round: ``(round, pair, n)``.
     """
-    from spark_stream_analyzer_spark.functions.materialize import materialize
-
     words = with_words(df, text_col).select(F.explode("words").alias("w"))
     sdf = words.select(
         F.expr(

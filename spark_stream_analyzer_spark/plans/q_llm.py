@@ -1866,16 +1866,26 @@ _LSH_INCR_SQL = f"""
 def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
+    import shutil
+
     docs = _docs(spark, sf_dir)
     old = docs.filter(F.col("doc_id") % 10 < 8)
     new = docs.filter(F.col("doc_id") % 10 >= 8)
-    # the index persists across runs by design (that IS the pattern); a
-    # session-scoped temp dir stands in for the curated index location —
-    # left in place because the returned plan reads it lazily (the
-    # driver collects after we return)
-    idx_path = tempfile.mkdtemp(prefix="ssa_sigidx_") + "/index"
-    dedup.write_signature_index(old, idx_path)
-    return dedup.lsh_pairs_against_index(spark, new, idx_path, min_jaccard=0.02)
+    # in production the index persists across runs by design (that IS
+    # the pattern); here a temp dir stands in for the curated index
+    # location, so materialize the (batch-bounded) pair list and clean
+    # it up — returning a lazy plan over the temp files leaked a full
+    # parquet index per invocation (r7 review finding)
+    workdir = tempfile.mkdtemp(prefix="ssa_sigidx_")
+    try:
+        dedup.write_signature_index(old, f"{workdir}/index")
+        pairs = dedup.lsh_pairs_against_index(
+            spark, new, f"{workdir}/index", min_jaccard=0.02
+        )
+        rows = pairs.collect()  # batch-sized by design (the query's output)
+        return spark.createDataFrame(rows, pairs.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 @register(

@@ -2111,7 +2111,7 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
            ROUND({{M}}, 6) AS price_msum6
     FROM merged WHERE op IS NULL OR op <> 'D'
     GROUP BY status
-    """.replace("{{M}}", "{M}").format(M=_msum6_sql("price")),
+    """.format(M=_msum6_sql("price")),
     doc="EXT CDC merge-apply (r7) — MERGE INTO semantics without an ACID "
     "table format, the update path every parquet-based 100 TB lake "
     "needs: a change log carrying multi-version upserts, deletes and "

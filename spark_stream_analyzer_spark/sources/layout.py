@@ -114,6 +114,17 @@ def zorder_key(col_bits) -> "Column":  # noqa: F821 - Column via pyspark.sql
     """
     from pyspark.sql import functions as F
 
+    if not col_bits:
+        raise ValueError("zorder_key needs at least one (column, bits) pair")
+    total_bits = sum(b for _, b in col_bits)
+    if total_bits > 62:
+        # past 62 the interleave shifts into the long's sign bit and
+        # high-value rows sort BEFORE low ones — clustering silently
+        # inverts with no error anywhere
+        raise ValueError(
+            f"zorder_key: {total_bits} total bits exceeds the 62-bit "
+            "signed-long budget; reduce per-dimension widths"
+        )
     order = []
     for j in range(max(b for _, b in col_bits)):
         for col, bits in col_bits:
