@@ -1135,11 +1135,13 @@ _PQ_MEASURED_RECALL = {"sf0.001": 0.231, "sf0.01": 0.241, "sf0.1": 0.156}
     "(see pq_recall_audit docstring — worst disjoint-batch recall "
     "0.075 at sf0.1, floor 0.06, random baseline ~1e-3), PLUS a "
     "regression band CENTERED on the per-corpus measured recall "
-    "(0.241@sf0.01, half-width 0.1 — r7 advice: the old floor(5x)/5 "
-    "bucket sat 0.041 from its edge, so benign drift could flip it) "
-    "so a halved-recall regression flips the row red, not just a "
-    "collapse. Codebook training = bounded sample at scale; encode = "
-    "one scan; ADC = scan + per-query TopK (no all-pairs anywhere)",
+    "(0.241@sf0.01, half-width 0.1, lower edge clamped to 0.6x "
+    "expected so a halved recall exits the band at EVERY corpus — r7 "
+    "advice re-cut + r7 review fix; the old floor(5x)/5 bucket sat "
+    "0.041 from its edge) so a halved-recall regression flips the row "
+    "red, not just a collapse. Codebook training = bounded sample at "
+    "scale; encode = one scan; ADC = scan + per-query TopK (no "
+    "all-pairs anywhere)",
 )
 def q_similarity_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
