@@ -93,6 +93,12 @@ PROBE_QUERIES = [
     # one full-outer key shuffle of base+delta — must track the base
     # scan, never the delta squared)
     "orders_cdc_merge_apply",
+    # round-7 third batch: scan-piggybacked observe() counters, sketch
+    # rollup (bounded sketch exchange), Z-order rewrite (write-volume
+    # bound) — all expected ~linear in input
+    "events_observed_quality",
+    "approx_hll_mergeable_rollup",
+    "source_zorder_multidim_pruning",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
