@@ -698,20 +698,26 @@ def q_source_zorder_multidim_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             .parquet(lp)
         )
 
-        def worst(path: str, column: str, probes) -> int:
+        def worst(path: str, column: str, probes) -> tuple[int, int]:
+            # (worst files touched, files WITH stats): range partitioning
+            # can leave empty partitions -> zero-row-group files with no
+            # footer stats (seen at sf0.001: 15 users over 16 ranges), so
+            # the every-file comparison must count stat-bearing files,
+            # never the requested partition count
             ranges = file_minmax_ranges(path, column)
-            return max(
-                sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+            return (
+                max(sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes),
+                len(ranges),
             )
 
         u_probes = [b.umax // 4, b.umax // 2, 3 * b.umax // 4]
         # clamp to the actual day span so a shorter-range corpus cannot
         # push a probe past dmax (all files would report 0 touched)
         d_probes = [min(b.dmin + off, b.dmax) for off in (7, 15, 22)]
-        zu = worst(zp, "user_id", u_probes)
-        zd = worst(zp, "day", d_probes)
-        lu = worst(lp, "user_id", u_probes)
-        ld = worst(lp, "day", d_probes)
+        zu, _ = worst(zp, "user_id", u_probes)
+        zd, _ = worst(zp, "day", d_probes)
+        lu, _ = worst(lp, "user_id", u_probes)
+        ld, n_lin_files = worst(lp, "day", d_probes)
         n_back = spark.read.parquet(zp).count()
         return spark.createDataFrame(
             [
@@ -721,7 +727,7 @@ def q_source_zorder_multidim_pruning(spark: SparkSession, sf_dir: str) -> DataFr
                     int(zu <= 10),
                     int(zd <= 10),
                     int(lu <= 2),
-                    int(ld == n_files),
+                    int(n_lin_files > 0 and ld == n_lin_files),
                 )
             ],
             "n_files int, n_rows long, z_user_ok int, z_day_ok int, "
