@@ -85,13 +85,17 @@ def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
         # persist before reliable checkpoint: without it Spark computes
         # the plan twice — once for the action and again when the
         # checkpoint writer re-traverses the RDD (r7 review finding).
-        # With eager=True the blocks are freed immediately after the
-        # checkpoint files are written; deployments should also set
+        # The reliable path is ALWAYS eager: a lazy checkpoint would
+        # need the helper `pinned` cache kept alive until some later
+        # action, and dropping that invariant leaked one DISK_ONLY
+        # CacheManager entry per loop round (r8, ADVICE). Inside the
+        # iterative loops this serves, the caller's next action is
+        # immediate anyway, so laziness bought nothing.  Deployments
+        # should also set
         # spark.cleaner.referenceTracking.cleanCheckpoints=true so
         # out-of-scope checkpoint files are GC'd from the dir
         pinned = df.persist(StorageLevel.DISK_ONLY)
-        out = pinned.checkpoint(eager=eager)
-        if eager:
-            pinned.unpersist()
+        out = pinned.checkpoint(eager=True)
+        pinned.unpersist()
         return out
     return df.localCheckpoint(eager=eager)

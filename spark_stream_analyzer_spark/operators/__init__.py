@@ -12,6 +12,7 @@ from spark_stream_analyzer_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     lsh_duplicate_pairs,
+    lsh_hot_band_stats,
     lsh_pairs_against_index,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -81,6 +82,7 @@ __all__ = [
     "label_centroids",
     "language_id",
     "lsh_duplicate_pairs",
+    "lsh_hot_band_stats",
     "lsh_pairs_against_index",
     "lsh_multiprobe_topk",
     "lsh_topk",

@@ -74,17 +74,81 @@ def minhash_signatures(
     return df
 
 
+#: default per-(band_idx, band_key) bucket-size bound for
+#: :func:`lsh_duplicate_pairs`. Sized to never fire on the tested
+#: corpora (bucket size there = near-dup cluster size, max ≈ a few
+#: dozen) while guarding the degenerate regime: a boilerplate band key
+#: shared by m docs makes the within-bucket self-join emit m(m-1)/2
+#: candidates — at m = 10^6 (one viral template across a 100 TB crawl)
+#: that is 5·10^11 rows out of ONE bucket, i.e. one straggler task that
+#: never finishes. Above the cap the bucket is star-expanded instead
+#: (see below).
+LSH_BAND_CAP = 256
+
+
+def lsh_hot_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """Oversized LSH buckets: (bi, bk, m) for every bucket with m > cap.
+
+    The no-silent-caps companion to :func:`lsh_duplicate_pairs`: when the
+    cap fires, pair coverage inside those buckets is star-reduced, and
+    this is the audit query that names them (tiny result: one row per
+    HOT bucket, not per member).
+    """
+    sig = minhash_signatures(df, text_col, shingle_k)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bk"))
+                for b in range(TH.LSH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.bi", "band.bk")
+    return (
+        bands.groupBy("bi", "bk")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") > band_cap)
+        .select("bi", "bk", F.col("m").cast("long").alias("m"))
+    )
+
+
 def lsh_duplicate_pairs(
     df: DataFrame,
     text_col: str = "text",
     min_jaccard: float = 0.02,
     shingle_k: int = 3,
+    band_cap: int | None = LSH_BAND_CAP,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
     Candidates = pairs agreeing on ≥1 of the LSH bands (equality join on
     (band_idx, band_key) — a hash shuffle, never an all-pairs product);
     then exact shingle-set Jaccard on candidates only.
+
+    Hot-band guard (r8): the equality join is shuffle-bounded but
+    quadratic WITHIN a bucket — m docs sharing one (band_idx, band_key)
+    yield m(m-1)/2 candidates, so a single degenerate band key (empty
+    docs, boilerplate) becomes the straggler that kills the job at
+    100 TB. Buckets larger than ``band_cap`` are therefore
+    STAR-EXPANDED instead of self-joined: every member is paired with
+    the bucket's min-doc_id representative (m-1 candidates, O(m) not
+    O(m²)). A bucket that hot is near-certainly one duplicate cluster,
+    and the star keeps it CONNECTED — downstream
+    :func:`duplicate_clusters` recovers the full clique from the star
+    edges, so cluster/survivor semantics are preserved; what is reduced
+    is only direct pair coverage between non-representative members
+    (recoverable via the cluster pass). Pairs that also co-occur in a
+    non-hot bucket of another band are still emitted exactly. This is
+    intentionally NOT silent: :func:`lsh_hot_band_stats` (same
+    ``band_cap``) names every capped bucket, and the
+    ``dedup_lsh_hot_band_cap`` driver row pins both the capped
+    semantics and the bucket counts. ``band_cap=None`` disables the
+    guard (exact parity with the uncapped all-candidates oracle).
 
     The signature subtree feeds both band sides and both verify sides;
     an explicit repartition on doc_id roots them all in ONE exchange
@@ -108,17 +172,38 @@ def lsh_duplicate_pairs(
             ])
         ).alias("band"),
     ).select("doc_id", "band.bi", "band.bk")
+    if band_cap is not None:
+        # one extra aggregation on the SAME (bi, bk) hash partitioning
+        # the candidate self-join shuffles on — the bucket-size join
+        # reuses that exchange rather than adding a new shuffle shape
+        sizes = bands.groupBy("bi", "bk").agg(
+            F.count("*").alias("_m"), F.min("doc_id").alias("_rep")
+        )
+        flagged = bands.join(sizes, ["bi", "bk"])
+        cold = flagged.filter(F.col("_m") <= band_cap).select("doc_id", "bi", "bk")
+        # star expansion: rep is the bucket min, so rep < doc_id holds
+        # for every emitted pair by construction
+        cand_hot = (
+            flagged.filter(
+                (F.col("_m") > band_cap) & (F.col("doc_id") != F.col("_rep"))
+            )
+            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    else:
+        cold, cand_hot = bands, None
     cand = (
-        bands.alias("a")
+        cold.alias("a")
         .join(
-            bands.alias("b"),
+            cold.alias("b"),
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if cand_hot is not None:
+        cand = cand.unionByName(cand_hot)
+    cand = cand.distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -314,12 +399,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     spark = pairs.sparkSession
     # materialize once: every fixpoint round re-joins the edge list, and
     # recomputing the upstream candidate-pair pipeline per round would
-    # dominate the whole computation (cluster-safe persist — lineage kept)
+    # dominate the whole computation (cluster-safe persist — lineage kept).
+    # Snapshot the persistent-RDD id set around the (eager) materialize:
+    # under SSA_MATERIALIZE=local_checkpoint the blocks are NOT
+    # CacheManager-tracked, so Dataset.unpersist() at convergence would
+    # be a no-op and the edge blocks would linger until the caller's
+    # post-query sweep (r8, ADVICE) — the id diff frees them under
+    # either strategy
+    _edges_before = persistent_rdd_ids(spark)
     edges = materialize(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
     )
+    edges_rdd_ids = persistent_rdd_ids(spark) - _edges_before
     prev_round_ids: set[int] = set()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -383,14 +476,18 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         )
     # the converged labels are a checkpoint of their own — the edge list
     # (and every pre-final round, already dropped above) is no longer
-    # reachable from the result, so release it now. Dataset-level
-    # unpersist (not RDD-id unpersist): it evicts the CacheManager entry
-    # too, so a later call with an identical pairs plan re-persists
-    # instead of silently hitting a storage-level-NONE cache entry and
-    # recomputing the candidate pipeline every fixpoint round (r7
-    # review finding). The final checkpoint stays alive for the
-    # consumer and is reclaimed by the caller's post-action cleanup
+    # reachable from the result, so release it now. BOTH releases are
+    # needed: Dataset-level unpersist evicts the CacheManager entry under
+    # the persist strategy (so a later identical pairs plan re-persists
+    # instead of hitting a storage-level-NONE cache entry — r7 review
+    # finding), while the RDD-id diff frees the localCheckpoint blocks
+    # the CacheManager never tracked (r8, ADVICE — under
+    # SSA_MATERIALIZE=local_checkpoint the Dataset call alone is a
+    # no-op). Each is a no-op in the other's mode; unpersist_rdds is
+    # already-freed-safe. The final round's checkpoint stays alive for
+    # the consumer and is reclaimed by the caller's post-action cleanup
     edges.unpersist()
+    unpersist_rdds(spark, edges_rdd_ids)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -453,6 +453,88 @@ def q_source_python_datasource_wire(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "sink_python_datasource_roundtrip",
+    oracle=f"""
+    WITH lines AS (
+      SELECT 'e' || CAST(event_id AS VARCHAR) || ','
+                 || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || ','
+                 || event_type AS value
+      FROM events WHERE event_id < 20000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({TH.duck_hash60("value")} % {_CK_MOD}) AS BIGINT)
+             AS checksum,
+           1::INT AS files_ok,
+           1::INT AS manifest_ok
+    FROM lines
+    """,
+    doc="EXT custom Python Data Source WRITER (r8, verdict task 5) — the "
+    "other half of the connector-gap pattern: the wire lines are built "
+    "as a DataFrame (no driver collect) and written through the "
+    "wirelog sink's partition-parallel two-phase commit (each task "
+    "stages part-<uuid>.txt under _staging/, the driver renames + "
+    "publishes an atomic manifest — sources/wire_datasource.py: "
+    "WireLogWriter), then read back through the wirelog SOURCE and "
+    "checksummed against the parquet truth. files_ok bounds the "
+    "committed file count to the write's partition count; manifest_ok "
+    "pins that the manifest's file list equals exactly the files the "
+    "read-back observed (src_file identity) — a commit that leaks a "
+    "staged file, loses a partition, or double-publishes flips it. "
+    "The abort direction (failed job leaves the committed snapshot "
+    "untouched) is pinned by test_round8_ops.py",
+)
+def q_sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    from spark_stream_analyzer_spark.plans.q_wire import _base
+    from spark_stream_analyzer_spark.sources.wire_datasource import (
+        MANIFEST,
+        register_wirelog,
+    )
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < 20000)
+    lines = b.select(
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("e"), F.col("event_id")),
+            F.col("sec"),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    register_wirelog(spark)
+    workdir = tempfile.mkdtemp(prefix="ssa_pydsw_")
+    target = f"{workdir}/out"
+    os.makedirs(target)
+    try:
+        # distributed write: 8 parallel writer tasks, one staged file
+        # each, single driver-side manifest publish
+        lines.repartition(8).write.format("wirelog").mode("append").option(
+            "path", target
+        ).save()
+        with open(os.path.join(target, MANIFEST)) as f:
+            manifest_files = set(_json.load(f)["files"])
+        back = spark.read.format("wirelog").options(path=target).load()
+        agg = back.agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.expr(f"{TH.spark_hash60('value')} % {_CK_MOD}")).alias(
+                "checksum"
+            ),
+            F.countDistinct("src_file").alias("n_files"),
+            F.collect_set("src_file").alias("seen_files"),
+        )
+        row = agg.collect()[0]  # one row
+        files_ok = int(1 <= row.n_files <= 8)
+        manifest_ok = int(set(row.seen_files) == manifest_files)
+        return spark.createDataFrame(
+            [(row.n_lines, row.checksum, files_ok, manifest_ok)],
+            "n_lines long, checksum long, files_ok int, manifest_ok int",
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # round-7: storage-layout maintenance as driver rows
 # ---------------------------------------------------------------------------
@@ -510,8 +592,8 @@ def q_source_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "source_small_file_compaction",
     oracle=f"""
-    SELECT CAST(64 AS INT) AS n_files_before,
-           CAST(4 AS INT) AS n_files_after,
+    SELECT CAST(1 AS INT) AS fragmented,
+           CAST(1 AS INT) AS compacted,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND({{msum}}, 6) AS total_price
     FROM lineitem
@@ -527,10 +609,17 @@ def q_source_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFr
     "deliberately written as 64 task-sized fragments (what a 10k-task "
     "job without write repartitioning produces — metadata death at "
     "scale) is compacted by a distributed read → repartition(4) → "
-    "rewrite. File counts are pinned on BOTH sides from the actual "
-    "directory listings, and row count + msum6-exact price prove the "
-    "rewrite is lossless — a compaction that drops or duplicates rows "
-    "(the classic concurrent-writer bug) flips the driver row red",
+    "rewrite. The verdict bits are BOUNDS derived from the actual "
+    "directory listings (fragmented: ≥16 files before; compacted: ≤4 "
+    "files after AND fewer than before) rather than exact counts — "
+    "r7 pinned n_before=64/n_after=4 exactly, which also encoded the "
+    "incidental writer behavior that every round-robin partition is "
+    "non-empty and emits exactly one file; a corpus slice under 64 "
+    "rows or a writer change would have flipped the row red with no "
+    "real regression (r8, ADVICE). Row count + msum6-exact price "
+    "still prove the rewrite is lossless — a compaction that drops or "
+    "duplicates rows (the classic concurrent-writer bug) flips the "
+    "driver row red",
 )
 def q_source_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
@@ -554,8 +643,10 @@ def q_source_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFram
         n_after = _nfiles(compact)
         m = "CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)"
         agg = spark.read.parquet(compact).agg(
-            F.lit(n_before).cast("int").alias("n_files_before"),
-            F.lit(n_after).cast("int").alias("n_files_after"),
+            F.lit(int(n_before >= 16)).cast("int").alias("fragmented"),
+            F.lit(int(n_after <= 4 and n_after < n_before))
+            .cast("int")
+            .alias("compacted"),
             F.count("*").alias("n_rows"),
             F.round(
                 F.expr(f"CAST(SUM({m} DIV 1000000) AS DOUBLE)")

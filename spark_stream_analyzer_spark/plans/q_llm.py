@@ -218,6 +218,103 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_duplicate_pairs(_docs(spark, sf_dir), min_jaccard=0.02)
 
 
+#: degenerate-corpus fixture for the hot-band-cap rows: every 10th doc's
+#: text replaced by one fixed boilerplate string (the viral-template /
+#:  empty-page shape that creates quadratic LSH buckets at crawl scale)
+_CLONE_TEXT = (
+    "breaking news this page has moved please update your bookmarks and "
+    "follow the new address for all future visits thank you for reading"
+)
+_HOT_CAP = 32
+#: documents with the clone override, as a DuckDB CTE fragment
+_D_CLONE = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN '"
+    + _CLONE_TEXT
+    + "' ELSE text END AS text, lang FROM documents"
+)
+_W_CLONE = f"SELECT doc_id, text, lang, {TH.duck_norm_words('text')} AS words FROM d"
+
+
+def _clone_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_CLONE_TEXT)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+@register(
+    "dedup_lsh_hot_band_cap",
+    oracle=f"""
+    WITH d AS ({_D_CLONE}), w AS ({_W_CLONE}), s AS ({_S}), hs AS ({_HS}),
+    sig AS (SELECT doc_id, sh, {_MH_COLS} FROM hs),
+    bands AS ({_BANDS_SQL}),
+    sizes AS (SELECT bi, bk, COUNT(*) AS m, MIN(doc_id) AS rep
+              FROM bands GROUP BY bi, bk),
+    fl AS (SELECT b.doc_id, b.bi, b.bk, z.m, z.rep
+           FROM bands b JOIN sizes z ON b.bi = z.bi AND b.bk = z.bk),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fl a JOIN fl b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE a.m <= {_HOT_CAP} AND b.m <= {_HOT_CAP}
+        UNION ALL
+        SELECT rep AS doc_a, doc_id AS doc_b
+        FROM fl WHERE m > {_HOT_CAP} AND doc_id <> rep)),
+    j AS (SELECT doc_a, doc_b,
+            len(list_intersect(sa.sh, sb.sh)) AS inter,
+            len(sa.sh) AS na, len(sb.sh) AS nb
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,
+       ROUND(CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
+             ELSE inter::DOUBLE / (na + nb - inter) END, 6) AS jaccard
+    FROM j
+    WHERE (CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
+           ELSE inter::DOUBLE / (na + nb - inter) END) >= 0.02
+    """,
+    doc="EXT LSH hot-band guard (r8, verdict task): a degenerate corpus "
+    "slice (every 10th doc replaced by one boilerplate template — the "
+    "viral-page shape) makes every band bucket of the clone set "
+    f"oversized (m ≫ cap {_HOT_CAP}); the engine star-expands those "
+    "buckets (each member paired with the bucket-min representative, "
+    "O(m) candidates) instead of self-joining them (O(m²) — the "
+    "straggler that kills the job at 100 TB when one template spans "
+    "10^6 pages). The oracle mirrors the capped candidate generation "
+    "exactly, so BOTH failure directions flip the row red: a cap that "
+    "silently drops hot-bucket members loses the star pairs; a cap "
+    "that fails to fire emits the quadratic pair set. Cold buckets "
+    "keep exact all-candidates semantics — their pairs must be "
+    "byte-identical to the uncapped form",
+)
+def q_dedup_lsh_hot_band_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_duplicate_pairs(
+        _clone_docs(spark, sf_dir), min_jaccard=0.02, band_cap=_HOT_CAP
+    )
+
+
+@register(
+    "dedup_lsh_hot_band_stats",
+    oracle=f"""
+    WITH d AS ({_D_CLONE}), w AS ({_W_CLONE}), s AS ({_S}), hs AS ({_HS}),
+    sig AS (SELECT doc_id, sh, {_MH_COLS} FROM hs),
+    bands AS ({_BANDS_SQL})
+    SELECT bi, bk, CAST(COUNT(*) AS BIGINT) AS m
+    FROM bands GROUP BY bi, bk HAVING COUNT(*) > {_HOT_CAP}
+    """,
+    doc="EXT no-silent-caps audit row for the hot-band guard: names "
+    "every (band_idx, band_key) bucket whose size exceeds the cap — "
+    "the buckets whose pair coverage lsh_duplicate_pairs star-reduced. "
+    "One row per HOT bucket (8 here: the clone set floods all 8 bands)"
+    ", so the audit output is bounded by the number of degenerate "
+    "templates, never by corpus size",
+)
+def q_dedup_lsh_hot_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_hot_band_stats(_clone_docs(spark, sf_dir), band_cap=_HOT_CAP)
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""

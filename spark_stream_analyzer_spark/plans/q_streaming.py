@@ -687,6 +687,97 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_full_outer_join",
+    oracle=f"""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS cs
+               FROM events WHERE event_type = 'click' AND event_id < {EVENT_CAP}),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ps
+          FROM events WHERE event_type = 'purchase' AND event_id < {EVENT_CAP})
+    SELECT p.purchase_id, c.click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           c.cs - p.ps AS delta_s
+    FROM p FULL JOIN c ON p.user_id = c.user_id
+                      AND c.cs >= p.ps AND c.cs <= p.ps + 3600
+    """,
+    doc="EXT stream-stream FULL OUTER interval join, LIVE (r8, verdict "
+    "task 4 — completes the join-mode matrix beside "
+    "streaming_interval_join/streaming_left_outer_join): BOTH "
+    "null-extension directions are state-expiry-driven — an unmatched "
+    "purchase emits (purchase, null) and an unmatched click emits "
+    "(null, click), each only once the watermark proves the other "
+    "side's matching window can no longer fill (Spark supports this "
+    "mode since 3.1; both sides keep state, both sides' eviction "
+    "drives output). Far-future sentinel batches on BOTH streams push "
+    "the watermark past every real row's join window so every "
+    "null-extension fires deterministically; sentinels flow through "
+    "the plan (a pre-watermark filter would starve it — see "
+    "streaming_join_then_window) and are excluded at the SINK via the "
+    "coalesced user key. Oracle is the equivalent batch FULL range "
+    "join; a join that emits a null row for a MATCHED key, drops an "
+    "unmatched click (the direction left_outer doesn't test), or "
+    "double-emits on expiry flips the row red",
+)
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "sec", "event_type"
+    ).collect()  # harness boundary
+    max_sec = max(r.sec for r in rows)
+    delay_s = 36_500 * 86_400
+    sent0 = max_sec + delay_s + 2 * 86_400
+    workdir = tempfile.mkdtemp(prefix="ssa_fojstream_")
+    for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+        _write_batches(
+            [r for r in rows if r.event_type == etype],
+            f"{workdir}/{sub}",
+            batch_of=lambda r: [r.event_id % 2],
+            fmt=lambda r: f"{r.event_id},{r.user_id},{r.sec}",
+        )
+        for i, s in ((2, sent0), (3, sent0 + 3600)):
+            with open(f"{workdir}/{sub}/{i:03d}.txt", "w") as f:
+                f.write(f"-1,-1,{s}\n")
+            _stamp_batch_file(f"{workdir}/{sub}/{i:03d}.txt", i)
+
+    def _parse(path: str, prefix: str) -> DataFrame:
+        parts = F.split("value", ",")
+        return file_lines_stream(spark, path).select(
+            parts[0].cast("long").alias(f"{prefix}_id"),
+            parts[1].cast("long").alias(f"{prefix}_user"),
+            F.timestamp_seconds(parts[2].cast("long")).alias(f"{prefix}_ts"),
+        )
+
+    clicks = _parse(f"{workdir}/clicks", "click").withWatermark(
+        "click_ts", f"{delay_s} seconds"
+    )
+    purchases = _parse(f"{workdir}/purchases", "purchase").withWatermark(
+        "purchase_ts", f"{delay_s} seconds"
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("interval 1 hour")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("purchase_user", "click_user").alias("user_id"),
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")
+        ).cast("long").alias("delta_s"),
+    )
+    name = f"foj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, spark, "append", workdir=workdir)
+    # sentinel exclusion on the SINK table, never in the streaming plan
+    # (watermark starvation — see above). The sentinel purchases/clicks
+    # match EACH OTHER (same -1 user, in-window sentinel times), so the
+    # coalesced key is -1 for every sentinel-derived row, matched or not
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
     "streaming_join_then_window",
     oracle=f"""
     WITH c AS (SELECT event_id AS click_id, user_id,
@@ -1527,6 +1618,17 @@ def q_streaming_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFram
         1: [r.value for r in rows if not r.is_a and r.value.startswith(str(T_B) + ",")],
         2: [r.value for r in rows if not r.is_a and r.value.startswith(str(T_B2) + ",")],
     }
+    # The eviction proof REQUIRES all three batches non-empty: batch 1/2
+    # carry the B-group rows whose timestamps advance the watermark past
+    # every A timer — an empty batch 2 would leave A timers unfired
+    # (evicted=0, red row) and, worse, an empty FILE would parse to one
+    # blank line → null user_id/NaT ts, which kills the state fold
+    # (r8, ADVICE). Corpus slices at the tested SFs always populate all
+    # three; assert so a slice change fails loudly, not with a hung row.
+    assert all(batches[i] for i in (0, 1, 2)), (
+        "streaming_state_ttl_eviction needs rows in all 3 replay batches "
+        f"(got sizes {[len(batches[i]) for i in (0, 1, 2)]})"
+    )
     for idx, vals in batches.items():
         path = f"{workdir}/in/{idx:03d}.txt"
         with open(path, "w") as f:

@@ -2078,6 +2078,54 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _cdc_merged_snapshot(o: DataFrame) -> DataFrame:
+    """The CDC merge shared by the merge-apply and transactional-publish
+    rows: synthesize the deterministic change log from the base orders
+    frame ``o`` (o_orderkey/o_custkey/o_orderstatus/o_totalprice),
+    compact it to latest-per-key, apply in one full-outer join, and
+    return the post-merge snapshot (key, cust, status, price)."""
+    k = F.col("o_orderkey")
+    upd = o.filter(k % 7 == 0).select(
+        k.alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+    )
+    dele = o.filter(k % 11 == 3).select(
+        k.alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cust"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    ins = o.filter(k % 13 == 5).select(
+        (k + F.lit(100_000_000_000)).alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_custkey").alias("cust"),
+        F.lit("N").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    merged = o.join(latest, o.o_orderkey == latest.k, "full_outer")
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce("k", "o_orderkey").alias("o_orderkey"),
+        F.coalesce("cust", "o_custkey").alias("cust"),
+        F.coalesce("status", "o_orderstatus").alias("status"),
+        F.coalesce("price", "o_totalprice").alias("price"),
+    )
+
+
+
 @register(
     "orders_cdc_merge_apply",
     oracle=f"""
@@ -2131,49 +2179,128 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     "three op paths: status 'N' exists only if inserts landed, "
     "deleted keys shrink counts, updated prices shift the sum",
 )
+
 def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    k = F.col("o_orderkey")
-    upd = o.filter(k % 7 == 0).select(
-        k.alias("k"),
-        F.lit(1).alias("seq"),
-        F.lit("U").alias("op"),
-        F.col("o_custkey").alias("cust"),
-        F.col("o_orderstatus").alias("status"),
-        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
-    )
-    dele = o.filter(k % 11 == 3).select(
-        k.alias("k"),
-        F.lit(2).alias("seq"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("long").alias("cust"),
-        F.lit(None).cast("string").alias("status"),
-        F.lit(None).cast("double").alias("price"),
-    )
-    ins = o.filter(k % 13 == 5).select(
-        (k + F.lit(100_000_000_000)).alias("k"),
-        F.lit(1).alias("seq"),
-        F.lit("I").alias("op"),
-        F.col("o_custkey").alias("cust"),
-        F.lit("N").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
-    changes = upd.unionByName(dele).unionByName(ins)
-    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
-    latest = (
-        changes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "seq")
-    )
-    merged = o.join(latest, o.o_orderkey == latest.k, "full_outer")
-    final = merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
-        F.coalesce("cust", "o_custkey").alias("cust"),
-        F.coalesce("status", "o_orderstatus").alias("status"),
-        F.coalesce("price", "o_totalprice").alias("price"),
-    )
+    final = _cdc_merged_snapshot(o)
     return final.groupBy(F.col("status").alias("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(msum6(F.col("price")), 6).alias("price_msum6"),
     )
+
+
+@register(
+    "orders_cdc_transactional_publish",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey AS cust,
+             o_orderstatus AS status, o_totalprice + 100.0 AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, NULL
+      FROM orders WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000000, 1, 'I', o_custkey, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 5
+    ),
+    latest AS (
+      SELECT k, op, cust, status, price
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) rn
+            FROM changes)
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT COALESCE(c.k, b.o_orderkey) AS k,
+             COALESCE(c.price, b.o_totalprice) AS price,
+             c.op AS op
+      FROM orders b FULL OUTER JOIN latest c ON b.o_orderkey = c.k
+    ),
+    v2 AS (SELECT k, price FROM merged WHERE op IS NULL OR op <> 'D')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS v1_n,
+           (SELECT ROUND({_msum6_sql("o_totalprice")}, 6) FROM orders)
+             AS v1_price_msum6,
+           1::INT AS uncommitted_invisible,
+           CAST(COUNT(*) AS BIGINT) AS v2_n,
+           ROUND({_msum6_sql("price")}, 6) AS v2_price_msum6
+    FROM v2
+    """,
+    doc="EXT transactional parquet publish (r8, verdict task 6) — the "
+    "atomic-commit discipline that makes the CDC merge safe to run "
+    "against live readers: snapshot v1 (base orders) is written to an "
+    "immutable data dir and committed via an fsync'd manifest swap "
+    "(sources/txn_publish.py); the merge output is then FULLY WRITTEN "
+    "to a second data dir while the job 'dies' before the manifest "
+    "swap — the mid-write-failure simulation. The uncommitted_invisible "
+    "bit requires ALL of: the reader (manifest-resolving scan) still "
+    "returns exactly v1's count+msum6, the orphan dir really contains "
+    "data files (the failure left debris to ignore — no vacuous pass), "
+    "and the manifest still names version 1. Then the commit completes "
+    "(one os.replace) and the reader must see exactly the merged "
+    "snapshot — visibility flips all-or-nothing at the manifest swap, "
+    "never file-by-file. v1 and v2 aggregates are both oracle-pinned; "
+    "a reader that scans the data/ directory listing instead of the "
+    "manifest (the plain-parquet failure mode at 100 TB) double-counts "
+    "and flips the row red",
+)
+def q_orders_cdc_transactional_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        committed_version,
+        publish,
+        read_committed,
+        snapshot_dir,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssa_txnpub_")
+    try:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        # ---- snapshot v1: write data, then atomic manifest commit
+        d1 = snapshot_dir(root)
+        o.write.parquet(d1)
+        publish(root, d1, 1)
+
+        def _agg(df, price_col):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(msum6(F.col(price_col)), 6).alias("m"),
+            ).collect()[0]  # one row
+            return int(r.n), float(r.m)
+
+        v1_n, v1_m = _agg(read_committed(spark, root), "o_totalprice")
+
+        # ---- the merge reads the COMMITTED snapshot (not the raw path)
+        merged = _cdc_merged_snapshot(
+            read_committed(spark, root).select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        # ---- phase 1 of snapshot v2: data fully written ... and the
+        # job "dies" HERE, before the manifest swap — the worst-case
+        # mid-write failure (all debris present, zero of it committed)
+        d2 = snapshot_dir(root)
+        merged.write.parquet(d2)
+        debris = glob.glob(os.path.join(d2, "*.parquet"))
+        fail_n, fail_m = _agg(read_committed(spark, root), "o_totalprice")
+        uncommitted_invisible = int(
+            (fail_n, fail_m) == (v1_n, v1_m)
+            and len(debris) > 0
+            and committed_version(root) == 1
+        )
+        # ---- recovery/commit completes: ONE atomic pointer swap
+        publish(root, d2, 2)
+        v2_n, v2_m = _agg(read_committed(spark, root), "price")
+        return spark.createDataFrame(
+            [(v1_n, v1_m, uncommitted_invisible, v2_n, v2_m)],
+            "v1_n long, v1_price_msum6 double, uncommitted_invisible int, "
+            "v2_n long, v2_price_msum6 double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -75,6 +75,22 @@ _LOADED = False
 #: union), ordered riskiest-first so anything that slips past the ~50
 #: window is the stablest residue.
 _DRIVER_PRIORITY = (
+    # -- round-8 additions --
+    "dedup_lsh_hot_band_cap",
+    "dedup_lsh_hot_band_stats",
+    "streaming_full_outer_join",
+    "sink_python_datasource_roundtrip",
+    "orders_cdc_transactional_publish",
+    "orders_cdc_merge_apply",  # merge body extracted to shared helper
+    # -- round-8 changed-code rows (fresh driver row required) --
+    "source_small_file_compaction",  # bound-derived verdict bits (ADVICE)
+    "streaming_state_ttl_eviction",  # non-empty-batch assertion (ADVICE)
+    "dedup_minhash_lsh_pairs",  # default band_cap path (cold branch)
+    "dedup_duplicate_clusters",  # edge-block release via RDD-id diff
+    "dedup_lsh_recall_audit",
+    "dedup_survivors",
+    "corpus_cluster_safe_split",
+    "corpus_cross_source_dup_matrix",
     # -- round-7 additions --
     "streaming_rocksdb_windowed_counts",
     "streaming_availablenow_backfill",

@@ -30,13 +30,17 @@ Design notes (what makes this a real source, not a toy):
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -47,8 +51,19 @@ WIRE_SCHEMA = StructType(
     ]
 )
 
+#: manifest file name for writer-committed directories. The manifest is
+#: the COMMIT POINT: readers resolve it when present, so files staged or
+#: renamed by an in-flight/failed job are invisible until the single
+#: atomic ``os.replace`` that publishes the new manifest.
+MANIFEST = "_wirelog_manifest.json"
+_STAGING = "_staging"
+
 
 def _list_files(path: str) -> list[str]:
+    manifest = os.path.join(path, MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return sorted(json.load(f)["files"])
     return sorted(
         f for f in os.listdir(path) if f.endswith(".txt")
     )
@@ -103,6 +118,121 @@ class WireLogStreamReader(DataSourceStreamReader):
         pass  # files are immutable replay input; nothing to clean up
 
 
+class _WireCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file name (None for an empty
+    partition — no file is created for it) and its row count."""
+
+    def __init__(self, staged: str | None, n_rows: int):
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class WireLogWriter(DataSourceWriter):
+    """Batch writer half of the connector-gap pattern (r8, verdict task
+    5): the full partition-parallel commit/abort protocol.
+
+    * **write() — executor, one call per partition**: rows are staged to
+      ``<path>/_staging/part-<uuid>.txt`` (never the final directory;
+      staged files match neither the ``*.txt`` glob root listing nor any
+      manifest, so concurrent readers cannot observe them). Returns the
+      staged name + row count as the task's commit message; an empty
+      partition stages nothing and returns ``staged=None``.
+    * **commit(messages) — driver, only if ALL tasks succeeded**: renames
+      every staged file into the target directory, then publishes the
+      new manifest with one atomic ``os.replace``. The manifest IS the
+      snapshot: append mode unions the previous manifest's files (or the
+      pre-existing ``*.txt`` listing for a directory written without the
+      protocol), overwrite mode lists only this job's files. A crash
+      after the renames but before the replace leaves readers on the OLD
+      manifest — all-or-nothing visibility.
+    * **abort(messages) — driver, on any task failure**: deletes this
+      job's staged files; the target directory and manifest are
+      untouched, so a failed job is invisible (`test_wirelog_writer_*`
+      pins both directions).
+
+    Mirrors the reference's sink discipline (JdbcSinkService's
+    per-batch transactional insert) re-expressed as Spark's V2-style
+    two-phase commit: speculative/retried tasks each stage their own
+    uuid file, and only the DRIVER's single commit decides which staged
+    files become visible — task-level at-least-once execution, job-level
+    exactly-once publish.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        staging = os.path.join(self.path, _STAGING)
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.txt"
+        n = 0
+        tmp = os.path.join(staging, name)
+        try:
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(row.value + "\n")
+                    n += 1
+        except BaseException:
+            # a task that fails mid-write never reaches the driver's
+            # abort() (it has no commit message to deliver), so it must
+            # clean its own staged file; a hard-killed worker can still
+            # orphan one, which is harmless — staging is invisible to
+            # readers — and reclaimed by the next overwrite
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+        if n == 0:
+            os.remove(tmp)
+            return _WireCommit(None, 0)
+        return _WireCommit(name, n)
+
+    def commit(self, messages):
+        new_files = [m.staged for m in messages if m is not None and m.staged]
+        # previous committed snapshot: manifest if present, else the raw
+        # *.txt listing (directory predates the protocol)
+        prior = [f for f in _list_files(self.path) if f not in set(new_files)]
+        for name in new_files:
+            os.replace(
+                os.path.join(self.path, _STAGING, name),
+                os.path.join(self.path, name),
+            )
+        files = sorted(new_files) if self.overwrite else sorted(prior + new_files)
+        tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files, "n_rows": sum(m.n_rows for m in messages if m)}, f)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))  # the commit point
+        if self.overwrite:
+            # AFTER the commit point: physically reclaim files the new
+            # snapshot no longer references, plus any staging orphans
+            # from hard-killed tasks. Post-publish deletion is the
+            # standard snapshot caveat: a reader that listed the OLD
+            # manifest before the replace may lose its files mid-read —
+            # acceptable for this format (same contract as vacuuming a
+            # table below a reader's snapshot retention)
+            for name in prior:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+            staging = os.path.join(self.path, _STAGING)
+            for name in os.listdir(staging):
+                try:
+                    os.remove(os.path.join(staging, name))
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.staged:
+                try:
+                    os.remove(os.path.join(self.path, _STAGING, m.staged))
+                except FileNotFoundError:
+                    pass
+
+
 class WireLogDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -116,6 +246,9 @@ class WireLogDataSource(DataSource):
 
     def streamReader(self, schema):
         return WireLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return WireLogWriter(self.options, overwrite)
 
 
 def register_wirelog(spark) -> None:

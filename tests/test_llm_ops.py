@@ -45,6 +45,47 @@ def test_lsh_pairs_find_planted_near_duplicate(spark):
     assert pairs[0].jaccard > 0.7
 
 
+def test_lsh_hot_band_cap_bounds_candidates_and_keeps_cluster(spark):
+    """200 identical docs (one degenerate bucket per band): the hot-band
+    guard must emit O(m·bands·cap) candidates — here exactly the m-1
+    star pairs — not the m(m-1)/2 quadratic set, while keeping the
+    cluster connected for the downstream clusters pass."""
+    m = 200
+    clone = "the quick brown fox jumps over the lazy dog clone body text"
+    rows = [Row(doc_id=i, text=clone, lang="en", source="t", n_chars=len(clone))
+            for i in range(m)]
+    rows += [
+        Row(doc_id=1000 + i, text=f"unique doc {i} alpha{i} beta{i} gamma{i} filler",
+            lang="en", source="t", n_chars=40)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.lsh_duplicate_pairs(df, min_jaccard=0.02, band_cap=16)
+    got = pairs.collect()
+    clone_pairs = [r for r in got if r.doc_a < 1000 and r.doc_b < 1000]
+    # star expansion: exactly m-1 pairs, all rooted at the bucket min,
+    # all exact-Jaccard verified at 1.0 — NOT the 19900-pair clique
+    assert len(clone_pairs) == m - 1
+    assert all(r.doc_a == 0 for r in clone_pairs)
+    assert all(r.jaccard == pytest.approx(1.0) for r in clone_pairs)
+    # connectivity preserved: the clusters pass recovers ONE cluster
+    cl = dedup.duplicate_clusters(pairs)
+    clone_clusters = {
+        r.cluster_id for r in cl.collect() if r.doc_id < 1000
+    }
+    assert clone_clusters == {0}
+    # no-silent-caps: the audit query names every capped bucket (all 8
+    # bands of the clone set), each at the full bucket size
+    hot = dedup.lsh_hot_band_stats(df, band_cap=16).collect()
+    assert len(hot) == 8 and all(r.m == m for r in hot)
+    # cold buckets keep exact semantics: capped == uncapped when no
+    # bucket exceeds the cap
+    small = docs(spark, "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta")
+    a = sorted(map(tuple, dedup.lsh_duplicate_pairs(small, min_jaccard=0.02, band_cap=16).collect()))
+    b = sorted(map(tuple, dedup.lsh_duplicate_pairs(small, min_jaccard=0.02, band_cap=None).collect()))
+    assert a == b
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc0: shingles {a b c, b c d}; doc1: {a b c}; jaccard = 1/2
     pairs = dedup.ngram_jaccard_pairs(docs(spark, "a b c d", "a b c"), min_jaccard=0.1).collect()
