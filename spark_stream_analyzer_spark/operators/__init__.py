@@ -43,6 +43,7 @@ from spark_stream_analyzer_spark.operators.similarity import (
     write_ann_index,
 )
 from spark_stream_analyzer_spark.operators.split import (
+    chunk_windows_udtf,
     hash_rank_sample_k,
     hash_split,
     mixture_sample,
@@ -67,6 +68,7 @@ __all__ = [
     "cosine_topk",
     "duplicate_clusters",
     "embedding_near_dup_pairs",
+    "chunk_windows_udtf",
     "exact_dedup",
     "fake_decode_stats",
     "fake_features",

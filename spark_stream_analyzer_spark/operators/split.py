@@ -116,6 +116,67 @@ def hash_rank_sample_k(
     )
 
 
+class ChunkWindowsUDTF:
+    """Sliding-window document chunker as a Spark 4 Python UDTF (r8,
+    verdict task 7) — the one Python-extension API class the engine
+    didn't yet exercise (scalar UDF, Pandas UDF, mapInPandas,
+    applyInPandasWithState, Python DataSource reader+writer are all
+    covered elsewhere).
+
+    One ``eval`` call per input row yields ~len/stride chunk rows:
+    (doc_id, chunk_idx, chunk_len, chunk_hash), with chunk_hash the
+    same md5-60bit the engine uses everywhere (so the DuckDB oracle is
+    exact). Registered arrow-optimized (``useArrow=True``): inputs and
+    emitted rows cross the Python boundary in Arrow batches, not
+    pickled rows.
+
+    Scale note — this is the EXTENSION-API demonstration, not the
+    production path: the equivalent ``sequence``+``explode`` form
+    (``doc_chunk_windows``) runs entirely inside whole-stage codegen
+    with zero Python workers, and ``test_round8_ops.py`` pins both the
+    row-level equality of the two forms and the plan difference
+    (Generate inside WholeStageCodegen vs an ArrowEvalPythonUDTF
+    boundary). Reach for a UDTF only when the fan-out logic genuinely
+    can't be expressed in SQL expressions (tokenizers, parsers with
+    state across yielded rows).
+    """
+
+    SIZE = 200
+    STRIDE = 160
+
+    def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+        import hashlib
+
+        text = text or ""
+        for idx, off in enumerate(
+            range(0, max(len(text) - 1, 0) + 1, self.STRIDE)
+        ):
+            chunk = text[off : off + self.SIZE]
+            h = int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:15], 16)
+            yield doc_id, idx, len(chunk), h
+
+
+CHUNK_UDTF_SCHEMA = (
+    "doc_id bigint, chunk_idx bigint, chunk_len bigint, chunk_hash bigint"
+)
+
+
+def chunk_windows_udtf(df: DataFrame) -> DataFrame:
+    """Apply :class:`ChunkWindowsUDTF` to (doc_id, text) rows via a
+    LATERAL table-function join — the SQL surface a UDTF is built for.
+    """
+    from pyspark.sql.functions import udtf
+
+    spark = df.sparkSession
+    fn = udtf(ChunkWindowsUDTF, returnType=CHUNK_UDTF_SCHEMA, useArrow=True)
+    spark.udtf.register("ssa_chunk_windows", fn)
+    view = f"ssa_chunk_in_{abs(hash(tuple(df.columns))) % 10**8}"
+    df.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.* FROM {view}, LATERAL ssa_chunk_windows(doc_id, text) c"
+    )
+
+
 def token_pack_shards(
     df: DataFrame,
     tokens_col: str = "n_tokens",

@@ -260,6 +260,37 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunk_windows_udtf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(off // 160 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(off + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+           {TH.duck_hash60("substr(text, CAST(off + 1 AS INT), 200)")} AS chunk_hash
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0), 160)) AS off
+      FROM documents
+    )
+    """,
+    doc="EXT the same sliding-window chunker as doc_chunk_windows, "
+    "re-expressed as a Spark 4 Python UDTF applied via LATERAL join "
+    "(r8, verdict task 7 — the last uncovered Python-extension API "
+    "class). Arrow-optimized (rows cross in Arrow batches), md5-60bit "
+    "chunk hashes computed in Python match the engine's SQL hash "
+    "exactly, so the identical DuckDB oracle pins it. The explode "
+    "form remains the production path (pure whole-stage codegen, no "
+    "Python workers); test_round8_ops.py pins the row-level equality "
+    "of the two forms and the plan difference (Generate-in-codegen vs "
+    "the ArrowEvalPythonUDTF boundary) — UDTFs are for fan-out logic "
+    "SQL expressions can't write (stateful tokenizers, parsers)",
+)
+def q_doc_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.split import chunk_windows_udtf
+
+    return chunk_windows_udtf(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # per-row window feature engineering
 # --------------------------------------------------------------------------

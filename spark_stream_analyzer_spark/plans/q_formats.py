@@ -590,6 +590,61 @@ def q_source_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "source_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(floor(value * 2) AS BIGINT)
+                         ELSE CAST(floor(value) AS BIGINT) END) AS BIGINT)
+             AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXT dynamic partition overwrite (r8) — the partition-scoped "
+    "rewrite every partitioned 100 TB lake uses for backfills: events "
+    "written partitionBy(event_type), then ONE partition's data "
+    "(purchase, values doubled) rewritten with "
+    "partitionOverwriteMode=dynamic. The aggregate oracle pins all "
+    "three failure modes at once: static-overwrite semantics would "
+    "DELETE the untouched partitions (their groups vanish → row-count "
+    "mismatch), append semantics would double the purchase count, and "
+    "a missed rewrite would leave the purchase sum at 1×. INSERT "
+    "OVERWRITE of one day/type touching petabytes of siblings is the "
+    "classic static-mode incident this mode exists to prevent",
+)
+def q_source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_dynpow_")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(workdir)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the backfill: rewrite ONLY the purchase partition (2x values);
+        # in dynamic mode the overwrite's scope is the partitions the
+        # incoming frame actually contains — everything else untouched
+        (
+            ev.filter(F.col("event_type") == "purchase")
+            .withColumn("value", F.col("value") * 2)
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(workdir)
+        )
+        back = spark.read.parquet(workdir)
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(floor(value) as bigint)")).alias("value_sum"),
+        )
+        rows = agg.collect()  # bounded: one row per event type
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
     "source_small_file_compaction",
     oracle=f"""
     SELECT CAST(1 AS INT) AS fragmented,

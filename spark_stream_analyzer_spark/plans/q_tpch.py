@@ -2192,6 +2192,91 @@ def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND({_msum6_sql("l.l_extendedprice")}, 6) AS revenue,
+           1::INT AS bucketed_no_exchange,
+           1::INT AS plain_has_exchange
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="EXT bucketed co-located join (r8) — the pre-shuffle discipline "
+    "the repo's scale docs kept citing but never executed: orders and "
+    "lineitem are written bucketBy(8, key) + sortBy (one file per "
+    "bucket via repartition-by-key first — multi-file buckets disable "
+    "the sorted-read path), then joined. Verdict bits come from the "
+    "EXECUTED plans (AQE pinned off for the probe, broadcast disabled "
+    "so SMJ is forced): the bucketed join must contain ZERO Exchange "
+    "nodes (bucket layout satisfies the join's hash requirement), "
+    "while the identical plain-parquet join must shuffle BOTH sides. "
+    "Per-task Sort nodes remain by design: bucketed scans stopped "
+    "reporting output ordering in Spark 3 (multi-file buckets would "
+    "interleave; the opt-back-in is the legacy "
+    "bucketedTableScan.outputOrdering flag) — the shuffle is the "
+    "scale-killer, the in-partition sort is linear and executor-local. "
+    "At 100 TB this is the difference between re-shuffling the fact "
+    "table on every join and paying the shuffle ONCE at write time, "
+    "amortized over every downstream join on that key; per-status "
+    "counts + msum6 revenue prove the co-located result is identical "
+    "to the oracle's join. sparkPlan() would be vacuous here — "
+    "exchange insertion happens in EnsureRequirements, so the bits are "
+    "derived from executedPlan()",
+)
+def q_orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"ssa_bkt_o_{tag}", f"ssa_bkt_l_{tag}"
+    root = tempfile.mkdtemp(prefix="ssa_bkt_")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for df, name in ((o, t_o), (li, t_l)):
+            (
+                df.repartition(8, "o_orderkey")
+                .write.bucketBy(8, "o_orderkey")
+                .sortBy("o_orderkey")
+                .option("path", f"{root}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        # force SMJ and freeze the plan so the Exchange/Sort counts are
+        # the static planner's verdict, not AQE's runtime rewrite
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        bucketed = spark.table(t_o).join(spark.table(t_l), "o_orderkey")
+        plain = o.join(li, "o_orderkey")
+        p_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        p_p = plain._jdf.queryExecution().executedPlan().toString()
+        no_exchange = int(p_b.count("Exchange") == 0)
+        has_exchange = int(p_p.count("Exchange") >= 2)
+        agg = bucketed.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(msum6(F.col("l_extendedprice")), 6).alias("revenue"),
+            F.lit(no_exchange).cast("int").alias("bucketed_no_exchange"),
+            F.lit(has_exchange).cast("int").alias("plain_has_exchange"),
+        )
+        rows = agg.collect()  # bounded: one row per order status
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        for name in (t_o, t_l):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "orders_cdc_transactional_publish",
     oracle=f"""
     WITH changes AS (
@@ -2223,7 +2308,8 @@ def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS v1_price_msum6,
            1::INT AS uncommitted_invisible,
            CAST(COUNT(*) AS BIGINT) AS v2_n,
-           ROUND({_msum6_sql("price")}, 6) AS v2_price_msum6
+           ROUND({_msum6_sql("price")}, 6) AS v2_price_msum6,
+           1::INT AS time_travel_ok
     FROM v2
     """,
     doc="EXT transactional parquet publish (r8, verdict task 6) — the "
@@ -2239,7 +2325,9 @@ def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the manifest still names version 1. Then the commit completes "
     "(one os.replace) and the reader must see exactly the merged "
     "snapshot — visibility flips all-or-nothing at the manifest swap, "
-    "never file-by-file. v1 and v2 aggregates are both oracle-pinned; "
+    "never file-by-file — and v1 stays time-travel-readable through its "
+    "retained versioned manifest after v2 is live (VERSION AS OF until "
+    "vacuum). v1 and v2 aggregates are both oracle-pinned; "
     "a reader that scans the data/ directory listing instead of the "
     "manifest (the plain-parquet failure mode at 100 TB) double-counts "
     "and flips the row red",
@@ -2254,6 +2342,7 @@ def q_orders_cdc_transactional_publish(spark: SparkSession, sf_dir: str) -> Data
         committed_version,
         publish,
         read_committed,
+        read_version,
         snapshot_dir,
     )
 
@@ -2297,10 +2386,15 @@ def q_orders_cdc_transactional_publish(spark: SparkSession, sf_dir: str) -> Data
         # ---- recovery/commit completes: ONE atomic pointer swap
         publish(root, d2, 2)
         v2_n, v2_m = _agg(read_committed(spark, root), "price")
+        # time travel: v1's retained manifest must still resolve to the
+        # untouched v1 snapshot AFTER v2 is live (immutable data dirs +
+        # versioned manifests = VERSION AS OF until vacuum)
+        tt_n, tt_m = _agg(read_version(spark, root, 1), "o_totalprice")
+        time_travel_ok = int((tt_n, tt_m) == (v1_n, v1_m))
         return spark.createDataFrame(
-            [(v1_n, v1_m, uncommitted_invisible, v2_n, v2_m)],
+            [(v1_n, v1_m, uncommitted_invisible, v2_n, v2_m, time_travel_ok)],
             "v1_n long, v1_price_msum6 double, uncommitted_invisible int, "
-            "v2_n long, v2_price_msum6 double",
+            "v2_n long, v2_price_msum6 double, time_travel_ok int",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -65,15 +65,15 @@ _LOADED = False
 
 #: Names surfaced FIRST in ``queries()`` / ``oracle_sql()`` iteration order.
 #: The driver snapshots only ~50 of the registry per round (in iteration
-#: order).  Round-7 cut (verdict r6 task 1): this round's new queries and
-#: every row whose CODE changed this round come first (the round-6 rule —
-#: changed rows need a fresh driver row — applied to the whole diff this
-#: time: the materialize/persist swap, the single-fold repartition drop,
-#: the PQ banded gate, the PNG CRC hardening); then the 5 round-6-touched
-#: rows that missed the r6 sample; then every row whose latest driver
-#: check predates r3 (9 r1-era + 27 r2-era from the CORRECTNESS_r0*.json
-#: union), ordered riskiest-first so anything that slips past the ~50
-#: window is the stablest residue.
+#: order).  Standing rule (since r6): this round's NEW queries and every
+#: row whose CODE changed this round come first — each needs a fresh
+#: driver row; then the prior round's sections age in place as rotation.
+#: Round-8 cut: 9 new rows (LSH hot-band pair + stats, full-outer stream
+#: join, datasource writer round-trip + stream sink, transactional
+#: publish, UDTF chunker, bucketed join) and the ADVICE-touched rows.
+#: Names must stay UNIQUE across sections (a duplicate eats one of the
+#: ~50 sample slots) — drop a name from the older section when a new
+#: round re-touches it; test_driver_priority_names_all_resolve enforces.
 _DRIVER_PRIORITY = (
     # -- round-8 additions --
     "dedup_lsh_hot_band_cap",
@@ -82,6 +82,10 @@ _DRIVER_PRIORITY = (
     "sink_python_datasource_roundtrip",
     "orders_cdc_transactional_publish",
     "orders_cdc_merge_apply",  # merge body extracted to shared helper
+    "doc_chunk_windows_udtf",
+    "orders_bucketed_colocated_join",
+    "streaming_python_datasource_sink",
+    "source_dynamic_partition_overwrite",
     # -- round-8 changed-code rows (fresh driver row required) --
     "source_small_file_compaction",  # bound-derived verdict bits (ADVICE)
     "streaming_state_ttl_eviction",  # non-empty-batch assertion (ADVICE)
@@ -96,16 +100,13 @@ _DRIVER_PRIORITY = (
     "streaming_availablenow_backfill",
     "streaming_checkpoint_restart",
     "streaming_jdbc_sink_snapshots",
-    "streaming_state_ttl_eviction",
     "dedup_incremental_index",
     "text_bpe_pair_counts",
     "text_bpe_merge_table",
     "orders_salted_customer_join",
     "source_partitioned_pruned_scan",
-    "source_small_file_compaction",
     "source_schema_evolution_merge",
     "events_observed_quality",
-    "orders_cdc_merge_apply",
     "approx_hll_mergeable_rollup",
     "source_zorder_multidim_pruning",
     # -- round-7 changed-code rows (fresh driver row required) --
@@ -117,9 +118,6 @@ _DRIVER_PRIORITY = (
     "part_triangle_count",
     "part_pagerank",
     "dedup_simhash_pairs",
-    "dedup_duplicate_clusters",
-    "dedup_survivors",
-    "corpus_cluster_safe_split",
     "corpus_decontamination",
     "multimodal_png_decode_stats",
     # -- round-6-touched rows that missed the r6 driver sample --
@@ -140,7 +138,6 @@ _DRIVER_PRIORITY = (
     "repeat_customers_intersect",
     # -- rotation: rows whose latest driver check is r2 --
     "dedup_minhash_signatures",
-    "dedup_lsh_recall_audit",
     "similarity_ann_lsh",
     "similarity_ann_multiprobe",
     "embedding_label_centroids",

@@ -50,13 +50,20 @@ def publish(root: str, data_dir: str, version: int) -> None:
     tmp-write + fsync + ``os.replace`` make the pointer swap atomic on
     POSIX: readers see either the old manifest or the new one, never a
     torn mix.
+
+    A versioned copy (``_manifest.v<N>.json``) is retained BEFORE the
+    swap: since snapshot data dirs are immutable and never reused, the
+    retained manifests give time travel for free (:func:`read_version`)
+    until a vacuum deletes a version's manifest + data dir together.
     """
-    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "dir": data_dir}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, MANIFEST))
+    body = json.dumps({"version": version, "dir": data_dir})
+    for target in (f"{MANIFEST[:-5]}.v{version}.json", MANIFEST):
+        tmp = os.path.join(root, f".{target}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, target))
 
 
 def read_committed(spark: SparkSession, root: str) -> DataFrame:
@@ -71,9 +78,53 @@ def read_committed(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(manifest["dir"])
 
 
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time travel: scan snapshot ``version`` via its retained manifest.
+
+    Valid until a vacuum reclaims that version (manifest + data dir are
+    deleted together — the retention contract table formats expose as
+    ``VERSION AS OF``).
+    """
+    with open(os.path.join(root, f"{MANIFEST[:-5]}.v{version}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(manifest["dir"])
+
+
 def committed_version(root: str) -> int | None:
     path = os.path.join(root, MANIFEST)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)["version"]
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[int]:
+    """Reclaim snapshots older than the ``keep_last`` most recent.
+
+    Deletion order is the reverse of the commit's visibility order:
+    each reclaimed version's MANIFEST goes first (time travel to it
+    fails cleanly from then on), its data dir second — a crash between
+    the two leaves an orphan dir (invisible, re-vacuumable), never a
+    manifest pointing at deleted data. The live manifest's version is
+    always retained regardless of ``keep_last``. Returns the reclaimed
+    version numbers.
+    """
+    import re
+    import shutil
+
+    live = committed_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(root)
+        if (m := re.fullmatch(rf"{MANIFEST[:-5]}\.v(\d+)\.json", f))
+    )
+    victims = [v for v in versions[:-keep_last] if v != live] if keep_last else []
+    reclaimed = []
+    for v in victims:
+        vpath = os.path.join(root, f"{MANIFEST[:-5]}.v{v}.json")
+        with open(vpath) as f:
+            data_dir = json.load(f)["dir"]
+        os.remove(vpath)  # manifest first: fail-closed for readers
+        shutil.rmtree(data_dir, ignore_errors=True)
+        reclaimed.append(v)
+    return reclaimed

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -96,18 +97,45 @@ class WireLogReader(DataSourceReader):
 
 
 class WireLogStreamReader(DataSourceStreamReader):
-    """File-tail stream: offset = files consumed (sorted-name order)."""
+    """File-tail stream: offset = files consumed (sorted-name order).
+
+    ``maxfilespertrigger`` (option, default unlimited) is ADMISSION
+    CONTROL in the custom-offset API: ``latestOffset`` advances at most
+    that many files past the last planned offset, so a backlog of 10k
+    files becomes a sequence of bounded micro-batches instead of one
+    giant catch-up batch — the custom-source equivalent of the JVM file
+    source's maxFilesPerTrigger, and the knob that keeps per-batch state
+    and task counts flat when a stalled stream restarts into a deep
+    backlog at production scale.
+
+    The throttle watermark (``_planned``) is driver-local, not
+    checkpointed: after a restart it re-bases from the first
+    ``partitions()`` call's offsets (the engine replays the WAL batch
+    before asking for new offsets). The one committed-restart corner —
+    ``latestOffset`` running before any ``partitions()`` — can
+    momentarily return an offset below the restored one, which plans a
+    single EMPTY batch (a start > end slice reads nothing, so no
+    re-read and no loss), after which the watermark has re-based and
+    throttling resumes.
+    """
 
     def __init__(self, options):
         self.path = options["path"]
+        self.max_files = int(options.get("maxfilespertrigger", 0)) or None
+        self._planned = 0
 
     def initialOffset(self):
         return {"n_files": 0}
 
     def latestOffset(self):
-        return {"n_files": len(_list_files(self.path))}
+        avail = len(_list_files(self.path))
+        if self.max_files is not None:
+            avail = min(avail, self._planned + self.max_files)
+        self._planned = max(self._planned, avail)
+        return {"n_files": avail}
 
     def partitions(self, start, end):
+        self._planned = max(self._planned, start["n_files"], end["n_files"])
         names = _list_files(self.path)[start["n_files"] : end["n_files"]]
         return [_FilePartition(self.path, n) for n in names]
 
@@ -233,6 +261,93 @@ class WireLogWriter(DataSourceWriter):
                     pass
 
 
+class WireLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the connector (r8) — the per-micro-batch
+    two-phase commit that makes a custom Python sink EXACTLY-ONCE.
+
+    Same staging discipline as :class:`WireLogWriter` (tasks stage
+    ``part-<uuid>.txt`` under ``_staging/``), but the driver-side
+    ``commit(messages, batchId)`` is keyed by the micro-batch id and
+    IDEMPOTENT: the manifest records which batch ids are already
+    committed, and a replayed commit of a committed batch (the restart
+    path — Structured Streaming re-runs the last batch from the
+    checkpoint after a crash between sink commit and offset commit)
+    drops the new attempt's staged files instead of double-publishing.
+    Task retries within a batch are also safe: every attempt stages its
+    own uuid file and only the attempt whose messages reach commit()
+    becomes visible. Visibility still flips at one atomic
+    ``os.replace`` of the manifest, per batch.
+
+    This is the Python-API expression of the reference's idempotent
+    JDBC batch sink (delete-batch-then-insert keyed by batch id,
+    streaming/sinks.py:84) — same contract, file-manifest transport.
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        staging = os.path.join(self.path, _STAGING)
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.txt"
+        n = 0
+        tmp = os.path.join(staging, name)
+        try:
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(row.value + "\n")
+                    n += 1
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+        if n == 0:
+            os.remove(tmp)
+            return _WireCommit(None, 0)
+        return _WireCommit(name, n)
+
+    def commit(self, messages, batchId):
+        new_files = [m.staged for m in messages if m is not None and m.staged]
+        manifest_path = os.path.join(self.path, MANIFEST)
+        state = {"files": [], "batches": {}}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                state = json.load(f)
+                state.setdefault("batches", {})
+        if str(batchId) in state["batches"]:
+            # restart replay of an already-committed batch: exactly-once
+            # means this attempt's output must NOT become visible twice
+            for name in new_files:
+                try:
+                    os.remove(os.path.join(self.path, _STAGING, name))
+                except FileNotFoundError:
+                    pass
+            return
+        for name in new_files:
+            os.replace(
+                os.path.join(self.path, _STAGING, name),
+                os.path.join(self.path, name),
+            )
+        state["files"] = sorted(set(state.get("files", [])) | set(new_files))
+        state["batches"][str(batchId)] = sorted(new_files)
+        tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, manifest_path)  # the per-batch commit point
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and m.staged:
+                try:
+                    os.remove(os.path.join(self.path, _STAGING, m.staged))
+                except FileNotFoundError:
+                    pass
+
+
 class WireLogDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -249,6 +364,9 @@ class WireLogDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return WireLogWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return WireLogStreamWriter(self.options)
 
 
 def register_wirelog(spark) -> None:

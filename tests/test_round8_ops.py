@@ -84,6 +84,124 @@ def test_wirelog_writer_abort_leaves_snapshot_untouched(spark, tmp_path):
     assert spark.read.format("wirelog").options(path=d).load().count() == 25
 
 
+def test_chunk_udtf_matches_explode_form_and_plan_shapes(spark):
+    """The UDTF chunker must be row-identical to the codegen explode
+    form, and the two plans must have the intended shapes: explode runs
+    as a Generate inside whole-stage codegen (no Python boundary), the
+    UDTF plan carries an Arrow-eval Python UDTF node."""
+    explode_df = QUERIES["doc_chunk_windows"].build(spark, SF)
+    udtf_df = QUERIES["doc_chunk_windows_udtf"].build(spark, SF)
+
+    key = lambda r: (r.doc_id, r.chunk_idx)  # noqa: E731
+    a = sorted(map(tuple, explode_df.collect()), key=lambda t: t[:2])
+    b = sorted(map(tuple, udtf_df.collect()), key=lambda t: t[:2])
+    assert a == b and len(a) > 0
+
+    explode_plan = explode_df._jdf.queryExecution().executedPlan().toString()
+    udtf_plan = udtf_df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in explode_plan
+    assert "PythonUDTF" not in explode_plan and "ArrowEval" not in explode_plan
+    assert "*(" in explode_plan  # the codegen-stage marker ("*(1) Project…")
+    assert "PythonUDTF" in udtf_plan  # the Arrow Python boundary
+
+
+def test_wirelog_stream_reader_maxfilespertrigger_throttles_batches(spark, tmp_path):
+    """Admission control: a 6-file backlog with maxfilespertrigger=2
+    must drain in 3 bounded micro-batches, covering every row exactly
+    once — not one giant catch-up batch."""
+    import os
+
+    from spark_stream_analyzer_spark.sources.wire_datasource import register_wirelog
+
+    register_wirelog(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(6):
+        with open(f"{src}/{i:03d}.txt", "w") as f:
+            f.write(f"row-{i}\n")
+    q = (
+        spark.readStream.format("wirelog")
+        .options(path=src, maxfilespertrigger="2")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("throttle_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    got = {r.value for r in spark.table("throttle_t").collect()}
+    assert got == {f"row-{i}" for i in range(6)}
+    assert len(batches) == 3
+    assert all(p["numInputRows"] == 2 for p in batches)
+    spark.catalog.dropTempView("throttle_t")
+
+
+def test_wirelog_writer_only_committed_attempt_visible(spark, tmp_path):
+    """Speculative/retried task safety: two staged attempts for the same
+    logical partition, commit carries only one message — only that
+    attempt's file becomes visible, the orphan stays staged."""
+    import json
+    import os
+
+    from spark_stream_analyzer_spark.sources.wire_datasource import (
+        MANIFEST,
+        WireLogWriter,
+        _WireCommit,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(os.path.join(d, "_staging"))
+    for name, row in (("part-winner.txt", "W"), ("part-loser.txt", "L")):
+        with open(os.path.join(d, "_staging", name), "w") as f:
+            f.write(row + "\n")
+    w = WireLogWriter({"path": d}, overwrite=False)
+    w.commit([_WireCommit("part-winner.txt", 1)])
+    manifest = json.load(open(os.path.join(d, MANIFEST)))
+    assert manifest["files"] == ["part-winner.txt"]
+    assert os.path.exists(os.path.join(d, "_staging", "part-loser.txt"))
+    back = spark.read.format("wirelog").options(path=d).load().collect()
+    assert [r.value for r in back] == ["W"]
+
+
+def test_txn_publish_time_travel_and_vacuum(spark, tmp_path):
+    """The manifest-pointer table: versions stay readable until vacuum,
+    vacuum reclaims manifest-then-data and never touches the live
+    snapshot."""
+    import os
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        committed_version,
+        publish,
+        read_committed,
+        read_version,
+        snapshot_dir,
+        vacuum,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    for v, hi in ((1, 10), (2, 20), (3, 30)):
+        d = snapshot_dir(root)
+        spark.range(hi).write.parquet(d)
+        publish(root, d, v)
+    assert committed_version(root) == 3
+    assert read_committed(spark, root).count() == 30
+    assert read_version(spark, root, 1).count() == 10
+    assert read_version(spark, root, 2).count() == 20
+
+    reclaimed = vacuum(root, keep_last=1)
+    assert reclaimed == [1, 2]
+    assert read_committed(spark, root).count() == 30  # live untouched
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 1)
+    # idempotent: nothing left to reclaim
+    assert vacuum(root, keep_last=1) == []
+
+
 def test_streaming_full_outer_emits_both_null_directions(spark):
     """Both outer halves must actually fire: unmatched purchases emit
     null click_id AND unmatched clicks emit null purchase_id (the

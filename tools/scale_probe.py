@@ -99,6 +99,15 @@ PROBE_QUERIES = [
     "events_observed_quality",
     "approx_hll_mergeable_rollup",
     "source_zorder_multidim_pruning",
+    # round-8: hot-band-capped LSH over a degenerate corpus (star
+    # expansion must keep candidates O(m) as the clone set grows with
+    # the corpus — THE row whose uncapped form would go quadratic),
+    # transactional publish (two full snapshot writes + one merge —
+    # write-volume bound), datasource-writer round-trip (Python-boundary
+    # write+read, linear in rows)
+    "dedup_lsh_hot_band_cap",
+    "orders_cdc_transactional_publish",
+    "sink_python_datasource_roundtrip",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
