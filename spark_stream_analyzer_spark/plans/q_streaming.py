@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_analyzer_spark.functions import texthash as TH
-from spark_stream_analyzer_spark.functions.scalar import guarded_ratio, round6
+from spark_stream_analyzer_spark.functions.scalar import guarded_ratio, msum6, round6
 from spark_stream_analyzer_spark.plans.q_wire import _O_BASE, _base
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.wire import parse_damage_lines, parse_kill_lines
@@ -1236,6 +1236,210 @@ def q_streaming_python_datasource_sink(spark: SparkSession, sf_dir: str) -> Data
         import shutil
 
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "streaming_cdc_upsert_publish",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey AS cust,
+             o_orderstatus AS status, o_totalprice + 100.0 AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, NULL
+      FROM orders WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000000, 1, 'I', o_custkey, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 5
+    ),
+    latest AS (
+      SELECT k, op, cust, status, price
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) rn
+            FROM changes)
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT COALESCE(c.status, b.o_orderstatus) AS status,
+             COALESCE(c.price, b.o_totalprice) AS price,
+             c.op AS op
+      FROM orders b FULL OUTER JOIN latest c ON b.o_orderkey = c.k
+    )
+    SELECT status AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({M}, 6) AS price_msum6,
+           1::INT AS versions_ok,
+           1::INT AS replay_ok
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    GROUP BY status
+    """.replace(
+        "{M}",
+        "(CAST(SUM(CAST(FLOOR((price) * 1000000 + 0.5) AS BIGINT)"
+        " // 1000000) AS DOUBLE)"
+        " + CAST(SUM(CAST(FLOOR((price) * 1000000 + 0.5) AS BIGINT)"
+        " % 1000000) AS DOUBLE) / 1000000.0)",
+    ),
+    doc="EXT streaming CDC ingest into a transactional table, LIVE (r8) "
+    "— the streaming-lakehouse shape that composes three of the "
+    "engine's capabilities: a live change stream (2 micro-batches, "
+    "keys split by parity so batches are key-disjoint), foreachBatch "
+    "MERGE (latest-per-key compaction over the DELTA + one full-outer "
+    "apply against the COMMITTED snapshot), and the manifest-swap "
+    "atomic publish per batch, versioned by batch id. Exactly-once is "
+    "the version guard: a replayed batch (restart between sink commit "
+    "and offset commit) sees committed_version >= batch_id+1 and "
+    "SKIPS — pinned live by re-invoking the batch function with batch "
+    "0's frame after the stream ends (replay_ok requires the final "
+    "table byte-identical). versions_ok pins that exactly 2 versions "
+    "committed on top of the base. The final committed table must "
+    "equal the batch CDC oracle — sequential per-batch merges compose "
+    "to the same result because the batch split is key-disjoint; a "
+    "merge against a stale (non-committed) base, a double-applied "
+    "batch, or a lost delete all flip the per-status aggregates",
+)
+def q_streaming_cdc_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_stream_analyzer_spark.plans.q_tpch import _apply_latest_changes
+    from spark_stream_analyzer_spark.sources.tables import load_table
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        committed_version,
+        publish,
+        read_committed,
+        snapshot_dir,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    # the same deterministic change log as the batch CDC rows, rendered
+    # to wire lines: op,seq,key,cust,status,price ('' = NULL)
+    upd = o.filter(k % 7 == 0).select(
+        F.lit("U").alias("op"), F.lit(1).alias("seq"), k.alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+    )
+    dele = o.filter(k % 11 == 3).select(
+        F.lit("D").alias("op"), F.lit(2).alias("seq"), k.alias("k"),
+        F.lit(None).cast("long").alias("cust"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    ins = o.filter(k % 13 == 5).select(
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        (k + F.lit(100_000_000_000)).alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.lit("N").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    ch_rows = upd.unionByName(dele).unionByName(ins).collect()  # harness boundary
+
+    def _fmt(r) -> str:
+        price = "" if r.price is None else repr(r.price)
+        cust = "" if r.cust is None else str(r.cust)
+        status = r.status or ""
+        return f"{r.op},{r.seq},{r.k},{cust},{status},{price}"
+
+    workdir = tempfile.mkdtemp(prefix="ssa_cdcstream_")
+    _write_batches(
+        ch_rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.k % 2],  # key-disjoint batches
+        fmt=_fmt,
+    )
+    root = f"{workdir}/table"
+    os.makedirs(root)
+    d0 = snapshot_dir(root)
+    # version 0 stored in the table's (merged) schema so every batch's
+    # read-back is uniform
+    o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    ).write.parquet(d0)
+    publish(root, d0, 0)  # base snapshot = version 0
+
+    def _parse_changes(df: DataFrame) -> DataFrame:
+        p = F.split("value", ",")
+        return df.select(
+            p[0].alias("op"),
+            p[1].cast("long").alias("seq"),
+            p[2].cast("long").alias("k"),
+            F.expr("nullif(split(value, ',')[3], '')").cast("long").alias("cust"),
+            F.expr("nullif(split(value, ',')[4], '')").alias("status"),
+            F.expr("nullif(split(value, ',')[5], '')").cast("double").alias("price"),
+        )
+
+    def _apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        # exactly-once guard: a replayed batch finds its version (or a
+        # later one) already committed and must be a no-op
+        if (committed_version(root) or 0) >= batch_id + 1:
+            return
+        base = read_committed(spark, root).select(
+            "o_orderkey",
+            F.col("cust").alias("o_custkey"),
+            F.col("status").alias("o_orderstatus"),
+            F.col("price").alias("o_totalprice"),
+        )
+        merged = _apply_latest_changes(
+            base, _parse_changes(bdf).select("k", "seq", "op", "cust", "status", "price")
+        )
+        d = snapshot_dir(root)
+        merged.write.parquet(d)
+        publish(root, d, batch_id + 1)
+
+    name_ckpt = f"{workdir}/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            file_lines_stream(spark, f"{workdir}/in", max_files_per_trigger=1)
+            .writeStream.foreachBatch(_apply_batch)
+            .option("checkpointLocation", name_ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        versions_ok = int(committed_version(root) == 2)
+
+        def _table_agg():
+            return sorted(
+                map(
+                    tuple,
+                    read_committed(spark, root)
+                    .groupBy("status")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.round(msum6(F.col("price")), 6).alias("m"),
+                    )
+                    .collect(),
+                )
+            )
+
+        before = _table_agg()
+        # live replay of batch 0 (the restart path) — must be a no-op
+        batch0 = spark.read.text(f"{workdir}/in/000.txt")
+        _apply_batch(batch0, 0)
+        replay_ok = int(committed_version(root) == 2 and _table_agg() == before)
+        final = read_committed(spark, root).groupBy(
+            F.col("status").alias("o_orderstatus")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(msum6(F.col("price")), 6).alias("price_msum6"),
+            F.lit(versions_ok).cast("int").alias("versions_ok"),
+            F.lit(replay_ok).cast("int").alias("replay_ok"),
+        )
+        rows = final.collect()  # bounded: one row per order status
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
         shutil.rmtree(workdir, ignore_errors=True)
 
 

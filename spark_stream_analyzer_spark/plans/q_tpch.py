@@ -2078,12 +2078,11 @@ def q_orders_salted_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _cdc_merged_snapshot(o: DataFrame) -> DataFrame:
-    """The CDC merge shared by the merge-apply and transactional-publish
-    rows: synthesize the deterministic change log from the base orders
-    frame ``o`` (o_orderkey/o_custkey/o_orderstatus/o_totalprice),
-    compact it to latest-per-key, apply in one full-outer join, and
-    return the post-merge snapshot (key, cust, status, price)."""
+def _cdc_changes(o: DataFrame) -> DataFrame:
+    """Deterministic change log synthesized from the base orders frame:
+    upserts (+100.00 on keys %7=0, seq 1), deletes (%11=3, seq 2 — beat
+    the update on keys hit by both), inserts (key+1e11, status 'N',
+    seq 1). Columns: (k, seq, op, cust, status, price)."""
     k = F.col("o_orderkey")
     upd = o.filter(k % 7 == 0).select(
         k.alias("k"),
@@ -2109,20 +2108,35 @@ def _cdc_merged_snapshot(o: DataFrame) -> DataFrame:
         F.lit("N").alias("status"),
         F.col("o_totalprice").alias("price"),
     )
-    changes = upd.unionByName(dele).unionByName(ins)
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def _apply_latest_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO semantics over plain frames: compact ``changes``
+    (k/seq/op/cust/status/price) to latest-per-key (window over the
+    DELTA only — O(delta), never the base), apply in ONE full-outer
+    join against ``base`` (o_orderkey/o_custkey/o_orderstatus/
+    o_totalprice): coalesce picks changed values, 'D' rows drop,
+    unmatched inserts survive the outer side."""
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     latest = (
         changes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn", "seq")
     )
-    merged = o.join(latest, o.o_orderkey == latest.k, "full_outer")
+    merged = base.join(latest, base.o_orderkey == latest.k, "full_outer")
     return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
         F.coalesce("k", "o_orderkey").alias("o_orderkey"),
         F.coalesce("cust", "o_custkey").alias("cust"),
         F.coalesce("status", "o_orderstatus").alias("status"),
         F.coalesce("price", "o_totalprice").alias("price"),
     )
+
+
+def _cdc_merged_snapshot(o: DataFrame) -> DataFrame:
+    """The CDC merge shared by the merge-apply and transactional-publish
+    rows: synthesized change log → latest-per-key → full-outer apply."""
+    return _apply_latest_changes(o, _cdc_changes(o))
 
 
 
@@ -2188,6 +2202,68 @@ def q_orders_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy(F.col("status").alias("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(msum6(F.col("price")), 6).alias("price_msum6"),
+    )
+
+
+@register(
+    "orders_scd2_dimension_history",
+    oracle=f"""
+    WITH versions AS (
+      SELECT o_orderkey, 1 AS version, o_totalprice AS price FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, o_totalprice + 100.0
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, o_totalprice + 200.0
+      FROM orders WHERE o_orderkey % 11 = 3
+    )
+    SELECT o_orderkey, CAST(version AS BIGINT) AS version,
+           ROUND(price, 6) AS price,
+           CAST(version * 1000 AS BIGINT) AS effective_from,
+           CAST(LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+                * 1000 AS BIGINT) AS effective_to,
+           CAST(CASE WHEN LEAD(version) OVER (PARTITION BY o_orderkey
+                                              ORDER BY version) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM versions
+    WHERE o_orderkey % 5 = 0
+    """,
+    doc="EXT SCD Type 2 dimension history (r8) — the OTHER lake update "
+    "pattern beside MERGE-as-latest (orders_cdc_merge_apply keeps only "
+    "the current row; SCD2 keeps every version with validity "
+    "intervals): base rows (v1) plus two deterministic change waves "
+    "(v2 on keys %7=0, v3 on %11=3 — keys divisible by both get a "
+    "3-version chain) are append-unioned, and ONE key-partitioned "
+    "lead() window derives effective_from/effective_to/is_current — "
+    "interval-close by looking at the NEXT version, never an in-place "
+    "update. At 100 TB this is append-only: the window shuffles on "
+    "the dimension key (bounded per-key chains, no global sort) and "
+    "history rewrites never touch existing files. Full per-row "
+    "history emitted for keys %5=0 — a wrong interval edge, a "
+    "misordered version, or a double-current key hash-mismatches; "
+    "version chains of length 1, 2, and 3 all occur in the slice",
+)
+def q_orders_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    base = o.select(k.alias("o_orderkey"), F.lit(1).alias("version"),
+                    F.col("o_totalprice").alias("price"))
+    v2 = o.filter(k % 7 == 0).select(
+        k.alias("o_orderkey"), F.lit(2).alias("version"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"))
+    v3 = o.filter(k % 11 == 3).select(
+        k.alias("o_orderkey"), F.lit(3).alias("version"),
+        (F.col("o_totalprice") + F.lit(200.0)).alias("price"))
+    hist = base.unionByName(v2).unionByName(v3).filter(k % 5 == 0)
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+        F.round("price", 6).alias("price"),
+        (F.col("version") * 1000).cast("long").alias("effective_from"),
+        (nxt * 1000).cast("long").alias("effective_to"),
+        nxt.isNull().cast("int").alias("is_current"),
     )
 
 

@@ -86,6 +86,8 @@ _DRIVER_PRIORITY = (
     "orders_bucketed_colocated_join",
     "streaming_python_datasource_sink",
     "source_dynamic_partition_overwrite",
+    "orders_scd2_dimension_history",
+    "streaming_cdc_upsert_publish",
     # -- round-8 changed-code rows (fresh driver row required) --
     "source_small_file_compaction",  # bound-derived verdict bits (ADVICE)
     "streaming_state_ttl_eviction",  # non-empty-batch assertion (ADVICE)

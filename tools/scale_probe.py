@@ -108,6 +108,12 @@ PROBE_QUERIES = [
     "dedup_lsh_hot_band_cap",
     "orders_cdc_transactional_publish",
     "sink_python_datasource_roundtrip",
+    # round-8 second batch: SCD2 history (key-windowed lead, append-only),
+    # dynamic partition overwrite (rewrite volume = touched partition),
+    # bucketed co-located join (two bucketed writes + zero-shuffle join)
+    "orders_scd2_dimension_history",
+    "source_dynamic_partition_overwrite",
+    "orders_bucketed_colocated_join",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
