@@ -47,3 +47,51 @@ def global_rank(
         .withColumn(rank_col, (F.row_number().over(w_local) + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )
+
+
+def global_ntile(
+    df: DataFrame, order_cols: list[Column], n: int, tile_col: str = "tile"
+) -> DataFrame:
+    """SQL ``ntile(n) OVER (ORDER BY order_cols)`` without a single-reducer
+    sort.
+
+    SQL ntile over N rows puts ``ceil(N/n)`` rows in the first
+    ``N mod n`` buckets and ``floor(N/n)`` in the rest, by row position.
+    Both inputs of that formula distribute: the global row position comes
+    from :func:`global_rank` (range shuffle + per-partition window +
+    broadcast offsets) and N is a one-row aggregate broadcast back. Same
+    answer as the built-in ``ntile`` for any TOTAL order (unique
+    tiebreak), with no ``Exchange SinglePartition`` over the input.
+    """
+    ranked = global_rank(df, order_cols, rank_col="_rn")
+    total = df.agg(F.count(F.lit(1)).alias("_N"))
+    q = F.floor(F.col("_N") / n)  # small-bucket size
+    r = F.col("_N") % n  # number of (q+1)-sized buckets
+    cut = (q + 1) * r  # rows covered by the big buckets
+    rn = F.col("_rn")
+    tile = F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - cut - 1) / q) + 1
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(tile_col, tile.cast("long"))
+        .drop("_rn", "_N")
+    )
+
+
+def global_dense_rank(
+    df: DataFrame, value_col: Column, dense_col: str = "drnk", *, desc: bool = False
+) -> DataFrame:
+    """``dense_rank() OVER (ORDER BY value_col [DESC])`` at fact scale.
+
+    dense_rank depends only on the DISTINCT values, so: dedupe the value
+    column (hash shuffle on the value — map-side partial), global-rank
+    the distinct set (row_number over distinct values IS the dense rank),
+    and hash-join the ranks back on the value. The distinct set is the
+    only thing ever range-shuffled; the fact table sees one equi-join.
+    """
+    v = df.select(value_col.alias("_v")).distinct()
+    order = [F.desc("_v")] if desc else [F.asc("_v")]
+    ranks = global_rank(v, order, rank_col=dense_col)
+    return df.join(ranks.withColumnRenamed("_v", "__dr_key"),
+                   value_col == F.col("__dr_key")).drop("__dr_key")

@@ -28,6 +28,11 @@ from pyspark.sql.window import Window
 
 from spark_stream_analyzer_spark.functions.materialize import materialize
 from spark_stream_analyzer_spark.functions.scalar import msum6, round6, round6_half_up
+from spark_stream_analyzer_spark.operators.rank import (
+    global_dense_rank,
+    global_ntile,
+    global_rank,
+)
 from spark_stream_analyzer_spark.plans.registry import register
 from spark_stream_analyzer_spark.sources.tables import load_table
 
@@ -565,22 +570,27 @@ def q_price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ranking window family (rank / dense_rank / ntile) over per-"
     "customer spend — completes SURVEY §2.7's 'available native' row. "
-    "NB: a GLOBAL ranking window is inherently a single-reducer sort; at "
-    "100 TB use per-group ranks (top_orders_per_customer) or sketch "
-    "quantiles (approx_quantile_check) instead — kept here because the "
-    "output (one row per customer) is dim-sized, not fact-sized",
+    "(r9) migrated off the single-reducer Window.orderBy: rank over a "
+    "TOTAL order (custkey tiebreak) equals row_number, so it and ntile "
+    "come from operators.rank.global_rank/global_ntile (range shuffle + "
+    "per-partition windows + broadcast offsets); dense_rank over the "
+    "rounded spend ranks the DISTINCT value set and joins back "
+    "(operators.rank.global_dense_rank). Identical answers, no "
+    "Exchange SinglePartition over the customer table at any scale",
 )
 def q_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
-    w_full = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    w_coarse = Window.orderBy(F.desc(F.round("spend", 0)))
-    return s.select(
+    order = [F.desc("spend"), F.asc("o_custkey")]
+    d = global_rank(s, order, rank_col="rnk")
+    d = global_ntile(d, order, 4, tile_col="quartile")
+    d = global_dense_rank(d, F.round("spend", 0), dense_col="drnk", desc=True)
+    return d.select(
         "o_custkey",
         round6(F.col("spend")).alias("spend"),
-        F.rank().over(w_full).cast("long").alias("rnk"),
-        F.dense_rank().over(w_coarse).cast("long").alias("drnk"),
-        F.ntile(4).over(w_full).cast("long").alias("quartile"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("drnk").cast("long").alias("drnk"),
+        F.col("quartile").cast("long").alias("quartile"),
     )
 
 
@@ -1499,23 +1509,26 @@ def q_tpch_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-engine partial-sum drift cannot reorder ties (tie-break "
     "custkey); the running sum then adds identical doubles in an "
     "identical order on both engines. At 100 TB the per-customer table "
-    "is ~1e8 rows — the rank-top-100 runs as TakeOrdered partial top-k "
-    "per partition, and the cumulative share only needs those 100 rows "
-    "plus the scalar total (one-row broadcast)",
+    "is ~1e8 rows — (r9) the top-100 is an explicit orderBy+limit, which "
+    "Spark plans as TakeOrderedAndProject (per-partition top-k, then a "
+    "100-row merge on one task — no full sort, no SinglePartition "
+    "exchange); rnk and the running sum are windows over THAT bounded "
+    "100-row result, and the share denominator is a one-row broadcast",
 )
 def q_orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(round6(F.sum("o_totalprice")).alias("spend"))
     total = c.agg(round6(F.sum("spend")).alias("total"))
+    top = c.orderBy(F.desc("spend"), F.asc("o_custkey")).limit(100)
     w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    r = c.select(
+    r = top.select(
         "o_custkey",
         "spend",
         F.row_number().over(w).cast("long").alias("rnk"),
         F.sum("spend")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
-    ).filter(F.col("rnk") <= 100)
+    )
     return r.join(F.broadcast(total)).select(
         "o_custkey",
         "spend",
@@ -1634,18 +1647,20 @@ def q_lineitem_shipping_delay_bands(spark: SparkSession, sf_dir: str) -> DataFra
     doc="EXT equal-frequency decile profile over a dimension: ntile(10) "
     "on account balance (tie-break suppkey so bucket boundaries are "
     "deterministic cross-engine), then per-decile min/max/avg — the "
-    "classic risk-banding report. Supplier is a DIMENSION (bounded, "
-    "1e4 x SF rows), so a single-partition window sort is the honest "
-    "plan; the fact-scale equivalent is lineitem_price_equidepth, "
-    "which decomposes the same computation through the global-rank "
-    "operator instead",
+    "classic risk-banding report. (r9) supplier is 1e4 x SF rows, which "
+    "at 100 TB is ~1e9 — not single-reducer territory — so the ntile "
+    "runs through operators.rank.global_ntile (range shuffle + "
+    "partitioned window + broadcast offsets), identical answers with "
+    "no Exchange SinglePartition at any SF",
 )
 def q_supplier_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    d = s.select(
-        "s_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
-    )
+    d = global_ntile(
+        s.select("s_acctbal", "s_suppkey"),
+        [F.asc("s_acctbal"), F.asc("s_suppkey")],
+        10,
+        tile_col="decile",
+    ).select("s_acctbal", F.col("decile").cast("long").alias("decile"))
     return d.groupBy("decile").agg(
         F.count("*").alias("n_suppliers"),
         round6(F.min("s_acctbal")).alias("min_bal"),
@@ -1899,17 +1914,17 @@ def q_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM segmentation (recency/frequency/monetary quartiles): the "
     "classic customer-value grid every CRM pipeline derives. Per-key "
-    "aggregation shrinks the fact to one row per customer; three "
-    "global ntile windows score the small per-customer table (at "
-    "100 TB swap each for the global-rank decomposition used by "
-    "orders_global_rank — the SEMANTICS, quartile by rank, is the "
-    "portable part); monetary stays DECIMAL through the windows and "
-    "custkey tie-breaks are explicit, so quartile boundaries land "
-    "identically on both engines at any SF",
+    "aggregation shrinks the fact to one row per customer; (r9) the "
+    "three quartile scores run through operators.rank.global_ntile — "
+    "one range shuffle + partitioned window + broadcast offsets each, "
+    "never an Exchange SinglePartition over the customer table — so "
+    "the same plan survives a 1e9-customer table; monetary stays "
+    "DECIMAL through the ranking and custkey tie-breaks are explicit, "
+    "so quartile boundaries land identically on both engines at any SF",
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    # monetary stays DECIMAL through the quartile windows: a rounded
+    # monetary stays DECIMAL through the quartile ranking: a rounded
     # double sum flipped quartile BOUNDARIES at sf0.1 (rank on a value
     # that differs in the last ulp reorders customers)
     base = o.groupBy("o_custkey").agg(
@@ -1917,16 +1932,14 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    scored = base.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        r.cast("long").alias("r"),
-        f.cast("long").alias("f"),
-        m.cast("long").alias("m"),
+    scored = global_ntile(
+        base, [F.desc("last_order"), F.asc("o_custkey")], 4, tile_col="r"
+    )
+    scored = global_ntile(
+        scored, [F.desc("frequency"), F.asc("o_custkey")], 4, tile_col="f"
+    )
+    scored = global_ntile(
+        scored, [F.desc("monetary"), F.asc("o_custkey")], 4, tile_col="m"
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_customers"),

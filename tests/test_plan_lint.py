@@ -18,6 +18,8 @@ query can't quietly ship a scale antipattern.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from spark_stream_analyzer_spark.plans.registry import queries
@@ -89,3 +91,105 @@ def test_arrow_python_only_in_multimodal(plans):
         and ("ArrowEvalPython" in p or "MapInPandas" in p)
     ]
     assert not offenders, f"unexpected Python stages in: {offenders}"
+
+
+# --------------------------------------------------------------------------
+# r9: ban single-partition WindowExec over non-dim-bounded input
+# (VERDICT r8 task 4). An unpartitioned ranking window moves its whole
+# input through `Exchange SinglePartition` onto ONE task — the plan that
+# silently stops working at 100x. Fact-scale rankings must go through
+# operators.rank.global_rank / global_ntile / global_dense_rank (range
+# shuffle + partitioned windows + broadcast offsets) or an explicit
+# orderBy+limit (TakeOrderedAndProject). Structurally allowed: the
+# offsets window INSIDE global_rank, whose input is a HashAggregate
+# keyed on spark_partition_id (<= #shuffle-partitions rows, by
+# construction). Everything else needs a named whitelist entry with a
+# provable input bound.
+# --------------------------------------------------------------------------
+
+SINGLE_PARTITION_WINDOW_OK = {
+    # 15-cell (priority x status) contingency table: the window input is
+    # a groupBy over two low-cardinality enum columns — bounded by the
+    # attribute domain, not the data volume
+    "orders_priority_status_contingency",
+    # one row per calendar YEAR of the orders timeline (~7 at any SF)
+    "revenue_yoy_growth",
+}
+
+_PASS_THROUGH = ("Sort", "Project", "Filter", "WindowGroupLimit")
+
+
+def _parse_formatted(plan: str):
+    """(children: {id: [child ids]}, nodes: {id: (name, section body)})."""
+    lines = plan.splitlines()
+    tree = []  # (indent, id, name) from the header tree
+    for ln in lines:
+        m = re.match(r"^([ +\-:*]*)(\S.*?) \((\d+)\)\s*$", ln)
+        if m and ("+-" in ln or re.match(r"^\S", ln)):
+            tree.append((len(m.group(1)), int(m.group(3)), m.group(2).strip()))
+        if ln.startswith("("):
+            break
+    children: dict[int, list[int]] = {}
+    stack: list[tuple[int, int]] = []
+    for indent, nid, _name in tree:
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if stack:
+            children.setdefault(stack[-1][1], []).append(nid)
+        stack.append((indent, nid))
+    nodes: dict[int, tuple[str, str]] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) (\S.*)$", ln)
+        if m:
+            cur = int(m.group(1))
+            nodes[cur] = (m.group(2).strip(), "")
+        elif cur is not None and ln.strip():
+            name, body = nodes[cur]
+            nodes[cur] = (name, body + ln + "\n")
+    return children, nodes
+
+
+def _single_partition_windows(plan: str) -> list[int]:
+    """Window node ids fed (through Sort/Project/...) by an
+    ``Exchange SinglePartition`` whose input is NOT the global_rank
+    offsets aggregate."""
+    children, nodes = _parse_formatted(plan)
+    hits = []
+    for nid, (name, _body) in nodes.items():
+        if not name.startswith("Window"):
+            continue
+        cur = nid
+        while True:
+            kids = children.get(cur, [])
+            if not kids:
+                break
+            cur = kids[0]
+            cname, cbody = nodes.get(cur, ("", ""))
+            if cname.startswith("Exchange"):
+                if "SinglePartition" in cbody:
+                    below = children.get(cur, [])
+                    bname, bbody = (
+                        nodes.get(below[0], ("", "")) if below else ("", "")
+                    )
+                    if not (bname.startswith("HashAggregate") and "_pid" in bbody):
+                        hits.append(nid)
+                break
+            if not any(cname.startswith(p) for p in _PASS_THROUGH):
+                break
+    return hits
+
+
+def test_no_single_partition_window_over_unbounded_input(plans):
+    offenders = {
+        n: ids
+        for n, p in plans.items()
+        if n not in SINGLE_PARTITION_WINDOW_OK
+        and (ids := _single_partition_windows(p))
+    }
+    assert not offenders, (
+        "single-partition WindowExec over non-dim-bounded input in: "
+        f"{offenders} — use operators.rank.global_rank/global_ntile/"
+        "global_dense_rank or orderBy+limit, or whitelist with a "
+        "provable input bound"
+    )

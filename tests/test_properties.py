@@ -392,3 +392,54 @@ def test_zorder_key_matches_reference_and_is_injective(spark, pairs):
     expect = {(u, d): ref(u, d) for u, d in pairs}
     assert got == expect
     assert len(set(got.values())) == len(pairs)
+
+
+# ---------------------------------------------------- round-9 operators
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    st.integers(1, 7),
+)
+def test_global_ntile_and_dense_rank_match_builtins(spark, values, n):
+    """The distributed decompositions must reproduce the built-in
+    single-reducer windows EXACTLY — ntile bucket boundaries (including
+    the ceil/floor split when N % n != 0, and N < n) and dense_rank over
+    a heavily-tied value column — on random small-domain data where ties
+    cross range-partition boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spark_stream_analyzer_spark.operators.rank import (
+        global_dense_rank,
+        global_ntile,
+        global_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    order = [F.desc("v"), F.asc("id")]
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+
+    got = {
+        (r.id): (r.rnk, r.tile, r.drnk)
+        for r in global_dense_rank(
+            global_ntile(
+                global_rank(df, order, rank_col="rnk"), order, n, tile_col="tile"
+            ),
+            F.col("v"),
+            dense_col="drnk",
+            desc=True,
+        ).collect()
+    }
+    want = {
+        r.id: (r.rnk, r.tile, r.drnk)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.ntile(n).over(w).cast("long").alias("tile"),
+            F.dense_rank().over(Window.orderBy(F.desc("v"))).cast("long").alias("drnk"),
+        ).collect()
+    }
+    assert got == want
