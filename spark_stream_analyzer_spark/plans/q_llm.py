@@ -1006,10 +1006,12 @@ def q_corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall_audit",
     oracle=f"""
-    WITH found AS (SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL})),
+    WITH found AS (SELECT doc_a, doc_b FROM ({_LSH_PAIRS_SQL})
+                   WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
     truth AS (SELECT doc_a, doc_b FROM (
         WITH w AS ({_W}), s AS ({_S}),
-        posts AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+        posts AS (SELECT doc_id, unnest(sh) AS tok FROM s
+                  WHERE doc_id % 2 = 0),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM posts GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                          COUNT(*) AS n_shared
@@ -1033,20 +1035,33 @@ def q_corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="EXT LSH quality audit: MinHash-LSH found-pairs vs the exact "
     "(uncapped inverted-index) Jaccard ground truth — one verdict row "
-    "with recall/precision. Precision is 1.0 by construction (LSH "
-    "verifies exact Jaccard on candidates); recall at threshold 0.02 is "
-    "deliberately LOW on this corpus: 8 bands x 2 rows is tuned for "
-    "actual near-dups (j >= 0.5, where band-hit prob is ~0.98) and the "
-    "synthetic corpus's max pair similarity is ~0.03 — the audit makes "
-    "that banding tradeoff a measured number instead of folklore",
+    "with recall/precision. (r9) the truth side is computed over a "
+    "DETERMINISTIC doc sample (doc_id % 2 = 0 here; raise the modulus "
+    "with corpus size so the sampled sub-corpus stays bounded) — exact "
+    "all-pairs Jaccard is quadratic and was the one remaining uncapped "
+    "corner at 100 TB. Because truth carries no max_df, pairwise "
+    "Jaccard restricted to the sample IS the full-corpus value, so the "
+    "sampled recall is an unbiased estimate; the LSH side still runs "
+    "over the FULL corpus (its production configuration, hot-band cap "
+    "included) and is filtered to sampled endpoints, so the audit "
+    "measures the real pipeline, not a sampled twin. Precision is 1.0 "
+    "by construction (LSH verifies exact Jaccard on candidates); "
+    "recall at threshold 0.02 is deliberately LOW on this corpus: "
+    "8 bands x 2 rows is tuned for actual near-dups (j >= 0.5, where "
+    "band-hit prob is ~0.98) and the synthetic corpus's max pair "
+    "similarity is ~0.03 — the audit makes that banding tradeoff a "
+    "measured number instead of folklore",
 )
 def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    truth = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.02).select(
+    sampled = docs.filter(F.col("doc_id") % 2 == 0)
+    truth = dedup.ngram_jaccard_pairs(sampled, min_jaccard=0.02).select(
         "doc_a", "doc_b", F.lit(1).alias("in_true")
     )
-    found = dedup.lsh_duplicate_pairs(docs, min_jaccard=0.02).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_found")
+    found = (
+        dedup.lsh_duplicate_pairs(docs, min_jaccard=0.02)
+        .filter((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0))
+        .select("doc_a", "doc_b", F.lit(1).alias("in_found"))
     )
     m = truth.join(found, ["doc_a", "doc_b"], "full").select(
         F.coalesce("in_true", F.lit(0)).alias("in_true"),

@@ -168,12 +168,14 @@ def _lev(a: str, b: str) -> int:
 @given(
     st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=10),
     st.randoms(use_true_random=False),
+    st.integers(1, 2),
 )
-def test_fuzzy_pairs_complete_vs_bruteforce(spark, base, rnd):
+def test_fuzzy_pairs_complete_vs_bruteforce(spark, base, rnd, max_dist):
     """Symmetric-delete blocking must find EXACTLY the brute-force
-    dist<=1 pairs — including pairs created by adversarial single edits
-    (insert/delete/substitute) on tiny repeated-alphabet strings, where
-    blocking schemes typically lose pairs."""
+    dist<=d pairs for d in {1, 2} — including pairs created by
+    adversarial stacked edits (insert/delete/substitute) on tiny
+    repeated-alphabet strings, where blocking schemes typically lose
+    pairs."""
     from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
 
     names = list(base)
@@ -182,14 +184,23 @@ def test_fuzzy_pairs_complete_vs_bruteforce(spark, base, rnd):
         names.append(s[:p] + "a" + s[p:])           # insertion
         if s:
             names.append(s[:p] + s[p + 1:] if p < len(s) else s[:-1])  # deletion
+        if max_dist == 2:  # stacked double edits for the d=2 frontier
+            q = rnd.randrange(len(s) + 2)
+            t = s[:p] + "b" + s[p:]
+            names.append(t[:q] + "a" + t[q:])        # double insertion
+            if len(t) > 1:
+                names.append(t[: min(q, len(t) - 1)] + t[min(q, len(t) - 1) + 1 :])
     rows = [(i, n) for i, n in enumerate(names)]
     df = spark.createDataFrame(rows, "id long, name string")
-    got = {(r.id_a, r.id_b, r.dist) for r in fuzzy_pairs(df, "id", "name").collect()}
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name", max_dist=max_dist).collect()
+    }
     want = {
         (i, j, _lev(a, b))
         for (i, a) in rows
         for (j, b) in rows
-        if i < j and _lev(a, b) <= 1
+        if i < j and _lev(a, b) <= max_dist
     }
     assert got == want
 
@@ -443,3 +454,43 @@ def test_global_ntile_and_dense_rank_match_builtins(spark, values, n):
         ).collect()
     }
     assert got == want
+
+
+def test_fuzzy_d2_candidate_count_bounded(spark):
+    """The order-2 deletion blocking must stay LINEAR on a corpus of
+    distinct names (like the LSH hot-band test: bound the candidate set,
+    not just the verified output). Per-string key count obeys the
+    1 + L + L(L-1)/2 closed form, and the block-join candidate total
+    stays a small constant times n — not the n(n-1)/2 clique."""
+    from pyspark.sql import functions as F
+
+    import random
+
+    from spark_stream_analyzer_spark.operators.fuzzy import _deletion_keys
+
+    # names must be genuinely far apart (sequential Customer#-style ids
+    # are NOT: two ids in the same hundred differ by <=2 substitutions,
+    # so their quadratic pair set is true OUTPUT, not blocking waste)
+    rng = random.Random(42)
+    n = 300
+    rows = [
+        (i, "".join(rng.choice("0123456789abcdef") for _ in range(16)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    keys = df.select(
+        "id",
+        F.explode(F.array_distinct(F.expr(_deletion_keys("name", 2)))).alias("blk"),
+    )
+    ln = 16
+    per_string = keys.groupBy("id").count().agg(F.max("count")).first()[0]
+    assert per_string <= 1 + ln + ln * (ln - 1) // 2
+    # candidate pairs BEFORE levenshtein verification: block sizes are
+    # O(1) for well-separated names, so the candidate total is linear
+    cand = (
+        keys.groupBy("blk")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .first()[0]
+    )
+    assert cand is None or cand <= 5 * n, f"candidate blowup: {cand} for n={n}"
