@@ -153,6 +153,43 @@ def main() -> None:
     _sh.rmtree(_pdir, ignore_errors=True)
     spark.catalog.dropTempView(_pname)
 
+    # ... and the Derby engine + Spark JDBC writer (r9): the embedded
+    # Derby boot (engine classloading, ~1.5-2s) is once per JVM and was
+    # being charged to streaming_jdbc_sink_snapshots' first run (measured:
+    # 6.4s cold vs 4.5s warm for the identical query; each run still pays
+    # its own per-run db creation, which is real fixture work)
+    _ddir = _tf.mkdtemp(prefix="ssa_bench_warmd_")
+    try:
+        spark.range(1).selectExpr("id AS v").write.jdbc(
+            url=f"jdbc:derby:{_ddir}/db;create=true", table="warmup", mode="append"
+        )
+    except Exception:  # noqa: BLE001 — no Derby on the classpath: skip
+        pass
+    _sh.rmtree(_ddir, ignore_errors=True)
+
+    # ... and the foreachBatch + in-batch parquet write/commit machinery
+    # (r9): the CDC-publish fixture's first run otherwise absorbs the
+    # one-time foreachBatch harness + parquet committer-inside-streaming
+    # setup (measured: 9.2s cold vs 4.0s warm)
+    _fdir = _tf.mkdtemp(prefix="ssa_bench_warmf_")
+    os.makedirs(f"{_fdir}/in")
+    with open(f"{_fdir}/in/000.txt", "w") as _f:
+        _f.write("1\n")
+
+    def _warm_fb(bdf, bid):
+        bdf.write.mode("overwrite").parquet(f"{_fdir}/out")
+        spark.read.parquet(f"{_fdir}/out").collect()
+
+    _fq = (
+        file_lines_stream(spark, f"{_fdir}/in")
+        .writeStream.foreachBatch(_warm_fb)
+        .option("checkpointLocation", f"{_fdir}/ckpt")
+        .start()
+    )
+    _fq.processAllAvailable()
+    _fq.stop()
+    _sh.rmtree(_fdir, ignore_errors=True)
+
     # ... and the stream-stream join machinery (symmetric hash join state
     # + watermark bookkeeping), which the live join queries otherwise pay
     # for cold (round-4b added outer-join and join→window pipelines)
@@ -213,9 +250,12 @@ def main() -> None:
         with open(f"{_cdir}/{_i:03d}.txt", "w") as _f:
             _f.write(f"k{_i % 2},{_i}\n")
     _cname = f"scal_{_uuid.uuid4().hex[:8]}"
-    # the live rows all pin 8 shuffle partitions for their state stores
-    # (plans/q_streaming.py) — the probe must pay the same per-batch
-    # barrier width or its ratio tracks the wrong cost curve
+    # probe width stays pinned at 8 partitions — the BASELINE file's
+    # stream_calib_sec was recorded at 8, and the ratio only means
+    # something if the probe pays the same per-batch barrier cost on
+    # every host (the fixtures themselves now pin 2 JVM-stateful / 8
+    # Python-stateful, plans/q_streaming.py — the probe tracks
+    # SCHEDULING latency, which is width-independent)
     _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     t0 = time.perf_counter()

@@ -117,10 +117,11 @@ def q_streaming_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_damage_lines(file_lines_stream(spark, ddir))
     )
     name = f"snap_{uuid.uuid4().hex[:8]}"
-    # few keys (~150 players) → a wide stateful shuffle just burns Python
-    # worker startup; narrow it for this query, then restore
+    # Python-stateful: per-batch cost is group-by-group Arrow exchange,
+    # so worker parallelism (not commit count) sets the floor — see
+    # _FIXTURE_PANDAS_PARTS
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_PANDAS_PARTS)
     try:
         q = (
             snapshot_player_stats_stream(events)
@@ -198,7 +199,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"winc_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
             parsed.withWatermark("ts", "36500 days")
@@ -233,6 +234,25 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: spacing between replay-file mtimes — must exceed FileStreamSource's
 #: millisecond timestamp granularity so batch order is deterministic
 _MTIME_STEP_S = 10
+
+#: shuffle-partition count for the replay fixtures.  Every micro-batch
+#: commits EVERY partition of EVERY state store (a stream-stream join
+#: keeps four), so fixture wall time scales with partitions x stateful
+#: operators x micro-batches while the data itself is tiny (<=10k rows,
+#: <=~200 keys).  Measured at sf0.1: 8 -> 2 partitions cuts the three
+#: join fixtures 25-35% with identical output (r9).  2, not 1, so the
+#: keyed cross-partition shuffle path stays exercised.  This is a
+#: REPLAY-FIXTURE setting only — a production stream sizes partitions
+#: by throughput (state store count scales horizontally with executors)
+_FIXTURE_SHUFFLE_PARTS = "2"
+
+#: PYTHON-stateful fixtures (``applyInPandasWithState``) are the
+#: opposite regime: per-batch cost is Python-side group processing,
+#: which parallelizes across Arrow workers — measured at sf0.1,
+#: snapshot_stats is 13.2 s at 2 partitions vs 4.1 s at 8 (the state
+#: protocol exchanges each group separately, so worker count is the
+#: lever, not commit count).  Keep these at 8.
+_FIXTURE_PANDAS_PARTS = "8"
 
 
 def _stamp_batch_file(path: str, batch_idx: int) -> None:
@@ -276,7 +296,7 @@ def _run_to_memory(
     stream_df, name: str, spark: SparkSession, mode: str, workdir: str | None = None
 ) -> None:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -1100,7 +1120,7 @@ def q_streaming_python_datasource_tail(spark: SparkSession, sf_dir: str) -> Data
     )
     name = f"pyds_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
             counted.writeStream.outputMode("append")
@@ -1188,7 +1208,7 @@ def q_streaming_python_datasource_sink(spark: SparkSession, sf_dir: str) -> Data
     sink = f"{workdir}/out"
     os.makedirs(sink)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
             file_lines_stream(spark, f"{workdir}/in", max_files_per_trigger=1)
@@ -1393,7 +1413,7 @@ def q_streaming_cdc_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFram
 
     name_ckpt = f"{workdir}/ckpt"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
             file_lines_stream(spark, f"{workdir}/in", max_files_per_trigger=1)
@@ -1502,7 +1522,7 @@ def q_streaming_rocksdb_windowed_counts(spark: SparkSession, sf_dir: str) -> Dat
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1599,7 +1619,7 @@ def q_streaming_availablenow_backfill(spark: SparkSession, sf_dir: str) -> DataF
     )
     name = f"avnow_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
             parsed.withWatermark("ts", "36500 days")
@@ -1707,7 +1727,7 @@ def q_streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q1 = start_run()
         try:
@@ -1819,7 +1839,7 @@ def q_streaming_jdbc_sink_snapshots(spark: SparkSession, sf_dir: str) -> DataFra
         return to_jdbc_snapshots(running_player_stats_stream(events), url, table, chk)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q1 = start_run()
         try:
@@ -1969,7 +1989,7 @@ def q_streaming_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFram
     ).withWatermark("ts", "1 hour")
     name = f"ttl_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_PANDAS_PARTS)
     try:
         q = (
             ttl_evicting_totals_stream(parsed, gap_seconds=3600)
@@ -1996,3 +2016,109 @@ def q_streaming_state_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("total").alias("total"),
         F.max("evicted").alias("evicted"),
     )
+
+
+@register(
+    "streaming_dim_refresh_enrich",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < {EVENT_CAP}),
+    v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 THEN 'REFRESHED'
+                 ELSE c_mktsegment END AS seg FROM customer),
+    j0 AS (SELECT c.c_mktsegment AS seg
+           FROM e JOIN customer c ON e.user_id = c.c_custkey
+           WHERE e.event_id % 2 = 0),
+    j1 AS (SELECT v2.seg FROM e JOIN v2 ON e.user_id = v2.c_custkey
+           WHERE e.event_id % 2 = 1),
+    u AS (SELECT seg FROM j0 UNION ALL SELECT seg FROM j1)
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_events FROM u GROUP BY seg
+    """,
+    doc="EXT LIVE dim-REFRESH enrichment (r9): the slowly-changing-"
+    "dimension refresh contract that streaming_enrich_dim's static "
+    "broadcast cannot express — a stream enriched per micro-batch "
+    "against a dimension that CHANGES while the query runs. The dim is "
+    "re-read inside foreachBatch (spark.read per batch = fresh file "
+    "index), which is the production pattern: an IN-PLAN static join "
+    "pins its InMemoryFileIndex at analysis time, so files added after "
+    "start are invisible — re-reading in foreachBatch is how a daily-"
+    "refreshed customer dim actually reaches a 24/7 stream. Waves are "
+    "written JUST-IN-TIME around the dim swap (wave 0 drained against "
+    "v1, dim overwritten to v2, wave 1 drained against v2), so exactly "
+    "which version enriched which event is deterministic and the batch "
+    "oracle reproduces it as two versioned joins. A sink that joined "
+    "wave 1 against the stale v1 (cached/pinned dim) flips the row red",
+)
+def q_streaming_dim_refresh_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "user_id").collect()  # harness boundary
+    waves = {
+        0: [r for r in rows if r.event_id % 2 == 0],
+        1: [r for r in rows if r.event_id % 2 == 1],
+    }
+    assert waves[0] and waves[1], "dim-refresh replay needs both waves"
+    workdir = tempfile.mkdtemp(prefix="ssa_dimrefresh_")
+    os.makedirs(f"{workdir}/in")
+    dim_path, out_path = f"{workdir}/dim", f"{workdir}/out"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").parquet(dim_path)  # version 1
+
+    def _enrich_batch(bdf: DataFrame, batch_id: int) -> None:
+        # the refresh point: a FRESH read per micro-batch (new file
+        # index), never a captured DataFrame from driver scope
+        dim = bdf.sparkSession.read.parquet(dim_path)
+        (
+            bdf.join(F.broadcast(dim), bdf["user_id"] == dim["c_custkey"])
+            .select(F.col("c_mktsegment").alias("seg"))
+            .write.mode("append").parquet(out_path)
+        )
+
+    parts = F.split("value", ",")
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].cast("long").alias("event_id"),
+        parts[1].cast("long").alias("user_id"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(_enrich_batch)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        try:
+            for wave, wrows in waves.items():
+                if wave == 1:
+                    # the dim swap BETWEEN drains: half the customers
+                    # move to a segment that does not exist in v1
+                    cust.select(
+                        "c_custkey",
+                        F.when(F.col("c_custkey") % 2 == 0, F.lit("REFRESHED"))
+                        .otherwise(F.col("c_mktsegment"))
+                        .alias("c_mktsegment"),
+                    ).write.mode("overwrite").parquet(dim_path)
+                path = f"{workdir}/in/{wave:03d}.txt"
+                with open(path, "w") as f:
+                    f.write(
+                        "\n".join(f"{r.event_id},{r.user_id}" for r in wrows)
+                        + "\n"
+                    )
+                _stamp_batch_file(path, wave)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(out_path)
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        )
+        res = out.collect()  # bounded: one row per segment value
+        return spark.createDataFrame(res, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
