@@ -246,3 +246,47 @@ def duck_l2sq(a_expr: str, b_expr: str, dim: int = 64) -> str:
 def duck_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{w}'" for w in stopwords)
     return f"len(list_filter({words_expr}, w -> list_contains([{arr}], w)))"
+
+
+# --- sliding-gram rolling hash (r9, duplicated_spans) ---------------------
+#
+# One md5 per WORD, then every sliding w-gram's key is a double 31-bit
+# polynomial over the word hashes (B1/B2 chains mod P31, packed to a
+# 62-bit key) — pure int64 arithmetic on both engines, no per-gram md5 /
+# string build.  Collision odds at the pair level ~2^-62 vs the ~15
+# expected 31-bit collisions a single chain would give on a 250k-gram
+# corpus.
+
+GRAM_B1 = 1_000_003
+GRAM_B2 = 1_000_033
+
+
+def _poly_chain(elem_fmt: str, w: int, b: int) -> str:
+    """Nested Horner chain over w elements; elements must already be < P31
+    so every intermediate stays < 2^51 (no int64 overflow)."""
+    expr = elem_fmt.format(k=0)
+    for k in range(1, w):
+        expr = f"(({expr}) * {b} + {elem_fmt.format(k=k)}) % {P31}"
+    return expr
+
+
+def spark_word_hashes(words_expr: str) -> str:
+    """array<bigint>: md5-60 % P31 per word — Spark side."""
+    return f"transform({words_expr}, x -> {spark_hash60('x')} % {P31})"
+
+
+def spark_gram_hash(hw_expr: str, i_expr: str, w: int) -> str:
+    """62-bit sliding-gram key at 1-based position ``i_expr`` — Spark side."""
+    e1 = _poly_chain(f"element_at({hw_expr}, {i_expr} + {{k}})", w, GRAM_B1)
+    e2 = _poly_chain(f"element_at({hw_expr}, {i_expr} + {{k}})", w, GRAM_B2)
+    return f"({e1}) * 2147483648 + ({e2})"
+
+
+def duck_word_hashes(words_expr: str) -> str:
+    return f"list_transform({words_expr}, x -> {duck_hash60('x')} % {P31})"
+
+
+def duck_gram_hash(hw_expr: str, i_expr: str, w: int) -> str:
+    e1 = _poly_chain(f"{hw_expr}[{i_expr} + {{k}}]", w, GRAM_B1)
+    e2 = _poly_chain(f"{hw_expr}[{i_expr} + {{k}}]", w, GRAM_B2)
+    return f"({e1}) * 2147483648 + ({e2})"

@@ -804,3 +804,129 @@ def containment_pairs(
             F.round(c_b, 6).alias("containment_b"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_w: int = 5,
+) -> DataFrame:
+    """Maximal cross-doc duplicated SPANS — exact-substring dedup in the
+    Lee et al. 2022 sense ("Deduplicating Training Data Makes Language
+    Models Better": find and cut every verbatim substring shared across
+    documents), re-expressed as sliding-gram coverage islands instead of
+    a distributed suffix array.
+
+    Every word position ``i`` contributes the sliding ``gram_w``-gram
+    starting there; a position is COVERED iff that gram occurs in >= 2
+    distinct docs.  Any verbatim shared substring of ``>= gram_w`` words
+    covers all of its window starts, so the union of covered windows is
+    exactly the duplicated text, and maximal duplicated spans fall out
+    as islands of covered positions — two covered positions belong to
+    one span iff their windows touch (``pos - prev <= gram_w``), which
+    makes the spans disjoint and their word counts exact (no
+    double-counting where windows overlap).
+
+    Output per doc: ``n_words``, ``n_spans`` (maximal duplicated spans),
+    ``longest_span_words``, ``dup_words`` (exact union size), and
+    ``dup_word_ratio`` — the removal budget a span-cutting pass would
+    free.  :func:`chunk_exact_duplicates` is the cheap non-overlapping
+    variant (chunk-count ratios, no span geometry).
+
+    Scale shape (identical discipline to the chunk form): one scan ->
+    posexplode sliding grams (~n_words rows, Generate under codegen) ->
+    distinct (doc, gram-hash) -> per-hash doc counts -> positions
+    rejoin on the uniform 60-bit hash -> per-DOC windows (partitioned by
+    doc_id — never a global window) over the covered subset only.  A
+    gram shared by d docs costs d rows, never d^2; boilerplate grams
+    shared by millions of docs stay one aggregate row + one join hit per
+    occurrence.
+    """
+    w = int(gram_w)
+    # one md5 per WORD, then each sliding gram's 62-bit key is a double
+    # Horner chain over the word hashes (texthash.spark_gram_hash) —
+    # pure int64 arithmetic per position instead of a per-gram
+    # slice+join+md5 (measured 2.5× faster end-to-end at sf0.1, and the
+    # per-word hash count is n_words, not n_words × w characters)
+    gh_arr = (
+        f"case when n_words >= {w} then "
+        f"transform(sequence(1, n_words - {w} + 1),"
+        f" i -> {TH.spark_gram_hash('hw', 'i', w)}) "
+        "else array() end"
+    )
+    # The repartition sits BETWEEN the word-hash projection and the gram
+    # projection on purpose: an Exchange is the one boundary
+    # CollapseProject cannot cross.  In a single projection Catalyst
+    # inlines the `hw` transform into EVERY element_at reference of the
+    # Horner chains — the whole-array md5 transform re-evaluated 10×
+    # per position (measured: the collapsed form ran minutes, not
+    # seconds, at sf0.1).  The exchange also roots the subtree for both
+    # consumers (`base`, `pos_grams` — ReuseExchange, same discipline as
+    # lsh_duplicate_pairs) and spreads a few-file corpus before the
+    # per-position arithmetic.
+    words_hw = (
+        with_words(df, text_col)
+        .withColumn("hw", F.expr(TH.spark_word_hashes("words")))
+        .select(id_col, F.size("words").alias("n_words"), "hw")
+    )
+    words = words_hw.repartition(id_col).select(
+        id_col, "n_words", F.expr(gh_arr).alias("ghs")
+    )
+    base = words.select(id_col, "n_words")
+    # posexplode_OUTER, not posexplode: InferFiltersFromGenerate rewrites
+    # a non-outer generate into a pushed-down `size(ghs) > 0 AND
+    # isnotnull(ghs)` scan filter with the WHOLE ghs expression inlined —
+    # and since ghs references hw, that inlines the per-word md5
+    # transform into all 10 element_at sites of the Horner chains,
+    # re-hashing every word 10x per doc in an interpreted Filter
+    # (measured: minutes instead of seconds at sf0.1).  The rule skips
+    # outer generates; the short-doc null rows it emits are dropped
+    # right here, above the Generate.
+    pos_grams = (
+        words.select(id_col, F.posexplode_outer("ghs").alias("pos0", "gh"))
+        .filter(F.col("gh").isNotNull())
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
+    )
+    per_gh = (
+        pos_grams.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= 2)
+    )
+    covered = pos_grams.join(per_gh, "gh").select(id_col, "pos").distinct()
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = covered.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= w, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy(id_col, "sid").agg(
+        F.min("pos").alias("p0"),
+        (F.max("pos") + F.lit(w - 1)).alias("p1"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.max(F.col("p1") - F.col("p0") + 1).alias("longest_span_words"),
+        F.sum(F.col("p1") - F.col("p0") + 1).alias("dup_words"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("longest_span_words", F.lit(0))
+        .cast("long")
+        .alias("longest_span_words"),
+        F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+        F.round(
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words")
+            ),
+            6,
+        ).alias("dup_word_ratio"),
+    )

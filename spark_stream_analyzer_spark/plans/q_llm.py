@@ -1227,6 +1227,64 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.chunk_exact_duplicates(_docs(spark, sf_dir), chunk_w=_CHUNK_W)
 
 
+_SPAN_W = _CHUNK_W
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+    WITH w AS ({_W}),
+    hwt AS (SELECT doc_id, words, {TH.duck_word_hashes('words')} AS hw FROM w),
+    p AS (SELECT doc_id, hw,
+                 unnest(generate_series(1, len(words) - {_SPAN_W} + 1)) AS pos
+          FROM hwt),
+    g AS (SELECT doc_id, pos,
+                 {TH.duck_gram_hash('hw', 'pos', _SPAN_W)} AS gh
+          FROM p),
+    dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 <= {_SPAN_W} THEN 0 ELSE 1 END AS brk
+          FROM cov),
+    s2 AS (SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m),
+    sp AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) + {_SPAN_W} - 1 AS p1
+           FROM s2 GROUP BY doc_id, sid),
+    pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+                  MAX(p1 - p0 + 1) AS longest, SUM(p1 - p0 + 1) AS dupw
+           FROM sp GROUP BY doc_id),
+    nw AS (SELECT doc_id, len(words) AS n_words FROM w)
+    SELECT d.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(longest, 0) AS BIGINT) AS longest_span_words,
+           CAST(coalesce(dupw, 0) AS BIGINT) AS dup_words,
+           ROUND(CASE WHEN n_words = 0 THEN 0.0::DOUBLE
+                 ELSE coalesce(dupw, 0)::DOUBLE / n_words END, 6)
+             AS dup_word_ratio
+    FROM nw d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="EXT exact-substring SPAN dedup (r9 — the Lee et al. 2022 "
+    "suffix-array span finder re-expressed as sliding-gram coverage "
+    "islands): every word position's sliding 5-gram is hashed; a "
+    "position is covered iff its gram occurs in >=2 distinct docs; "
+    "maximal duplicated spans = islands of covered positions whose "
+    "windows touch, so span word counts are the EXACT union of shared "
+    "windows (the removal budget a span-cutting pass frees — beyond "
+    "dedup_chunk_exact's non-overlapping chunk ratios, this yields the "
+    "span geometry: count, longest, exact dup-word total per doc). "
+    "Scale: ~n_words exploded rows, uniform 60-bit hash shuffles, "
+    "per-DOC windows over the covered subset only — a gram shared by d "
+    "docs costs d rows, never d^2",
+)
+def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicated_spans(_docs(spark, sf_dir), gram_w=_SPAN_W)
+
+
 # measured recall@10 of the verdict query batch per corpus (deterministic
 # end-to-end — see pq_recall_audit docstring for the derivation sweep);
 # the banded gate centers on these so drift tolerance is symmetric

@@ -846,3 +846,88 @@ def test_bpe_merge_table_applies_merges_between_rounds(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="banana banana")])
     got = [(r.round, r.pair, r.n) for r in bpe_merge_table(df, rounds=3).collect()]
     assert got == [(1, "a n", 4), (2, "a n", 2), (3, "an a", 2)]
+
+
+def test_duplicated_spans_geometry_and_overlap_merge(spark):
+    """Planted corpus with known shared substrings (r9).
+
+    docs 1/2 share one verbatim 8-word run; docs 3/4 share two runs
+    separated by more than w unique words (two distinct spans); doc 5
+    shares nothing.  dup_words must be the exact union of covered
+    5-word windows (merged spans), and an 8-word shared run must yield
+    longest_span_words == 8 on both sides.
+    """
+    run1 = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    run2 = "kilo lima mike november oscar"  # 5 words
+    rows = [
+        Row(doc_id=1, text=f"one two three {run1} four five six"),
+        Row(doc_id=2, text=f"seven eight {run1} nine ten"),
+        Row(doc_id=3, text=f"{run1} u1 u2 u3 u4 u5 u6 u7 {run2}"),
+        Row(doc_id=4, text=f"x1 x2 {run2} y1 y2"),
+        Row(doc_id=5, text="entirely unique words nothing shared here at all ok"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicated_spans(df, gram_w=5).collect()
+    }
+    # docs 1 and 2: exactly one 8-word span each
+    for d in (1, 2):
+        assert out[d].n_spans == 1, out[d]
+        assert out[d].longest_span_words == 8, out[d]
+        assert out[d].dup_words == 8, out[d]
+    # doc 3 shares run1 (8 words, with docs 1/2) AND run2 (5 words,
+    # with doc 4), separated by 7 unique words -> two distinct spans
+    assert out[3].n_spans == 2, out[3]
+    assert out[3].longest_span_words == 8, out[3]
+    assert out[3].dup_words == 13, out[3]
+    # doc 4: just the 5-word run
+    assert out[4].n_spans == 1 and out[4].dup_words == 5, out[4]
+    # doc 5: clean
+    assert out[5].n_spans == 0 and out[5].dup_words == 0, out[5]
+    assert out[5].dup_word_ratio == 0.0
+
+
+def test_duplicated_spans_overlapping_windows_not_double_counted(spark):
+    """Two docs share a 6-word run: covered positions {1, 2} on the
+    sharer whose windows overlap in 4 words — dup_words must be 6
+    (union), not 10 (sum of windows)."""
+    run = "p q r s t u"  # 6 words -> positions 1..2 covered (w=5)
+    rows = [
+        Row(doc_id=1, text=f"{run} filler1 filler2"),
+        Row(doc_id=2, text=f"lead1 lead2 {run}"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicated_spans(
+            spark.createDataFrame(rows), gram_w=5
+        ).collect()
+    }
+    for d in (1, 2):
+        assert out[d].n_spans == 1, out[d]
+        assert out[d].dup_words == 6, out[d]
+        assert out[d].longest_span_words == 6, out[d]
+
+
+def test_weighted_median_udaf_tie_and_parity_semantics(spark):
+    """Pins the exact lower-weighted-median definition (r9): min x with
+    2*cum(w) >= total under RANGE-frame tie semantics."""
+    from spark_stream_analyzer_spark.functions.udafs import weighted_median
+
+    rows = [
+        # group a: values 1(w2) 2(w1) 3(w1) -> total 4, half 2 -> cum(1)=2
+        # qualifies -> median 1 (lower median on the even boundary)
+        ("a", 1.0, 2), ("a", 2.0, 1), ("a", 3.0, 1),
+        # group b: tie group at 2 split across rows -> value-level cum
+        # must include BOTH tied rows: 1(w1) 2(w1) 2(w1) 5(w4) ->
+        # total 7, ceil-half 4; cum(1)=1, cum(2)=3, cum(5)=7 -> median 5
+        ("b", 1.0, 1), ("b", 2.0, 1), ("b", 2.0, 1), ("b", 5.0, 4),
+        # group c: single row
+        ("c", 9.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = {
+        r.g: r.wm
+        for r in df.groupBy("g").agg(weighted_median("v", "w").alias("wm")).collect()
+    }
+    assert out == {"a": 1.0, "b": 5.0, "c": 9.0}, out
