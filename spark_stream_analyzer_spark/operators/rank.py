@@ -50,7 +50,11 @@ def global_rank(
 
 
 def global_ntile(
-    df: DataFrame, order_cols: list[Column], n: int, tile_col: str = "tile"
+    df: DataFrame,
+    order_cols: list[Column],
+    n: int,
+    tile_col: str = "tile",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """SQL ``ntile(n) OVER (ORDER BY order_cols)`` without a single-reducer
     sort.
@@ -62,20 +66,34 @@ def global_ntile(
     broadcast offsets) and N is a one-row aggregate broadcast back. Same
     answer as the built-in ``ntile`` for any TOTAL order (unique
     tiebreak), with no ``Exchange SinglePartition`` over the input.
+
+    ``rank_col`` (r9): when ``df`` already carries a global row_number
+    over the SAME total order (from a prior :func:`global_rank`), name
+    it and the second range shuffle + window pass is skipped entirely —
+    the tile is pure arithmetic on the existing rank plus one broadcast
+    one-row count. This is the multi-ranking-column case
+    (customer_spend_ranks computes rank AND ntile over one order): the
+    r9 bench caught the naive compose paying the range exchange twice.
     """
-    ranked = global_rank(df, order_cols, rank_col="_rn")
+    if rank_col is None:
+        ranked = global_rank(df, order_cols, rank_col="_rn")
+        rn = F.col("_rn")
+        drop = ["_rn", "_N"]
+    else:
+        ranked = df
+        rn = F.col(rank_col)
+        drop = ["_N"]
     total = df.agg(F.count(F.lit(1)).alias("_N"))
     q = F.floor(F.col("_N") / n)  # small-bucket size
     r = F.col("_N") % n  # number of (q+1)-sized buckets
     cut = (q + 1) * r  # rows covered by the big buckets
-    rn = F.col("_rn")
     tile = F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
         r + F.floor((rn - cut - 1) / q) + 1
     )
     return (
         ranked.join(F.broadcast(total))
         .withColumn(tile_col, tile.cast("long"))
-        .drop("_rn", "_N")
+        .drop(*drop)
     )
 
 

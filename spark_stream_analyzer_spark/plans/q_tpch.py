@@ -583,7 +583,9 @@ def q_customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
     order = [F.desc("spend"), F.asc("o_custkey")]
     d = global_rank(s, order, rank_col="rnk")
-    d = global_ntile(d, order, 4, tile_col="quartile")
+    # rnk IS the row_number over this same total order — reuse it so the
+    # quartile costs no second range exchange (r9, bench residue fix)
+    d = global_ntile(d, order, 4, tile_col="quartile", rank_col="rnk")
     d = global_dense_rank(d, F.round("spend", 0), dense_col="drnk", desc=True)
     return d.select(
         "o_custkey",
