@@ -1571,3 +1571,65 @@ def q_events_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_error_rows long, n_bad_value long, value_msum6 long, "
         "min_ts_us long, max_ts_us long, n_groups long",
     )
+
+
+@register(
+    "lineitem_weighted_median_udaf",
+    oracle="""
+    WITH s AS (SELECT l_returnflag, l_linestatus,
+                      l_extendedprice AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    c AS (SELECT l_returnflag, l_linestatus, v,
+                 SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+                 SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                   AS total
+          FROM s),
+    m AS (SELECT l_returnflag, l_linestatus, MIN(v) AS wm
+          FROM c WHERE 2 * cum >= total
+          GROUP BY l_returnflag, l_linestatus),
+    n AS (SELECT l_returnflag, l_linestatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(w) AS BIGINT) AS total_qty
+          FROM s GROUP BY l_returnflag, l_linestatus)
+    SELECT n.l_returnflag, n.l_linestatus, n.n_lines, n.total_qty,
+           ROUND(m.wm, 6) AS weighted_median_price
+    FROM n JOIN m USING (l_returnflag, l_linestatus)
+    """,
+    doc="EXT vectorized pandas UDAF (r9 — the custom-AGGREGATE extension "
+    "class, completing the Python-API matrix beside the r8 UDTF and the "
+    "r7/r8 datasources): quantity-weighted median of line price per "
+    "(returnflag, linestatus) through an Arrow grouped-agg pandas_udf — "
+    "Spark has no built-in weighted median (percentile_approx is "
+    "unweighted+approximate). Definition pinned to the exact lower "
+    "weighted median with int64 weights (min x with 2*cumw >= total, "
+    "RANGE-frame tie semantics) so the DuckDB window oracle reproduces "
+    "it bit-for-bit. Honest scale contract in functions/udafs.py: "
+    "grouped-agg pandas aggregates are per-group Arrow batches with NO "
+    "map-side partial (exact medians are not algebraic) — right for "
+    "bounded-cardinality groups (the 6 returnflag x linestatus cells here), percentile_approx is "
+    "the fact-scale fallback",
+)
+def q_lineitem_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.udafs import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    # Spark refuses to mix a group-agg pandas UDF with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — split into the JVM
+    # aggregate and the Arrow aggregate and join on the 4-cell key (the
+    # join is broadcast-trivial; both sides share the same hash shuffle)
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("w").cast("long").alias("total_qty"),
+    )
+    medians = li.groupBy("l_returnflag", "l_linestatus").agg(
+        round6(weighted_median("v", "w")).alias("weighted_median_price")
+    )
+    return counts.join(medians, ["l_returnflag", "l_linestatus"])

@@ -114,6 +114,12 @@ PROBE_QUERIES = [
     "orders_scd2_dimension_history",
     "source_dynamic_partition_overwrite",
     "orders_bucketed_colocated_join",
+    # round-9: the LIVE streaming-CDC-publish composition (r8 verdict
+    # task 5's last family) — 10× orders means a 10× base snapshot write
+    # plus two 10× foreachBatch merges; expected write-volume bound like
+    # its batch twin orders_cdc_transactional_publish, with the
+    # micro-batch scheduling floor unchanged (2 data batches either way)
+    "streaming_cdc_upsert_publish",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
