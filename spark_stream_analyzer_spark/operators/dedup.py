@@ -843,7 +843,35 @@ def duplicated_spans(
     shared by millions of docs stay one aggregate row + one join hit per
     occurrence.
     """
-    w = int(gram_w)
+    base, spans = _span_intervals(df, text_col, id_col, int(gram_w))
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.max(F.col("p1") - F.col("p0") + 1).alias("longest_span_words"),
+        F.sum(F.col("p1") - F.col("p0") + 1).alias("dup_words"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("longest_span_words", F.lit(0))
+        .cast("long")
+        .alias("longest_span_words"),
+        F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+        F.round(
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words")
+            ),
+            6,
+        ).alias("dup_word_ratio"),
+    )
+
+
+def _span_intervals(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`duplicated_spans` / :func:`span_cleaned_docs`:
+    returns ``(base(id, n_words), spans(id, sid, p0, p1))`` — the maximal
+    duplicated word intervals per doc (1-based, inclusive)."""
     # one md5 per WORD, then each sliding gram's 62-bit key is a double
     # Horner chain over the word hashes (texthash.spark_gram_hash) —
     # pure int64 arithmetic per position instead of a per-gram
@@ -910,23 +938,60 @@ def duplicated_spans(
         F.min("pos").alias("p0"),
         (F.max("pos") + F.lit(w - 1)).alias("p1"),
     )
-    per_doc = spans.groupBy(id_col).agg(
-        F.count("*").alias("n_spans"),
-        F.max(F.col("p1") - F.col("p0") + 1).alias("longest_span_words"),
-        F.sum(F.col("p1") - F.col("p0") + 1).alias("dup_words"),
+    return base, spans
+
+
+def span_cleaned_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_w: int = 5,
+) -> DataFrame:
+    """The CUT half of exact-substring dedup: re-emit each document with
+    every cross-doc duplicated span (as found by
+    :func:`duplicated_spans`) removed — the boilerplate-stripping pass a
+    training-data pipeline runs after the span finder.
+
+    Policy: covered spans are cut from EVERY doc (the
+    repeated-boilerplate treatment); canonical-copy retention is
+    :func:`duplicate_clusters` + :func:`dedup_survivors`' job at the
+    whole-doc level.  Output per doc: original word count, kept word
+    count, and the md5-60 fingerprint of the cleaned text (normalized
+    words joined by single spaces) — enough for an engine-independent
+    bit-exact comparison without shipping the corpus through the driver.
+
+    Scale shape: the span set per doc is tiny (an aggregate of the
+    covered subset), so it is collect_list'd per doc and joined back to
+    the words relation on doc_id — one hash join, no window over the
+    full corpus; the per-row cut is a codegen'd filter over the words
+    array against the doc's own span list.
+    """
+    w = int(gram_w)
+    _, spans = _span_intervals(df, text_col, id_col, w)
+    spans_per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("p0", "p1")).alias("spans")
     )
-    return base.join(per_doc, id_col, "left").select(
+    base = with_words(df, text_col).select(
+        id_col, F.col("words"), F.size("words").alias("n_words")
+    )
+    joined = base.join(spans_per_doc, id_col, "left")
+    # the size(words) >= 1 guard matters: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0] (implicit step -1), and element_at(words, 0)
+    # then errors under ANSI — empty docs must short-circuit to array()
+    kept_words = (
+        "case when size(words) >= 1 then "
+        "filter(transform(sequence(1, size(words)), i ->"
+        " struct(i AS i, element_at(words, i) AS w)),"
+        " x -> spans IS NULL OR NOT exists(spans,"
+        " s -> x.i >= s.p0 AND x.i <= s.p1)) "
+        "else array() end"
+    )
+    cleaned = joined.withColumn(
+        "kept", F.expr(f"transform({kept_words}, x -> x.w)")
+    ).withColumn("cleaned_text", F.array_join("kept", " "))
+    return cleaned.select(
         id_col,
         F.col("n_words").cast("long").alias("n_words"),
-        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-        F.coalesce("longest_span_words", F.lit(0))
-        .cast("long")
-        .alias("longest_span_words"),
-        F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
-        F.round(
-            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
-                F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words")
-            ),
-            6,
-        ).alias("dup_word_ratio"),
+        F.size("kept").cast("long").alias("n_kept_words"),
+        F.expr(TH.spark_hash60("cleaned_text")).alias("cleaned_fp"),
     )

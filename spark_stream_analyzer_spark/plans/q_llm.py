@@ -1230,10 +1230,9 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = _CHUNK_W
 
 
-@register(
-    "dedup_duplicated_spans",
-    oracle=f"""
-    WITH w AS ({_W}),
+#: shared span-finder CTE chain (duplicated_spans + span_cleaned oracles)
+_SPAN_CTES = f"""
+    w AS ({_W}),
     hwt AS (SELECT doc_id, words, {TH.duck_word_hashes('words')} AS hw FROM w),
     p AS (SELECT doc_id, hw,
                  unnest(generate_series(1, len(words) - {_SPAN_W} + 1)) AS pos
@@ -1253,7 +1252,14 @@ _SPAN_W = _CHUNK_W
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM m),
     sp AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) + {_SPAN_W} - 1 AS p1
-           FROM s2 GROUP BY doc_id, sid),
+           FROM s2 GROUP BY doc_id, sid)
+"""
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES},
     pd AS (SELECT doc_id, COUNT(*) AS n_spans,
                   MAX(p1 - p0 + 1) AS longest, SUM(p1 - p0 + 1) AS dupw
            FROM sp GROUP BY doc_id),
@@ -1283,6 +1289,42 @@ _SPAN_W = _CHUNK_W
 )
 def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(_docs(spark, sf_dir), gram_w=_SPAN_W)
+
+
+@register(
+    "corpus_span_dedup_clean",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    allw AS (SELECT doc_id, words,
+                    unnest(generate_series(1, len(words))) AS i
+             FROM w),
+    kw AS (SELECT a.doc_id, a.i, a.words[a.i] AS word
+           FROM allw a
+           WHERE NOT EXISTS (SELECT 1 FROM sp
+                 WHERE sp.doc_id = a.doc_id
+                   AND a.i BETWEEN sp.p0 AND sp.p1)),
+    cl AS (SELECT doc_id, COUNT(*) AS n_kept,
+                  string_agg(word, ' ' ORDER BY i) AS cleaned
+           FROM kw GROUP BY doc_id),
+    nw AS (SELECT doc_id, len(words) AS n_words FROM w)
+    SELECT nw.doc_id,
+           CAST(nw.n_words AS BIGINT) AS n_words,
+           CAST(coalesce(cl.n_kept, 0) AS BIGINT) AS n_kept_words,
+           {TH.duck_hash60("coalesce(cl.cleaned, '')")} AS cleaned_fp
+    FROM nw LEFT JOIN cl USING (doc_id)
+    """,
+    doc="EXT exact-substring span CUT (r9 — the removal half of the Lee "
+    "et al. pipeline, completing dedup_duplicated_spans): every maximal "
+    "cross-doc duplicated span is cut from every doc and the cleaned "
+    "corpus is fingerprinted (md5-60 of the kept words), so the row "
+    "pins the cut GEOMETRY bit-exactly on both engines without shipping "
+    "text through the driver. Per-doc span lists are tiny aggregates "
+    "collect_list'd and hash-joined back — the cut itself is a "
+    "codegen'd filter over the words array, no corpus-wide window, no "
+    "second span computation",
+)
+def q_corpus_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_cleaned_docs(_docs(spark, sf_dir), gram_w=_SPAN_W)
 
 
 # measured recall@10 of the verdict query batch per corpus (deterministic

@@ -931,3 +931,36 @@ def test_weighted_median_udaf_tie_and_parity_semantics(spark):
         for r in df.groupBy("g").agg(weighted_median("v", "w").alias("wm")).collect()
     }
     assert out == {"a": 1.0, "b": 5.0, "c": 9.0}, out
+
+
+def test_span_cleaned_docs_cuts_exactly_the_shared_spans(spark):
+    """The cut half (r9): kept text must be the original minus the
+    maximal shared spans, fingerprint-verified against a hand-computed
+    md5-60."""
+    import hashlib
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    rows = [
+        Row(doc_id=1, text=f"one two three {run} four five six"),
+        Row(doc_id=2, text=f"seven eight {run} nine ten"),
+        Row(doc_id=3, text="entirely unique words nothing shared here at all ok"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.span_cleaned_docs(
+            spark.createDataFrame(rows), gram_w=5
+        ).collect()
+    }
+
+    def fp(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    assert out[1].n_words == 14 and out[1].n_kept_words == 6
+    assert out[1].cleaned_fp == fp("one two three four five six")
+    assert out[2].n_words == 12 and out[2].n_kept_words == 4
+    assert out[2].cleaned_fp == fp("seven eight nine ten")
+    # untouched doc: fingerprint of its own normalized words
+    assert out[3].n_kept_words == out[3].n_words == 9
+    assert out[3].cleaned_fp == fp(
+        "entirely unique words nothing shared here at all ok"
+    )
