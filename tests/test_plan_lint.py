@@ -45,6 +45,13 @@ ARROW_PYTHON_OK = {
     "doc_chunk_windows_udtf",
 }
 
+# r9: the grouped-agg pandas UDAF class (AggregateInPandas) — allowed
+# only where an exact aggregate has no built-in and the group
+# cardinality is attribute-bounded (see functions/udafs.py's contract)
+PANDAS_AGG_OK = {
+    "lineitem_weighted_median_udaf",
+}
+
 # Live Structured Streaming queries run their plan through a memory-sink
 # round trip; the returned DF is the sink table scan, so there is no
 # meaningful batch plan to lint (their physical form is covered by
@@ -91,6 +98,17 @@ def test_arrow_python_only_in_multimodal(plans):
         and ("ArrowEvalPython" in p or "MapInPandas" in p)
     ]
     assert not offenders, f"unexpected Python stages in: {offenders}"
+
+
+def test_pandas_aggregates_only_where_declared(plans):
+    # grouped-agg pandas UDAFs have no map-side partial — an undeclared
+    # one on a fact-scale group key is a 100 TB straggler in waiting
+    offenders = [
+        n
+        for n, p in plans.items()
+        if n not in PANDAS_AGG_OK and "AggregateInPandas" in p
+    ]
+    assert not offenders, f"undeclared pandas aggregates in: {offenders}"
 
 
 # --------------------------------------------------------------------------
