@@ -120,6 +120,13 @@ PROBE_QUERIES = [
     # its batch twin orders_cdc_transactional_publish, with the
     # micro-batch scheduling floor unchanged (2 data batches either way)
     "streaming_cdc_upsert_publish",
+    # round-9 second batch: the exact-substring span family — sliding
+    # grams are ~n_words exploded rows with uniform hash shuffles, so
+    # both the finder and the cutter should track corpus size linearly
+    # (the perturbed clone corpora keep cross-copy grams distinct, so
+    # candidate structure per copy matches the original)
+    "dedup_duplicated_spans",
+    "corpus_span_dedup_clean",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
