@@ -2122,3 +2122,93 @@ def q_streaming_dim_refresh_enrich(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "streaming_state_store_reader",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value) AS BIGINT) % 100) AS BIGINT) AS value_sum,
+           1::INT AS metadata_ok
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY event_type
+    """,
+    doc="EXT offline STATE inspection (r9): Spark 4's State Data Source "
+    "reads a streaming query's checkpointed state store back as a "
+    "DataFrame — the ops/debugging surface for a 24/7 stream ('what is "
+    "the state RIGHT NOW' without touching the running query). A "
+    "2-batch replay runs a keyed count+sum aggregation with a "
+    "checkpoint; the row then reads `format('statestore')` from that "
+    "checkpoint and the answer comes from the STATE, not the sink — "
+    "the oracle is the batch GROUP BY the final state must equal "
+    "(update-mode agg state is exactly the running totals). "
+    "metadata_ok pins `format('state-metadata')`: the checkpoint "
+    "advertises one stateStoreSave operator whose maxBatchId covers "
+    "both replay batches. Long-typed sums on purpose — state holds "
+    "exact int64, so the comparison is bit-exact. At 100 TB the same "
+    "two reads are how state debugging works against a production "
+    "checkpoint: the store is partition-parallel parquet-like files, "
+    "no stream restart needed",
+)
+def q_streaming_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select(
+        "event_id",
+        "event_type",
+        (F.expr("CAST(floor(value) AS LONG) % 100")).alias("v"),
+    ).collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_statereader_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 2],
+        fmt=lambda r: f"{r.event_type},{r.v}",
+    )
+    parts = F.split("value", ",")
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].alias("event_type"), parts[1].cast("long").alias("v")
+    )
+    agg = parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.sum("v").alias("value_sum")
+    )
+    name = f"str_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the actual subject: the STATE read back offline from the
+        # checkpoint (not the sink table)
+        state = spark.read.format("statestore").load(f"{workdir}/ckpt")
+        meta = spark.read.format("state-metadata").load(f"{workdir}/ckpt")
+        mrow = meta.select("operatorName", "maxBatchId").collect()
+        metadata_ok = int(
+            len(mrow) == 1
+            and mrow[0].operatorName == "stateStoreSave"
+            and mrow[0].maxBatchId == 1  # two replay batches: ids 0 and 1
+        )
+        out = state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+            F.col("value.sum").cast("long").alias("value_sum"),
+            F.lit(metadata_ok).cast("int").alias("metadata_ok"),
+        )
+        res = out.collect()  # bounded: one row per event type
+        return spark.createDataFrame(res, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
