@@ -2212,3 +2212,124 @@ def q_streaming_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "streaming_state_change_feed",
+    oracle=f"""
+    WITH {_O_BASE},
+    e AS (SELECT event_id % 2 AS b, event_type,
+                 CAST(floor(value) AS BIGINT) % 100 AS v
+          FROM base WHERE event_id < {EVENT_CAP}),
+    b0 AS (SELECT event_type, CAST(SUM(v) AS BIGINT) AS value_sum
+           FROM e WHERE b = 0 GROUP BY event_type),
+    b1keys AS (SELECT DISTINCT event_type FROM e WHERE b = 1),
+    cum AS (SELECT event_type, CAST(SUM(v) AS BIGINT) AS value_sum
+            FROM e GROUP BY event_type)
+    SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+           event_type, value_sum FROM b0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update', cum.event_type, cum.value_sum
+    FROM cum JOIN b1keys USING (event_type)
+    """,
+    doc="EXT state CHANGE feed (r9, completing the state-reader pair): "
+    "`format('statestore')` with readChangeFeed=true replays the "
+    "RocksDB changelog — per micro-batch, exactly the keys each batch "
+    "TOUCHED with their post-image values, which is the state-level CDC "
+    "a downstream cache/materialized-view sync consumes (vs the "
+    "snapshot row streaming_state_store_reader, which answers 'what is "
+    "the state NOW'). Requires the RocksDB provider with changelog "
+    "checkpointing (conf set fixture-scoped and restored, like the "
+    "rocksdb_windowed_counts row). Oracle: batch 0 emits batch-0 "
+    "per-key sums; batch 1 emits CUMULATIVE sums for exactly the keys "
+    "present in batch 1 — a feed that re-emitted untouched keys, "
+    "dropped a touched one, or carried pre-images would flip the row "
+    "red. int64 sums for bit-exact comparison",
+)
+def q_streaming_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value) AS LONG) % 100").alias("v"),
+    ).collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_statecdf_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 2],
+        fmt=lambda r: f"{r.event_type},{r.v}",
+    )
+    parts = F.split("value", ",")
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].alias("event_type"), parts[1].cast("long").alias("v")
+    )
+    agg = parsed.groupBy("event_type").agg(F.sum("v").alias("value_sum"))
+    name = f"cdf_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_changelog = spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        None,
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cdf = (
+            spark.read.format("statestore")
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", "0")
+            .load(f"{workdir}/ckpt")
+        )
+        out = cdf.select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "change_type",
+            F.col("key.event_type").alias("event_type"),
+            # state value struct fields are named after the AGG FUNCTION
+            # (sum/count), not the output alias
+            F.col("value.sum").cast("long").alias("value_sum"),
+        )
+        res = out.collect()  # bounded: keys-touched-per-batch rows
+        return spark.createDataFrame(res, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        if prev_changelog is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                prev_changelog,
+            )
+        shutil.rmtree(workdir, ignore_errors=True)
