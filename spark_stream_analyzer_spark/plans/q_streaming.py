@@ -2333,3 +2333,132 @@ def q_streaming_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame
                 prev_changelog,
             )
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+_ANN_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN {TH.duck_dot_lit('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(TH.hyperplanes())
+)
+
+
+@register(
+    "streaming_ann_lookup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding,
+                 {_ANN_DUCK_BUCKET} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket AS qbucket FROM e WHERE vec_id % 97 = 3),
+    c AS (SELECT q.query_id, e.vec_id,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, vec_id) AS rn FROM c)
+    SELECT query_id, vec_id AS neighbor_id, ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn = 1
+    """,
+    doc="EXT LIVE streaming ANN lookup (r9 — the embedding-serving "
+    "shape): a stream of query REFERENCES (ids, 2-batch replay) "
+    "nearest-neighbor-enriched fully IN-PLAN — two stateless "
+    "stream-static equality joins (id → query vector+bucket+norm, then "
+    "bucket → candidates: the sign-LSH equality join, never a cross "
+    "product) feeding an update-mode per-query argmax "
+    "(max(struct(cos, -id)): struct ordering = cos DESC then min id — "
+    "the tie-break the batch oracle uses). Streaming ids instead of "
+    "vector text keeps query vectors BIT-identical to the stored "
+    "embeddings (no float round-trip through the wire format). Oracle "
+    "= the batch sign-LSH top-1 over the same query set; at 100 TB the "
+    "static side is the persisted bucket-partitioned index and each "
+    "micro-batch pays one bucket-equality shuffle, state is one struct "
+    "per in-flight query",
+)
+def q_streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from spark_stream_analyzer_spark.functions import texthash as TH
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    planes = TH.hyperplanes()
+    bucket = " + ".join(
+        f"(CASE WHEN {TH.spark_dot_lit('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % 97 == 3).select("vec_id").collect()
+    ]  # ids only — harness boundary
+    assert qids, "streaming_ann_lookup needs a non-empty query id set"
+    workdir = tempfile.mkdtemp(prefix="ssa_annstream_")
+    os.makedirs(f"{workdir}/in")
+    # persist the INDEX once (vec_id, embedding, bucket, norm): the
+    # static side of a stream-static join is re-planned every
+    # micro-batch, and this plan's static subtree appears twice (query
+    # hop + candidate hop) — leaving the 6 hyperplane dot products
+    # inline re-bucketed the whole corpus 4-6x per replay (measured
+    # 18s -> 6s at sf0.01). Persisting is also the honest serving
+    # design: a production lookup stream reads the bucket-partitioned
+    # index table, it does not re-derive it per trigger.
+    emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(bucket).alias("bucket"),
+        F.sqrt(F.expr(TH.spark_dot("embedding", "embedding"))).alias("norm"),
+    ).write.parquet(f"{workdir}/index")
+    e = spark.read.parquet(f"{workdir}/index")
+    for parity in (0, 1):
+        path = f"{workdir}/in/{parity:03d}.txt"
+        with open(path, "w") as f:
+            f.write(
+                "\n".join(str(i) for i in qids if i % 2 == parity) + "\n"
+            )
+        _stamp_batch_file(path, parity)
+
+    stream_q = file_lines_stream(spark, f"{workdir}/in").select(
+        F.col("value").cast("long").alias("query_id")
+    )
+    # hop 1: id -> query vector/bucket/norm (stream-static equi-join)
+    qside = stream_q.join(
+        e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col("bucket").alias("qbucket"),
+        ),
+        "query_id",
+    )
+    # hop 2: bucket -> candidates (the sign-LSH equality join)
+    cos = F.expr(TH.spark_dot("qvec", "embedding")) / (
+        F.col("qnorm") * F.col("norm")
+    )
+    cand = qside.join(
+        e, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id"),
+        cos.alias("cos_raw"),
+    )
+    # per-query argmax as an update-mode stateful agg: struct ordering is
+    # fieldwise, so max(struct(cos, -id)) = best cosine, ties -> min id
+    best = cand.groupBy("query_id").agg(
+        F.max(F.struct(F.col("cos_raw"), (-F.col("vec_id")).alias("neg_id"))).alias(
+            "b"
+        )
+    )
+    name = f"ann_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(best, name, spark, "update", workdir=None)
+    try:
+        snaps = spark.table(name)
+        # each query's batch carries ALL its candidates (static corpus),
+        # so re-emitted rows are identical; per-query max is a no-op
+        # safety reduction
+        final = snaps.groupBy("query_id").agg(F.max("b").alias("b"))
+        return final.select(
+            "query_id",
+            (-F.col("b.neg_id")).cast("long").alias("neighbor_id"),
+            F.round("b.cos_raw", 6).alias("cosine"),
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
