@@ -494,3 +494,70 @@ def test_fuzzy_d2_candidate_count_bounded(spark):
         .first()[0]
     )
     assert cand is None or cand <= 5 * n, f"candidate blowup: {cand} for n={n}"
+
+
+def _brute_spans(corpus: list[list[str]], w: int):
+    """Hash-free reference for duplicated_spans: gram STRINGS, covered
+    positions, union of windows merged when they touch."""
+    grams = {}  # gram tuple -> set of doc indices
+    for d, words in enumerate(corpus):
+        for i in range(len(words) - w + 1):
+            grams.setdefault(tuple(words[i : i + w]), set()).add(d)
+    out = []
+    for d, words in enumerate(corpus):
+        cov = sorted(
+            i + 1
+            for i in range(len(words) - w + 1)
+            if len(grams[tuple(words[i : i + w])]) >= 2
+        )
+        spans = []
+        for p in cov:
+            if spans and p - spans[-1][1] <= w:  # windows touch/overlap
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        ivals = [(p0, p1 + w - 1) for p0, p1 in spans]
+        dup = sum(b - a + 1 for a, b in ivals)
+        out.append(
+            {
+                "n_words": len(words),
+                "n_spans": len(ivals),
+                "longest": max((b - a + 1 for a, b in ivals), default=0),
+                "dup_words": dup,
+            }
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()), min_size=0, max_size=14),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicated_spans_matches_bruteforce(spark, corpus):
+    """duplicated_spans vs a hash-free Python reference (r9): catches
+    gram-hash or island-merge bugs the shared-hash DuckDB oracle cannot
+    (both engines hash identically). Tiny alphabet forces heavy gram
+    collisions ACROSS docs — the interesting regime."""
+    w = 3
+    rows = [
+        Row(doc_id=i, text=" ".join(words)) for i, words in enumerate(corpus)
+    ]
+    got = {
+        r.doc_id: r
+        for r in dedup.duplicated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), gram_w=w
+        ).collect()
+    }
+    want = _brute_spans(corpus, w)
+    for i, exp in enumerate(want):
+        g = got[i]
+        assert (g.n_words, g.n_spans, g.longest_span_words, g.dup_words) == (
+            exp["n_words"],
+            exp["n_spans"],
+            exp["longest"],
+            exp["dup_words"],
+        ), (i, corpus)
