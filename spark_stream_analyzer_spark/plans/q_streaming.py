@@ -2462,3 +2462,123 @@ def q_streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "streaming_join_state_reader",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type FROM events
+               WHERE event_id < {EVENT_CAP}
+                 AND event_type IN ('click', 'purchase'))
+    SELECT 'left' AS side, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buffered, 1::INT AS four_stores_ok
+    FROM e WHERE event_type = 'purchase' GROUP BY user_id
+    UNION ALL
+    SELECT 'right', user_id, CAST(COUNT(*) AS BIGINT), 1::INT
+    FROM e WHERE event_type = 'click' GROUP BY user_id
+    """,
+    doc="EXT join-STATE reader (r9, completing the state-inspection "
+    "matrix: aggregation snapshot, changelog CDF, and now the "
+    "stream-stream JOIN buffers): `format('statestore')` with "
+    "joinSide=left/right reads what a symmetric hash join still holds "
+    "per key — the ops answer to 'why is my join state growing' at "
+    "100 TB. The fixture replays the purchase⋈click interval join with "
+    "a span-sized watermark and NO sentinel flush, so nothing is "
+    "evicted and the buffered rows must equal each side's full input: "
+    "per-user buffered counts == the batch GROUP BYs, per side. "
+    "four_stores_ok pins state-metadata advertising all FOUR stores of "
+    "symmetricHashJoin (left/right × keyToNumValues/keyWithIndexToValue "
+    "— the 4-stores-per-join cost model the partition-regime fixtures "
+    "are sized around, here proven from the checkpoint itself)",
+)
+def q_streaming_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "sec", "event_type"
+    ).collect()  # harness boundary
+    delay_s = 36_500 * 86_400
+    workdir = tempfile.mkdtemp(prefix="ssa_jstate_")
+    for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+        _write_batches(
+            [r for r in rows if r.event_type == etype],
+            f"{workdir}/{sub}",
+            batch_of=lambda r: [r.event_id % 2],
+            fmt=lambda r: f"{r.event_id},{r.user_id},{r.sec}",
+        )
+
+    def _parse(path: str, prefix: str) -> DataFrame:
+        parts = F.split("value", ",")
+        return file_lines_stream(spark, path).select(
+            parts[0].cast("long").alias(f"{prefix}_id"),
+            parts[1].cast("long").alias(f"{prefix}_user"),
+            F.timestamp_seconds(parts[2].cast("long")).alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", f"{delay_s} seconds")
+
+    purchases = _parse(f"{workdir}/purchases", "purchase")
+    clicks = _parse(f"{workdir}/clicks", "click")
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("interval 1 hour")),
+        "inner",
+    )
+    name = f"jsr_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        meta = spark.read.format("state-metadata").load(f"{workdir}/ckpt")
+        stores = {
+            r.stateStoreName
+            for r in meta.filter(
+                F.col("operatorName") == "symmetricHashJoin"
+            ).collect()
+        }
+        four_stores_ok = int(
+            stores
+            == {
+                "left-keyToNumValues",
+                "left-keyWithIndexToValue",
+                "right-keyToNumValues",
+                "right-keyWithIndexToValue",
+            }
+        )
+        sides = []
+        for side, ucol in (("left", "purchase_user"), ("right", "click_user")):
+            st = (
+                spark.read.format("statestore")
+                .option("joinSide", side)
+                .load(f"{workdir}/ckpt")
+            )
+            sides.append(
+                st.select(
+                    F.lit(side).alias("side"),
+                    F.col(f"value.{ucol}").alias("user_id"),
+                ).groupBy("side", "user_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_buffered")
+                )
+            )
+        out = sides[0].unionByName(sides[1]).select(
+            "side",
+            "user_id",
+            "n_buffered",
+            F.lit(four_stores_ok).cast("int").alias("four_stores_ok"),
+        )
+        res = out.collect()  # bounded: users × 2 sides
+        return spark.createDataFrame(res, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
