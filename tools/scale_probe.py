@@ -127,6 +127,10 @@ PROBE_QUERIES = [
     # candidate structure per copy matches the original)
     "dedup_duplicated_spans",
     "corpus_span_dedup_clean",
+    # round-9 third batch: the grouped-agg pandas UDAF — 6 bounded cells
+    # over a 10× fact scan; expected to track the scan (the Arrow
+    # exchange ships each cell's rows once, no map-side partial exists)
+    "lineitem_weighted_median_udaf",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
