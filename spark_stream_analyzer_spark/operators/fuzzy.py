@@ -31,11 +31,19 @@ from pyspark.sql import functions as F
 
 
 def _del1(s: str) -> str:
-    """SQL array expr: every single-character deletion of string expr ``s``."""
+    """SQL array expr: every single-character deletion of string expr ``s``.
+
+    Guarded for the empty string: ``sequence(1, 0)`` yields the DESCENDING
+    ``[1, 0]`` (Spark sequence walks toward stop), which would emit two
+    spurious ''-deletion keys and funnel all short strings into one shared
+    '' block — a quadratic hot block on short-string corpora (r10, ADVICE).
+    """
     return (
+        f"CASE WHEN length({s}) >= 1 THEN "
         f"transform(sequence(1, length({s})), i -> "
         f"concat(substring({s}, 1, i - 1), "
-        f"substring({s}, i + 1, length({s}))))"
+        f"substring({s}, i + 1, length({s})))) "
+        f"ELSE array() END"
     )
 
 

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+
+
 def global_rank(
     df: DataFrame, order_cols: list[Column], rank_col: str = "rnk"
 ) -> DataFrame:
@@ -77,22 +79,26 @@ def global_ntile(
     """
     if rank_col is None:
         ranked = global_rank(df, order_cols, rank_col="_rn")
-        rn = F.col("_rn")
         drop = ["_rn", "_N"]
     else:
         ranked = df
-        rn = F.col(rank_col)
         drop = ["_N"]
     total = df.agg(F.count(F.lit(1)).alias("_N"))
-    q = F.floor(F.col("_N") / n)  # small-bucket size
-    r = F.col("_N") % n  # number of (q+1)-sized buckets
-    cut = (q + 1) * r  # rows covered by the big buckets
-    tile = F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
-        r + F.floor((rn - cut - 1) / q) + 1
+    # Integer arithmetic throughout (SQL ``div``, never double '/'): exact
+    # at any row count, not just below 2^53 (r10, ADVICE). q = small-bucket
+    # size, r = #(q+1)-sized buckets, cut = rows covered by big buckets.
+    rn_name = "_rn" if rank_col is None else rank_col
+    q = f"(_N div {n}L)"
+    r = f"(_N % {n}L)"
+    cut = f"(({q} + 1L) * {r})"
+    tile = (
+        f"CASE WHEN `{rn_name}` <= {cut} "
+        f"THEN (`{rn_name}` - 1L) div ({q} + 1L) + 1L "
+        f"ELSE {r} + (`{rn_name}` - {cut} - 1L) div {q} + 1L END"
     )
     return (
         ranked.join(F.broadcast(total))
-        .withColumn(tile_col, tile.cast("long"))
+        .withColumn(tile_col, F.expr(tile).cast("long"))
         .drop(*drop)
     )
 
@@ -107,9 +113,14 @@ def global_dense_rank(
     the distinct set (row_number over distinct values IS the dense rank),
     and hash-join the ranks back on the value. The distinct set is the
     only thing ever range-shuffled; the fact table sees one equi-join.
+
+    NULL values rank like the built-in (``asc_nulls_first`` /
+    ``desc_nulls_last``, Spark's window defaults): ``distinct()`` keeps a
+    NULL row and the join-back is null-safe, so NULL inputs are ranked,
+    not dropped (r10, ADVICE).
     """
     v = df.select(value_col.alias("_v")).distinct()
-    order = [F.desc("_v")] if desc else [F.asc("_v")]
+    order = [F.desc_nulls_last("_v")] if desc else [F.asc_nulls_first("_v")]
     ranks = global_rank(v, order, rank_col=dense_col)
     return df.join(ranks.withColumnRenamed("_v", "__dr_key"),
-                   value_col == F.col("__dr_key")).drop("__dr_key")
+                   value_col.eqNullSafe(F.col("__dr_key"))).drop("__dr_key")

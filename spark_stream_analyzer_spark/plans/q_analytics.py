@@ -1609,7 +1609,7 @@ def q_events_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it bit-for-bit. Honest scale contract in functions/udafs.py: "
     "grouped-agg pandas aggregates are per-group Arrow batches with NO "
     "map-side partial (exact medians are not algebraic) — right for "
-    "bounded-cardinality groups (the 6 returnflag x linestatus cells here), percentile_approx is "
+    "bounded-cardinality groups (the 4 returnflag x linestatus cells here), percentile_approx is "
     "the fact-scale fallback",
 )
 def q_lineitem_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:

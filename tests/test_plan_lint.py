@@ -142,8 +142,11 @@ def _parse_formatted(plan: str):
     lines = plan.splitlines()
     tree = []  # (indent, id, name) from the header tree
     for ln in lines:
+        # Any node line counts — including indented ':-' branch heads
+        # (left children of multi-child joins/unions); the '(' break below
+        # already stops before the numbered sections (r10, ADVICE).
         m = re.match(r"^([ +\-:*]*)(\S.*?) \((\d+)\)\s*$", ln)
-        if m and ("+-" in ln or re.match(r"^\S", ln)):
+        if m:
             tree.append((len(m.group(1)), int(m.group(3)), m.group(2).strip()))
         if ln.startswith("("):
             break

@@ -456,6 +456,63 @@ def test_global_ntile_and_dense_rank_match_builtins(spark, values, n):
     assert got == want
 
 
+def test_global_dense_rank_ranks_nulls_like_builtin(spark):
+    """NULL values must be RANKED (asc_nulls_first / desc_nulls_last,
+    Spark's window defaults), not silently dropped by the join-back
+    (r10, ADVICE: the plain equality join ate NULL rows)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spark_stream_analyzer_spark.operators.rank import global_dense_rank
+
+    rows = [(0, 3), (1, None), (2, 3), (3, 1), (4, None), (5, 7)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    for desc in (False, True):
+        order = F.desc("v") if desc else F.asc("v")
+        got = {
+            r.id: r.drnk
+            for r in global_dense_rank(
+                df, F.col("v"), dense_col="drnk", desc=desc
+            ).collect()
+        }
+        want = {
+            r.id: r.drnk
+            for r in df.select(
+                "id",
+                F.dense_rank()
+                .over(Window.orderBy(order))
+                .cast("long")
+                .alias("drnk"),
+            ).collect()
+        }
+        assert got == want, f"desc={desc}"
+
+
+def test_fuzzy_pairs_empty_and_short_strings(spark):
+    """Empty strings must not emit ''-deletion keys from Spark's
+    descending sequence(1, 0) pitfall (r10, ADVICE) — and completeness
+    must hold anyway: ''~'a' at d=1 and ''~'ab', 'a'~'b' at d=2 are all
+    still found (the '' key comes from the string itself / deletions of
+    NON-empty strings, never from deleting '')."""
+    from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [(0, ""), (1, "a"), (2, "ab"), (3, "b"), (4, "xyz")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for max_dist in (1, 2):
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy_pairs(df, "id", "name", max_dist=max_dist).collect()
+        }
+        names = dict(rows)
+        want = {}
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                d = _lev(names[a], names[b])
+                if d <= max_dist:
+                    want[(a, b)] = d
+        assert got == want, f"max_dist={max_dist}"
+
+
 def test_fuzzy_d2_candidate_count_bounded(spark):
     """The order-2 deletion blocking must stay LINEAR on a corpus of
     distinct names (like the LSH hot-band test: bound the candidate set,

@@ -21,8 +21,10 @@ def parse_formatted(plan: str):
     # ---- header tree ----
     tree = []  # list of (indent, node_id, name)
     for ln in lines:
+        # Any node line counts — including indented ':-' branch heads;
+        # the '(' break already stops at the numbered sections (r10, ADVICE).
         m = re.match(r"^([ +\-:*]*)(\S.*?) \((\d+)\)\s*$", ln)
-        if m and ("+-" in ln or re.match(r"^\S", ln)):
+        if m:
             indent = len(m.group(1))
             tree.append((indent, int(m.group(3)), m.group(2).strip()))
         if ln.startswith("("):
