@@ -274,6 +274,50 @@ def main() -> None:
     _sh.rmtree(_cdir, ignore_errors=True)
     spark.catalog.dropTempView(_cname)
 
+    # streaming THROUGHPUT gate (r10, VERDICT r9 task 2): the reference's
+    # implicit envelope is "sustain a 1 s trigger"
+    # (SparkStreamingService.java:259) — a rows/sec promise the latency
+    # fixtures never measure. Replay a generated wire-kill stream through
+    # BOTH stateful paths (native update-mode agg; applyInPandasWithState
+    # twin) and judge events/sec against the recorded baseline under the
+    # micro-batch calibration with a pinned regression band.
+    STREAM_TP_BAND = 2.0  # max tolerated calibrated regression
+    stream_tp: dict = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_NOTP"):
+        from tools.stream_throughput import gen_lines as _tp_gen
+        from tools.stream_throughput import run_path as _tp_run
+
+        from spark_stream_analyzer_spark.streaming.stateful import (
+            running_player_stats_stream as _tp_native,
+        )
+
+        _tp_lines, _tp_batches = 100_000, 10
+        _tpdir = _tf.mkdtemp(prefix="ssa_bench_tp_")
+        try:
+            _tp_gen(f"{_tpdir}/src", _tp_lines, _tp_batches)
+            _tp_events = _tp_lines * 3  # killer/victim/assister per line
+            _tpn_name = f"tpn_{_uuid.uuid4().hex[:8]}"
+            _tpt_name = f"tpt_{_uuid.uuid4().hex[:8]}"
+            _nat_sec = _tp_run(
+                spark,
+                f"{_tpdir}/src",
+                lambda ev: _tp_native(ev.drop("player")),
+                _tpn_name,
+            )
+            _twin_sec = _tp_run(
+                spark, f"{_tpdir}/src", snapshot_player_stats_stream, _tpt_name
+            )
+            spark.catalog.dropTempView(_tpn_name)
+            spark.catalog.dropTempView(_tpt_name)
+            stream_tp = {
+                "n_events": _tp_events,
+                "native_events_per_sec": round(_tp_events / _nat_sec),
+                "pandas_twin_events_per_sec": round(_tp_events / _twin_sec),
+                "band": STREAM_TP_BAND,
+            }
+        finally:
+            _sh.rmtree(_tpdir, ignore_errors=True)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     qs = registry.queries()
@@ -336,6 +380,27 @@ def main() -> None:
                 if _base_scalib
                 else calib_ratio
             )
+            # throughput gate: expected events/sec on THIS host = the
+            # recorded baseline scaled by the micro-batch calib ratio
+            # between the RECORDING host and now; green iff measured >=
+            # expected / band
+            _base_tp = _base.get("stream_throughput") or {}
+            if stream_tp and _base_tp:
+                _tp_scale = (
+                    _base_tp.get("stream_calib_sec") or stream_calib
+                ) / max(stream_calib, 1e-9)
+                for _side in (
+                    "native_events_per_sec",
+                    "pandas_twin_events_per_sec",
+                ):
+                    _b_eps = _base_tp.get(_side)
+                    if _b_eps:
+                        _exp = _b_eps * _tp_scale
+                        stream_tp[f"{_side}_baseline"] = _b_eps
+                        stream_tp[f"{_side}_expected_here"] = round(_exp)
+                        stream_tp[f"{_side}_ok"] = (
+                            stream_tp[_side] >= _exp / STREAM_TP_BAND
+                        )
 
     def _suspicious(name: str) -> bool:
         b = baseline_q.get(name)
@@ -443,6 +508,7 @@ def main() -> None:
                 "queries": timings,
                 "rows": rows,
                 "noise_residue": noise_residue,
+                "stream_throughput": stream_tp,
             },
             f,
             indent=1,
@@ -462,6 +528,17 @@ def main() -> None:
                 "calib_sec": calib,
                 "calib_ratio": round(calib_ratio, 3),
                 "sf": sf,
+                "stream_tp": {
+                    k: stream_tp.get(k)
+                    for k in (
+                        "native_events_per_sec",
+                        "pandas_twin_events_per_sec",
+                        "native_events_per_sec_ok",
+                        "pandas_twin_events_per_sec_ok",
+                        "band",
+                    )
+                    if k in stream_tp
+                },
             }
         )
     )

@@ -19,7 +19,8 @@ Scale shape: grouped-agg pandas UDFs execute per GROUP after a hash
 shuffle on the group keys — map-side partial aggregation does not apply
 (the median is not algebraic), so per-group data must fit an Arrow
 batch.  That is the honest contract of ANY exact median: use it on
-bounded-cardinality groups (here: returnflag × linestatus = 4 cells),
+bounded-cardinality groups (here: returnflag × linestatus — 6 cells
+in the driver's synthetic data, 4 in TPC-H proper),
 and fall back to ``percentile_approx`` when groups are fact-sized.
 """
 

@@ -995,3 +995,115 @@ def span_cleaned_docs(
         F.size("kept").cast("long").alias("n_kept_words"),
         F.expr(TH.spark_hash60("cleaned_text")).alias("cleaned_fp"),
     )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup_keep_list(
+    emb: DataFrame,
+    assign: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-native semantic dedup —
+    cluster with k-means, prune within-cluster by cosine, keep the
+    representative FARTHEST from the centroid.  No LSH band tuning: the
+    coarse quantizer localizes comparisons, so cross-cluster pairs are
+    never formed BY CONSTRUCTION (the pair join is an equi-join on
+    ``cluster_id`` — plan-lint's CartesianProduct ban plus the
+    test-pinned join condition prove it).
+
+    Pinned deterministic rule (oracle-reproducible):
+
+    1. centroid(c) = per-dimension mean of the FINAL cluster members,
+       round6-quantized (same grid as :func:`..operators.similarity.
+       kmeans_assign` uses between Lloyd's rounds);
+    2. rank members by (cos(v, centroid) ASC, id ASC) — rank 1 is the
+       least-centroid-like member, SemDeDup's preferred representative;
+    3. prune member i iff some j with rank(j) < rank(i) has
+       cos(i, j) >= tau.
+
+    Scale shape: the centroid table is k rows (broadcast join back);
+    the rank window partitions by cluster (never a single reducer); the
+    pair join is within-cluster only, O(sum c_i^2) — the published
+    trade: more clusters => smaller c_i.  All cosines use the pinned
+    left-fold double dot product (bit-exact DuckDB twin).
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    # final-cluster centroids: (cluster, dim) means -> re-assembled arrays
+    cent = (
+        e.select("cluster_id", F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias("_cent")
+        )
+    )
+    scored = (
+        e.join(F.broadcast(cent), "cluster_id")
+        # per-row norm computed ONCE and carried into the pair join
+        # (recomputing both norms per pair would triple the dominant
+        # within-cluster pair cost)
+        .withColumn("_nrm", F.expr(f"sqrt({TH.spark_dot(vec_col, vec_col)})"))
+        .withColumn(
+            "_cos_c",
+            F.expr(TH.spark_dot(vec_col, "_cent"))
+            / (
+                F.col("_nrm")
+                * F.expr(f"sqrt({TH.spark_dot('_cent', '_cent')})")
+            ),
+        )
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.asc("_cos_c"), F.asc(id_col)
+                )
+            ),
+        )
+    )
+    a = scored.select(
+        "cluster_id",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        F.col("_rnk").alias("_ra"),
+    )
+    # the right side renames cluster_id too: a self-join equality on the
+    # SAME attribute resolves trivially true (Spark dedups the lineage)
+    # and silently degrades to a cross join — the exact all-pairs shape
+    # this operator exists to avoid
+    b = scored.select(
+        F.col("cluster_id").alias("_cb"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        F.col("_rnk").alias("_rb"),
+    )
+    pair_cos = F.expr(TH.spark_dot("_va", "_vb")) / (
+        F.col("_na") * F.col("_nb")
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("_cb"))
+            & (F.col("_ra") < F.col("_rb")),
+        )
+        .where(pair_cos >= tau)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        scored.join(pruned.withColumn("_pruned", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.round("_cos_c", 6).alias("centroid_cos"),
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+        )
+    )

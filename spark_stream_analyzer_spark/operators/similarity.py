@@ -196,7 +196,7 @@ def kmeans_assign(
                 assign.select("cluster_id", F.posexplode(vec_col).alias("dim", "v"))
                 .groupBy("cluster_id", "dim")
                 .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-            ).collect()
+            ).collect()  # bounded: k x dim centroid rows (the kmeans exchange)
             by_cid: dict[int, dict[int, float]] = {}
             for r in means:
                 by_cid.setdefault(int(r.cluster_id), {})[int(r.dim)] = float(r.c)
@@ -509,6 +509,7 @@ def pq_recall_audit(
     ``emit="recall"`` via tools/scale_probe.py.
     """
     e = emb.select(F.col(id_col), F.col(vec_col))
+    # bounded: ksub + n_queries rows (codebook seed + query set)
     init = e.orderBy(id_col).limit(max(ksub, query_offset + n_queries)).collect()
     dim = len(init[0][1])
     sub_d = dim // m
@@ -534,7 +535,7 @@ def pq_recall_audit(
                 .select("code", F.posexplode(F.expr(sl[j])).alias("dm", "v"))
                 .groupBy("code", "dm")
                 .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-            ).collect()
+            ).collect()  # bounded: ksub x subdim codebook rows
             by_code: dict[int, dict[int, float]] = {}
             for r in means:
                 by_code.setdefault(int(r.code), {})[int(r.dm)] = float(r.c)

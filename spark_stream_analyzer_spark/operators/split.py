@@ -251,6 +251,7 @@ def mixture_sample(
     """
     counts = {
         r[0]: r[1]
+        # bounded: one row per stratum label (domain-bounded, not data)
         for r in df.groupBy(strata_col).count().collect()
         if r[0] in weights and weights[r[0]] > 0
     }

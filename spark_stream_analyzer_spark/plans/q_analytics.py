@@ -1609,7 +1609,7 @@ def q_events_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it bit-for-bit. Honest scale contract in functions/udafs.py: "
     "grouped-agg pandas aggregates are per-group Arrow batches with NO "
     "map-side partial (exact medians are not algebraic) — right for "
-    "bounded-cardinality groups (the 4 returnflag x linestatus cells here), percentile_approx is "
+    "bounded-cardinality groups (the 6 returnflag x linestatus cells in this driver data; TPC-H proper has 4), percentile_approx is "
     "the fact-scale fallback",
 )
 def q_lineitem_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,3 +1633,58 @@ def q_lineitem_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFra
         round6(weighted_median("v", "w")).alias("weighted_median_price")
     )
     return counts.join(medians, ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "lineitem_weighted_median_partkey",
+    oracle="""
+    WITH s AS (SELECT l_partkey,
+                      l_extendedprice AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    c AS (SELECT l_partkey, v,
+                 SUM(w) OVER (PARTITION BY l_partkey
+                      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+                 SUM(w) OVER (PARTITION BY l_partkey) AS total
+          FROM s)
+    SELECT l_partkey, ROUND(MIN(v), 6) AS weighted_median_price
+    FROM c WHERE 2 * cum >= total
+    GROUP BY l_partkey
+    """,
+    doc="EXT fact-scale EXACT weighted median (r10 — removes the "
+    "bounded-groups asterisk on the r9 pandas UDAF): the same pinned "
+    "lower-weighted-median definition, computed per l_partkey (a "
+    "HIGH-cardinality grouping: scales with the part dimension, not an "
+    "enum) via iterative B-way bisection over the value domain "
+    "(functions/median.py) — O(log_B V) full scans, each a map-side-"
+    "combinable (group, bucket) aggregate; crossing-bucket bounds come "
+    "from the DATA (exact int64 cumulative weights + min/max values), so "
+    "float bucket arithmetic only needs monotonicity, never exactness. "
+    "No per-group Arrow batch, no single-reducer window: the finish "
+    "window is partitioned by group over provably small remnants. Driver "
+    "row uses buckets=8/finish_threshold=4 to force the loop through "
+    "real bisection passes at sf0.01 (defaults 4096/4096 are the "
+    "fact-scale setting: 3 passes cover 6.9e10 distinct values/group)",
+)
+def q_lineitem_weighted_median_partkey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = grouped_weighted_median(
+        li,
+        ["l_partkey"],
+        "l_extendedprice",
+        "l_quantity",
+        buckets=8,
+        finish_threshold=4,
+        max_passes=10,
+        median_col="_wm",
+    )
+    return med.select(
+        "l_partkey", round6(F.col("_wm")).alias("weighted_median_price")
+    )

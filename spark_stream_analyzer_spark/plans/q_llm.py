@@ -626,9 +626,11 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
 
 
-@register(
-    "embedding_kmeans_assign",
-    oracle=f"""
+# The unrolled 2-round Lloyd's k-means CTE chain (k=8, id-seeded,
+# round6-quantized centroids) ending at a2(vec_id, cid) — shared by the
+# kmeans-assign oracle and the SemDeDup oracle (which builds on the final
+# assignment).
+_KMEANS_A2_SQL = f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 8),
     d1 AS (SELECT e.vec_id, c0.cid, {TH.duck_l2sq('e.embedding', 'c0.cvec')} AS d
@@ -647,7 +649,13 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM e CROSS JOIN cl),
     a2 AS (SELECT vec_id, cid FROM
             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-             FROM d2) WHERE rn = 1)
+             FROM d2) WHERE rn = 1)"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    {_KMEANS_A2_SQL}
     SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2
     """,
     doc="EXT iterative ML: 2-round Lloyd's k-means (k=8, id-seeded, "
@@ -656,6 +664,54 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+
+
+_DUCK_COS = (
+    lambda a, b: f"({TH.duck_dot(a, b)} / "
+    f"(sqrt({TH.duck_dot(a, a)}) * sqrt({TH.duck_dot(b, b)})))"
+)
+
+
+@register(
+    "dedup_semantic_keep_list",
+    oracle=f"""
+    {_KMEANS_A2_SQL},
+    x2 AS (SELECT a2.cid,
+            unnest(list_transform(generate_series(1, 64),
+                   i -> {{'dim': i, 'v': e.embedding[i]::DOUBLE}})) AS u
+          FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+    m2 AS (SELECT cid, (u).dim AS dim, ROUND(AVG((u).v), 6) AS c
+           FROM x2 GROUP BY cid, (u).dim),
+    cm AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m2 GROUP BY cid),
+    s AS (SELECT e.vec_id, a2.cid, e.embedding,
+                 {_DUCK_COS('e.embedding', 'cm.cvec')} AS cos_c
+          FROM e JOIN a2 USING (vec_id) JOIN cm ON cm.cid = a2.cid),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY cid ORDER BY cos_c, vec_id) AS rnk FROM s),
+    pr AS (SELECT DISTINCT b.vec_id FROM r a JOIN r b
+           ON a.cid = b.cid AND a.rnk < b.rnk
+           WHERE {_DUCK_COS('a.embedding', 'b.embedding')} >= 0.3)
+    SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id,
+           ROUND(r.cos_c, 6) AS centroid_cos,
+           (pr.vec_id IS NULL) AS kept
+    FROM r LEFT JOIN pr ON pr.vec_id = r.vec_id
+    """,
+    doc="EXT SemDeDup (Abbas et al. 2023 — r10): embedding-native "
+    "semantic dedup needing no LSH band tuning. Composition of the "
+    "existing pieces: k-means coarse quantizer (the IVF training step, "
+    "k=8/iters=2, id-seeded, round6 centroids) -> within-cluster cosine "
+    "prune against a (cos-to-centroid ASC, id) greedy keep order -> "
+    "keep-list. ZERO cross-cluster comparisons by construction (the "
+    "pair join is an equi-join on cluster_id; plan pinned in tests). "
+    "Centroids are k broadcast rows; rank window partitions by cluster; "
+    "all cosines use the pinned left-fold dot so the DuckDB oracle is "
+    "bit-exact. Oracle re-derives k-means + centroids + prune "
+    "independently in SQL",
+)
+def q_dedup_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    assign = similarity.kmeans_assign(emb, k=8, iters=2)
+    return dedup.semdedup_keep_list(emb, assign, tau=0.3)
 
 
 # -------------------------------------------------------------- multimodal
@@ -2096,7 +2152,7 @@ def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = dedup.lsh_pairs_against_index(
             spark, new, f"{workdir}/index", min_jaccard=0.02
         )
-        rows = pairs.collect()  # batch-sized by design (the query's output)
+        rows = pairs.collect()  # bounded: batch-sized by design (the query's output)
         return spark.createDataFrame(rows, pairs.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -1437,6 +1437,7 @@ def q_streaming_cdc_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFram
                         F.count(F.lit(1)).alias("n"),
                         F.round(msum6(F.col("price")), 6).alias("m"),
                     )
+                    # bounded: one row per status enum value
                     .collect(),
                 )
             )
@@ -2195,6 +2196,7 @@ def q_streaming_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFram
         # checkpoint (not the sink table)
         state = spark.read.format("statestore").load(f"{workdir}/ckpt")
         meta = spark.read.format("state-metadata").load(f"{workdir}/ckpt")
+        # bounded: one metadata row per stateful operator in the checkpoint
         mrow = meta.select("operatorName", "maxBatchId").collect()
         metadata_ok = int(
             len(mrow) == 1
@@ -2541,6 +2543,7 @@ def q_streaming_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame
         finally:
             q.stop()
         meta = spark.read.format("state-metadata").load(f"{workdir}/ckpt")
+        # bounded: one metadata row per state store of the join operator
         stores = {
             r.stateStoreName
             for r in meta.filter(

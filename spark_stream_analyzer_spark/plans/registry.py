@@ -75,6 +75,15 @@ _LOADED = False
 #: ~50 sample slots) — drop a name from the older section when a new
 #: round re-touches it; test_driver_priority_names_all_resolve enforces.
 _DRIVER_PRIORITY = (
+    # -- round-10 additions --
+    "lineitem_weighted_median_partkey",
+    "dedup_semantic_keep_list",
+    # -- round-10 changed-code rows (fresh driver row required) --
+    "customer_name_fuzzy_pairs",  # empty-string deletion-key guard
+    "customer_name_fuzzy_pairs_d2",
+    "customer_spend_ranks",  # integer-div ntile arithmetic
+    "supplier_balance_deciles",
+    "orders_global_rank",
     # -- round-8 additions --
     "dedup_lsh_hot_band_cap",
     "dedup_lsh_hot_band_stats",

@@ -214,3 +214,118 @@ def test_no_single_partition_window_over_unbounded_input(plans):
         "global_dense_rank or orderBy+limit, or whitelist with a "
         "provable input bound"
     )
+
+
+# --------------------------------------------------------------------------
+# r10: driver-boundary lint (VERDICT r9 task 5). Every driver-side
+# action (`collect` / `toPandas` / `first` / `take` / `head`) in the
+# engine package must sit beside a comment containing a bound marker —
+# "bounded", "driver-boundary", or "harness boundary" — stating WHY the
+# result is small at any SF, or carry a named allowlist entry. This
+# turns the collect discipline from convention into structure: a
+# fact-scale collect in a new query fails the suite, not a review.
+# --------------------------------------------------------------------------
+
+import ast
+import io
+import os
+import tokenize
+
+_ENGINE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark_stream_analyzer_spark",
+)
+_COLLECT_DIRS = ("plans", "operators", "functions", "sources", "streaming")
+_COLLECT_METHODS = {"collect", "toPandas", "first", "take", "head"}
+_COLLECT_MARKER = re.compile(
+    # a marker either names the discipline or states the bound outright
+    # ("# one row", "# 8 rows", "# k rows to the driver")
+    r"bounded|driver.boundary|harness.boundary"
+    r"|\b(one|a single|\d+|k|kb.sized)\s+rows?\b",
+    re.IGNORECASE,
+)
+# "<relpath>:<function>" sites allowed without an inline marker (each
+# needs a provable bound documented at the definition site)
+_COLLECT_ALLOWLIST: set[str] = set()
+_MARKER_REACH = 4  # marker may sit up to this many lines above the call
+
+
+def _unmarked_collects(src: str, relpath: str) -> list[str]:
+    comments: dict[int, str] = {}
+    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+        if tok.type == tokenize.COMMENT:
+            comments[tok.start[0]] = tok.string
+    tree = ast.parse(src)
+    # enclosing function name per line (innermost def wins)
+    func_of: dict[int, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for ln in range(node.lineno, (node.end_lineno or node.lineno) + 1):
+                func_of[ln] = node.name
+    offenders = []
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in _COLLECT_METHODS
+        ):
+            continue
+        # F.first(...) / functions.first(...) are aggregate EXPRESSIONS,
+        # not driver actions
+        if isinstance(node.func.value, ast.Name) and node.func.value.id in (
+            "F",
+            "functions",
+        ):
+            continue
+        lo = node.lineno - _MARKER_REACH
+        # +1: chained-call closers often carry the marker on the line
+        # after the call ends (")  # 5 rows ...")
+        hi = (node.end_lineno or node.lineno) + 1
+        if any(
+            _COLLECT_MARKER.search(comments.get(i, ""))
+            for i in range(lo, hi + 1)
+        ):
+            continue
+        site = f"{relpath}:{func_of.get(node.lineno, '<module>')}"
+        if site in _COLLECT_ALLOWLIST:
+            continue
+        offenders.append(f"{relpath}:{node.lineno} ({node.func.attr})")
+    return offenders
+
+
+def test_driver_boundary_collects_are_marked():
+    offenders = []
+    for sub in _COLLECT_DIRS:
+        root = os.path.join(_ENGINE_ROOT, sub)
+        for fname in sorted(os.listdir(root)):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                src = f.read()
+            offenders += _unmarked_collects(src, f"{sub}/{fname}")
+    assert not offenders, (
+        "driver-side actions without a bound marker (add a comment "
+        "within 4 lines saying WHY the result is bounded at any SF, "
+        "or an allowlist entry with the proof): "
+        f"{offenders}"
+    )
+
+
+def test_collect_lint_catches_planted_fact_scale_collect():
+    planted = (
+        "def q_bad(spark, sf_dir):\n"
+        "    df = spark.read.parquet(sf_dir)\n"
+        "    rows = df.collect()\n"
+        "    return rows\n"
+    )
+    assert _unmarked_collects(planted, "plans/q_scratch.py") == [
+        "plans/q_scratch.py:3 (collect)"
+    ]
+    marked = (
+        "def q_ok(spark, sf_dir):\n"
+        "    # bounded: one aggregate row\n"
+        "    n = df.agg(F.count('*')).collect()\n"
+        "    return n\n"
+    )
+    assert _unmarked_collects(marked, "plans/q_scratch.py") == []

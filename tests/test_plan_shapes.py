@@ -414,3 +414,28 @@ def test_cdc_merge_windows_delta_only_and_outer_joins_on_key(spark):
     assert "SortMergeJoin FullOuter" in plan
     # rollup merges map-side like any groupBy
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semdedup_pair_join_is_cluster_equijoin(spark):
+    """SemDeDup's zero-cross-cluster claim, pinned from the plan: the
+    within-cluster pair join must be a hash/sort-merge EQUI-join keyed
+    on the cluster id — never BroadcastNestedLoopJoin/CartesianProduct
+    (the r10 build caught exactly this: a self-join equality on the
+    un-renamed cluster_id resolved trivially true and degraded to a
+    filtered cross join)."""
+    plan = plan_of(spark, "dedup_semantic_keep_list")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join keys on cluster_id = _cb (an equi-join)
+    assert "_cb" in plan
+
+
+def test_weighted_median_bisect_windows_are_group_partitioned(spark):
+    """The fact-scale exact weighted median must never funnel data
+    through a single-reducer window: every WindowExec in its plan is
+    partitioned by the group key (the registry-wide SinglePartition lint
+    covers this too — this pins it locally with the finish window's
+    small-remnant input)."""
+    plan = plan_of(spark, "lineitem_weighted_median_partkey")
+    assert "AggregateInPandas" not in plan  # no per-group Arrow batches
+    assert "BatchEvalPython" not in plan

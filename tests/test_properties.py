@@ -513,6 +513,53 @@ def test_fuzzy_pairs_empty_and_short_strings(spark):
         assert got == want, f"max_dist={max_dist}"
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.integers(-50, 50),  # value (small domain -> heavy ties)
+            st.integers(0, 5),  # weight (0s must be ignorable)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_grouped_weighted_median_matches_bruteforce(spark, rows):
+    """The distributed bisection must reproduce the pinned definition
+    min{x : 2*cumw(x) >= total} exactly — across ties, zero weights,
+    single-value groups, and through MULTIPLE bisection passes
+    (buckets=2, finish_threshold=1 forces the deepest loop path)."""
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_weighted_median,
+    )
+
+    df = spark.createDataFrame(rows, "g long, v long, w long").repartition(4)
+    got = {
+        r.g: r.wm
+        for r in grouped_weighted_median(
+            df, ["g"], "v", "w", buckets=2, finish_threshold=1, max_passes=64
+        )
+        .withColumnRenamed("wmedian", "wm")
+        .collect()
+    }
+    want = {}
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, v, w in rows:
+        if w > 0:
+            by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= total:
+                want[g] = float(v)
+                break
+    assert got == want
+
+
 def test_fuzzy_d2_candidate_count_bounded(spark):
     """The order-2 deletion blocking must stay LINEAR on a corpus of
     distinct names (like the LSH hot-band test: bound the candidate set,

@@ -131,6 +131,25 @@ PROBE_QUERIES = [
     # over a 10× fact scan; expected to track the scan (the Arrow
     # exchange ships each cell's rows once, no map-side partial exists)
     "lineitem_weighted_median_udaf",
+    # round-10: the fact-scale exact weighted median — O(log_B V) scans
+    # with map-side-combinable (group, bucket) partials; expected to
+    # track the fact scan like its bounded-groups UDAF sibling, with
+    # 10× output rows impossible (one row per partkey, dims pinned)
+    "lineitem_weighted_median_partkey",
+    # round-10: dedup_semantic_keep_list is probed by the registry-wide
+    # sweep (tools/scale_sweep.py, EXPLAINED entry: within-cluster
+    # pairwise is the published SemDeDup cost model; k must scale with
+    # the corpus) — not duplicated here.
+    # round-10 (r9 verdict task 7): the r9 streaming rows with a real
+    # data-dependent side. ann_lookup: 10× embeddings = 10× persisted
+    # index + 10× candidate buckets behind the stream-static joins
+    # (query-id stream unchanged). dim_refresh_enrich: 10× customer dim
+    # re-read per micro-batch (events capped by the fixture). The three
+    # state-reader rows are EVENT_CAP-bounded fixtures — their input
+    # does not scale with the corpus, so a 10× probe would measure
+    # nothing (documented here instead of silently skipped).
+    "streaming_ann_lookup",
+    "streaming_dim_refresh_enrich",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
@@ -158,6 +177,18 @@ def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
     lineitem.write.mode("overwrite").parquet(f"{base}/x1/lineitem.parquet")
     customer.write.mode("overwrite").parquet(f"{base}/x1/customer.parquet")
     events.write.mode("overwrite").parquet(f"{base}/x1/events.parquet")
+
+    # Dimension tables are PINNED across scales (r10 registry-wide sweep):
+    # the realistic 100 TB growth axis is fact volume against a stable dim
+    # population — part/supplier/region/nation are copied verbatim into
+    # both corpora so every registry query resolves its joins. The fact
+    # clones keep per-copy key alignment (o_orderkey/l_orderkey offsets
+    # match), so orders⋈lineitem joins 10× rows while dim joins fan a 10×
+    # fact side against the original dims.
+    for dim in ("region", "nation", "supplier", "part"):
+        d = spark.read.parquet(f"{sf_dir}/{dim}.parquet")
+        d.write.mode("overwrite").parquet(f"{base}/x1/{dim}.parquet")
+        d.write.mode("overwrite").parquet(f"{base}/x{factor}/{dim}.parquet")
 
     # customer copies for the fuzzy (SymSpell) family: offset keys and a
     # per-copy digit BIJECTION on the name (translate with a rotated

@@ -1,0 +1,314 @@
+"""Registry-wide 10x super-linearity sweep (r10; generalizes scale_probe).
+
+scale_probe.py measures hand-picked families on purpose-built corpora;
+this tool is the standing gate the r9 verdict asked for: run EVERY
+non-streaming registry query at the synthetic 1x and 10x corpora (same
+perturbed-clone corpora as scale_probe — near-dup structure per copy
+preserved, no cross-copy pairs) and auto-flag super-linear rows.
+
+Flag rule (refined from the verdict's "max(3x, output-rows factor)"
+sketch, which would flag every input-LINEAR scan: a 1-output-row
+aggregate over 10x input legitimately takes ~10x — that is the desired
+scan-bound shape, not a defect):
+
+    flagged  iff  x10_sec >= MIN_X10_SEC
+             and  time_factor > max(3, SLACK * max(rows_factor,
+                                                   input_factor))
+
+* ``input_factor`` is the clone factor when the query reads any SCALED
+  table (facts/docs/embeddings/events/customer — detected from the
+  oracle SQL's table references; dims region/nation/supplier/part are
+  pinned across scales), else 1 — so a dim-only query gets NO linear
+  allowance and a fact scan gets exactly one;
+* ``rows_factor`` covers pair-emitters whose OUTPUT legitimately grows
+  faster than input;
+* ``SLACK`` absorbs collect()-dominated rows (driver materialization of
+  10x output is part of the harness, not the plan) and scheduling
+  noise; sub-``MIN_X10_SEC`` rows are never flagged.
+
+Rows that trip the rule are re-measured (best-of-2 at both scales)
+before being reported — a single contended x10 sample is the dominant
+false-positive source on a shared host. Anything still flagged must be
+fixed or added to ``EXPLAINED`` with a one-line mechanism.
+
+Outputs: one JSON line (optionally to argv[1]) and, with ``--md``, the
+regenerated table between the BEGIN/END markers in SCALING.md.
+
+Usage:
+    python tools/scale_sweep.py SCALING_SWEEP.json --md
+Env:
+    SPARK_GRAFT_SF_DIR      base corpus (default /root/testdata/sf0.1)
+    SPARK_GRAFT_PROBE_DIR   scratch dir for the x1/x10 corpora
+    SPARK_GRAFT_PROBE_FACTOR  clone factor (default 10)
+    SPARK_GRAFT_SWEEP_ONLY  comma-separated query subset
+    SPARK_GRAFT_SWEEP_SKIP_BUILD=1  reuse corpora already on disk
+    SPARK_GRAFT_SWEEP_MERGE=<json>  re-check only rows flagged (or
+        missing/errored) in a prior sweep JSON; keep the rest
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MIN_X10_SEC = 2.0
+ABS_FLOOR_SEC = 0.35  # x1 times below this are clamped (scheduling floor)
+SLACK = 1.5
+
+# tables whose row counts scale with the clone factor (scale_probe.
+# build_corpora); region/nation/supplier/part are pinned
+_SCALED_TABLES = (
+    "orders",
+    "lineitem",
+    "customer",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# name -> one-line reason a super-linear-looking row is in fact bounded.
+# Keep this SHORT; every entry needs a mechanism, not a hand-wave.
+EXPLAINED: dict[str, str] = {
+    # SemDeDup's cost is sum(cluster_size^2) BY DESIGN (Abbas et al.);
+    # the production knob is cluster COUNT scaling with the corpus so
+    # c_i stays constant — the driver row pins k=8 for oracle
+    # tractability, so the 10x probe grows c_i 10x and pays ~100x pair
+    # cost. The operator takes the assignment as input; at real scale
+    # feed it kmeans with k ∝ N (see operators/dedup.semdedup_keep_list)
+    "dedup_semantic_keep_list": "within-cluster pairwise is the published "
+    "cost model; k is fixed at 8 for the oracle, so c_i grows with the "
+    "probe corpus — production scales k with N, holding c_i constant",
+}
+
+
+def input_factors(factor: int) -> dict[str, int]:
+    """Per-query input growth at the xN corpus, from table references in
+    the oracle SQL AND the builder's source (verdict-style oracles like
+    ``SELECT 1 AS ok`` reference no tables — the builder still scans a
+    scaled fact). Queries referencing neither default to ``factor``."""
+    import inspect
+
+    from spark_stream_analyzer_spark.plans import registry
+
+    registry.queries()
+    out = {}
+    scaled = set(_SCALED_TABLES)
+    for name, spec in registry.QUERIES.items():
+        text = (spec.oracle or "").lower()
+        try:
+            text += inspect.getsource(spec.build).lower()
+        except (OSError, TypeError):
+            pass
+        if not text:
+            out[name] = factor
+            continue
+        toks = set(re.findall(r"[a-z_]+", text))
+        out[name] = factor if toks & scaled else 1
+    return out
+
+
+def _verdict(row: dict, factor: int, in_f: int, name: str) -> dict:
+    tN = row[f"x{factor}_sec"]
+    tf = row["time_factor"]
+    rf = row["rows_factor"] or 0.0
+    row["input_factor"] = in_f
+    row["flagged"] = (
+        tN >= MIN_X10_SEC
+        and tf > max(3.0, SLACK * max(rf, float(in_f)))
+        and name not in EXPLAINED
+    )
+    if name in EXPLAINED:
+        row["explained"] = EXPLAINED[name]
+    return row
+
+
+def measure(spark, qs, name, base, factor, samples=1):
+    from spark_stream_analyzer_spark.session import unpersist_rdds
+
+    def _time(sf_dir):
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        dt = time.perf_counter() - t0
+        unpersist_rdds(spark)
+        return round(dt, 3), n
+
+    t1, r1 = _time(f"{base}/x1")
+    t1b, _ = _time(f"{base}/x1")  # warm rerun: steadier 1x
+    t1 = min(t1, t1b)
+    tN, rN = _time(f"{base}/x{factor}")
+    for _ in range(samples - 1):
+        tNb, _ = _time(f"{base}/x{factor}")
+        tN = min(tN, tNb)
+    return {
+        "x1_sec": t1,
+        f"x{factor}_sec": tN,
+        "time_factor": round(tN / max(t1, ABS_FLOOR_SEC), 2),
+        "x1_rows": r1,
+        f"x{factor}_rows": rN,
+        "rows_factor": round(rN / r1, 2) if r1 else None,
+    }
+
+
+def run_sweep(spark, names, base, factor, in_f):
+    from spark_stream_analyzer_spark.plans import registry
+
+    qs = registry.queries()
+    out = {}
+    for i, name in enumerate(names):
+        try:
+            row = _verdict(
+                measure(spark, qs, name, base, factor), factor, in_f[name], name
+            )
+            if row["flagged"]:
+                # one contended x10 sample is the dominant false-positive
+                # source — re-measure best-of-2 both scales before reporting
+                row = _verdict(
+                    measure(spark, qs, name, base, factor, samples=2),
+                    factor,
+                    in_f[name],
+                    name,
+                )
+        except Exception as e:  # record, keep sweeping
+            row = {"error": f"{type(e).__name__}: {e}"[:300], "flagged": True}
+        out[name] = row
+        status = "FLAG" if row.get("flagged") else "ok"
+        print(
+            f"# [{i + 1}/{len(names)}] {name}: {status} "
+            f"{row.get('time_factor', '?')}x time / "
+            f"{row.get('rows_factor', '?')}x rows",
+            file=sys.stderr,
+            flush=True,
+        )
+    return out
+
+
+_MD_BEGIN = "<!-- BEGIN GENERATED SWEEP (tools/scale_sweep.py) -->"
+_MD_END = "<!-- END GENERATED SWEEP -->"
+
+
+def render_md(report: dict) -> str:
+    factor = report["factor"]
+    lines = [
+        _MD_BEGIN,
+        "",
+        f"### Registry-wide {factor}x sweep — `python tools/scale_sweep.py "
+        "SCALING_SWEEP.json --md`",
+        "",
+        f"Base corpus `{report['sf_dir']}`; flag rule: 10x time factor > "
+        f"max(3, {SLACK} x max(output-rows factor, input factor)), rows "
+        f"under {MIN_X10_SEC:.0f}s at 10x exempt (scheduling noise); "
+        "input factor = 10 iff the query reads a scaled table (dims are "
+        "pinned), so input-LINEAR scans pass and dim-only queries get no "
+        "linear allowance. Flagged rows were re-measured best-of-2 "
+        "before reporting.",
+        "",
+        "| query | x1 s | x10 s | time xF | rows xF | in xF | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    rows = report["rows"]
+    order = sorted(
+        rows,
+        key=lambda n: (
+            not rows[n].get("flagged"),
+            -(rows[n].get("time_factor") or 0),
+        ),
+    )
+    for name in order:
+        r = rows[name]
+        if "error" in r:
+            lines.append(
+                f"| {name} | — | — | — | — | — | ERROR: {r['error']} |"
+            )
+            continue
+        verdict = "**FLAGGED**" if r["flagged"] else "ok"
+        if "explained" in r:
+            verdict = f"explained: {r['explained']}"
+        lines.append(
+            f"| {name} | {r['x1_sec']} | {r[f'x{factor}_sec']} | "
+            f"{r['time_factor']} | {r['rows_factor']} | "
+            f"{r.get('input_factor', '?')} | {verdict} |"
+        )
+    n_flag = sum(1 for r in rows.values() if r.get("flagged"))
+    lines += ["", f"Flagged: **{n_flag}** of {len(rows)}.", "", _MD_END]
+    return "\n".join(lines)
+
+
+def patch_scaling_md(md_table: str, path: str = "SCALING.md") -> None:
+    with open(path) as f:
+        text = f.read()
+    pattern = re.escape(_MD_BEGIN) + r".*?" + re.escape(_MD_END)
+    if re.search(pattern, text, flags=re.S):
+        text = re.sub(
+            pattern, lambda _m: md_table, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + md_table + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def main() -> None:
+    from spark_stream_analyzer_spark import get_spark
+    from spark_stream_analyzer_spark.plans import registry
+    from tools.scale_probe import build_corpora
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/ssa_scale_sweep")
+    factor = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
+    out_json = next((a for a in sys.argv[1:] if not a.startswith("--")), None)
+
+    spark = get_spark(app_name="ssa-scale-sweep")
+    if os.environ.get("SPARK_GRAFT_SWEEP_SKIP_BUILD") != "1":
+        build_corpora(spark, sf_dir, base, factor)
+
+    names = [n for n in registry.queries() if not n.startswith("streaming_")]
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SWEEP_ONLY", "").split(",") if s
+    }
+    if only:
+        names = [n for n in names if n in only]
+
+    in_f = input_factors(factor)
+    prior: dict = {}
+    merge_path = os.environ.get("SPARK_GRAFT_SWEEP_MERGE")
+    if merge_path:
+        with open(merge_path) as f:
+            prior = json.load(f).get("rows", {})
+        # keep prior rows that pass the CURRENT rule; re-run the rest
+        keep = {}
+        rerun = []
+        for n in names:
+            r = prior.get(n)
+            if r and "error" not in r:
+                r = _verdict(dict(r), factor, in_f[n], n)
+                if not r["flagged"]:
+                    keep[n] = r
+                    continue
+            rerun.append(n)
+        names = rerun
+        print(
+            f"# merge: {len(keep)} prior rows kept, {len(names)} re-run",
+            file=sys.stderr,
+        )
+    else:
+        keep = {}
+
+    rows = dict(keep)
+    rows.update(run_sweep(spark, names, base, factor, in_f))
+    report = {"sf_dir": sf_dir, "factor": factor, "rows": rows}
+    line = json.dumps(report)
+    print(line)
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(line)
+    if "--md" in sys.argv:
+        patch_scaling_md(render_md(report))
+
+
+if __name__ == "__main__":
+    main()
