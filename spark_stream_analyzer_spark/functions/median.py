@@ -1,50 +1,60 @@
-"""Fact-scale EXACT weighted median — iterative value-domain bisection.
+"""Fact-scale EXACT order statistics — iterative value-domain bisection.
 
 Removes the honest asterisk on :mod:`.udafs`: the grouped-agg pandas
 UDAF there ships each group's rows through one Arrow batch (no map-side
 partial exists for an exact median), so it is only right for
-bounded-cardinality groups.  This module computes the SAME pinned
-definition
+bounded-cardinality groups.  This module computes exact per-group
+VALUE-AT-RANK queries — the weighted median, and exact interpolated
+percentiles — with NO per-group materialization: O(log_B V) full scans,
+each a map-side-combinable aggregate.  The shape survives per-group row
+counts of any size AND group counts of any size simultaneously.
 
-    wmedian(v, w) = min { x in values : 2 * cumw(x) >= total }
+Core primitive: for each group and each rank target t (an int64
+expression over the group's total weight), find
 
-(lower weighted median, int64 weights, RANGE-frame tie semantics) with
-NO per-group materialization: O(log_B V) full scans, each a map-side-
-combinable aggregate — the shape that survives per-group row counts of
-any size AND group counts of any size simultaneously.
+    value_at(t) = min { x in values : cumw(x) >= t }
+
+(cumw = cumulative weight over values <= x, RANGE-frame tie semantics).
+The weighted median is value_at(ceil(total/2)); an interpolated
+percentile p combines value_at(k) and value_at(k+1) for
+k = floor(1 + (n-1)p).
 
 How a pass works (B-way bisection, exactness never rests on float
 arithmetic):
 
-1. join facts to the per-group ``[minv, maxv]`` candidate range and
-   bucket each row by ``floor((v - minv) / ((maxv - minv) / B))`` —
-   float math, but only MONOTONICITY in v matters (any value-ordered
-   partition of the range is a valid split);
-2. aggregate per (group, bucket): ``sum(w), min(v), max(v), count`` —
-   map-side combinable, output ≤ B rows per group;
+1. join facts to the per-(group, target) ``[minv, maxv]`` candidate
+   range and bucket each row by ``floor((v - minv) / ((maxv - minv) /
+   B))`` — float math, but only MONOTONICITY in v matters (any
+   value-ordered partition of the range is a valid split);
+2. aggregate per (group, target, bucket): ``sum(w), min(v), max(v),
+   count`` — map-side combinable, output <= B rows per (group, target);
 3. find the crossing bucket (first with ``base + cum_before + bw >= t``)
-   via a window over ≤ B rows per group, partitioned BY GROUP (never a
-   single reducer);
+   via a window over <= B rows per (group, target), partitioned BY
+   GROUP (never a single reducer);
 4. the new exact bounds come from the DATA, not arithmetic: the
    crossing bucket's own ``min(v)/max(v)`` and the exact int64
-   cumulative weight before it.  A group whose crossing bucket holds
-   one distinct value is done (that value IS the median: the weight
-   below it misses t, through it reaches t).
+   cumulative weight before it.  A (group, target) whose crossing
+   bucket holds one distinct value is done (that value IS the answer:
+   the weight below it misses t, through it reaches t).
 
-Groups whose remaining range holds few rows finish exactly in one shot:
-distinct-value weights + a per-group cumulative window + min qualifying
-value (the classic decomposition, safe because the remnant is small).
+Targets whose remaining range holds few rows finish exactly in one
+shot: distinct-value weights + a per-group cumulative window + min
+qualifying value (the classic decomposition, safe because the remnant
+is small).
 
-Driver-side control: one 1-row bounded aggregate per pass (max
-remaining rows — decides loop exit), same iterative discipline as the
-BPE merge loop.  Bounds are ``lineage_cut`` per pass so the plan does
-not deepen.
+Driver-side control: one 1-row bounded aggregate per pass (count of
+unconverged targets — decides loop exit), same iterative discipline as
+the BPE merge loop.  Bounds are ``lineage_cut`` per pass (RDD-id-diff
+block release) so the plan does not deepen.
 
-Scale notes: passes are ≈ log_B(distinct values per group) — 3 passes
+Scale notes: passes are ~ log_B(distinct values per group) — 3 passes
 at B=4096 cover 6.9e10 distinct values; each pass re-scans the fact
-(the 100 TB contract: no cache assumed) and shuffles only group×bucket
-partials.  The bounds table is group-cardinality-sized and re-plans
-through AQE, so small group counts get a broadcast join for free.
+(the 100 TB contract: no cache assumed) and shuffles only
+group x target x bucket partials; multiple rank targets share each scan
+(facts replicate per target only while ranges overlap — after pass 1
+the ranges are disjoint slivers).  The bounds table is
+(group x target)-cardinality-sized and re-plans through AQE, so small
+group counts get a broadcast join for free.
 """
 
 from __future__ import annotations
@@ -56,32 +66,31 @@ from pyspark.sql.window import Window
 from spark_stream_analyzer_spark.functions.materialize import lineage_cut
 
 
-def grouped_weighted_median(
-    df: DataFrame,
+def _grouped_value_at_ranks(
+    facts: DataFrame,
     group_cols: list[str],
-    value_col: str,
-    weight_col: str,
+    targets: list[tuple[str, str]],
     *,
-    buckets: int = 4096,
-    finish_threshold: int = 4096,
-    max_passes: int = 12,
-    median_col: str = "wmedian",
+    buckets: int,
+    finish_threshold: int,
+    max_passes: int,
 ) -> DataFrame:
-    """Exact lower weighted median of ``value_col`` per group.
+    """Exact per-group value-at-rank for multiple rank targets.
 
-    Contract: ``weight_col`` is int64 ≥ 0; groups with zero total
-    weight are omitted (a median of nothing).  ``value_col`` is any
-    numeric (compared as double).  Output: one row per group,
-    ``group_cols + [median_col]``.
+    ``facts``: columns ``group_cols + [_v double, _w long]`` (callers
+    pre-filter ``_w > 0`` and non-null ``_v``).  ``targets``: list of
+    ``(tid, t_sql)`` where ``t_sql`` is an int64 SQL expression over
+    ``_total`` (the group's total weight) with ``1 <= t <= _total``.
+    Output: ``group_cols + [_tid, _rv, _total]`` — one row per group per
+    target.
     """
-    g = [F.col(c) for c in group_cols]
-    v = F.col(value_col).cast("double").alias("_v")
-    w = F.col(weight_col).cast("long").alias("_w")
-    facts = df.select(*g, v, w).where(
-        (F.col("_w") > 0) & F.col("_v").isNotNull()
-    )
+    spark = facts.sparkSession
+    gkey = [*group_cols, "_tid"]
 
-    # init: per-group totals and candidate range; t = ceil(total / 2)
+    tgt_structs = ", ".join(
+        f"struct('{tid}' AS _tid, CAST({t_sql} AS BIGINT) AS _t)"
+        for tid, t_sql in targets
+    )
     bounds = (
         facts.groupBy(*group_cols)
         .agg(
@@ -92,7 +101,17 @@ def grouped_weighted_median(
         )
         .select(
             *group_cols,
-            F.expr("(_total + 1) div 2").alias("_t"),
+            "_total",
+            F.explode(F.expr(f"array({tgt_structs})")).alias("_tg"),
+            "_minv",
+            "_maxv",
+            "_n",
+        )
+        .select(
+            *group_cols,
+            F.col("_tg._tid").alias("_tid"),
+            F.col("_tg._t").alias("_t"),
+            "_total",
             F.lit(0).cast("long").alias("_base"),
             "_minv",
             "_maxv",
@@ -100,12 +119,12 @@ def grouped_weighted_median(
             (F.col("_minv") == F.col("_maxv")).alias("_done"),
         )
     )
+
     from spark_stream_analyzer_spark.session import (
         persistent_rdd_ids,
         unpersist_rdds,
     )
 
-    spark = df.sparkSession
     _before = persistent_rdd_ids(spark)
     bounds = lineage_cut(bounds)
     prev_round_ids = persistent_rdd_ids(spark) - _before
@@ -133,15 +152,16 @@ def grouped_weighted_median(
             .where(F.col("_v").between(F.col("_minv"), F.col("_maxv")))
             .withColumn("_bkt", bucket)
         )
-        bstats = j.groupBy(*group_cols, F.col("_bkt")).agg(
+        bstats = j.groupBy(*gkey, F.col("_bkt")).agg(
             F.sum("_w").alias("_bw"),
             F.min("_v").alias("_bmin"),
             F.max("_v").alias("_bmax"),
             F.count(F.lit(1)).alias("_bn"),
             F.first("_t").alias("_t"),
+            F.first("_total").alias("_total"),
             F.first("_base").alias("_base"),
         )
-        win = Window.partitionBy(*group_cols).orderBy("_bkt")
+        win = Window.partitionBy(*gkey).orderBy("_bkt")
         cum_before = F.coalesce(
             F.sum("_bw").over(win.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0).cast("long"),
@@ -153,8 +173,9 @@ def grouped_weighted_median(
                 & (F.col("_before") + F.col("_bw") >= F.col("_t"))
             )
             .select(
-                *group_cols,
+                *gkey,
                 "_t",
+                "_total",
                 F.col("_before").alias("_base"),
                 F.col("_bmin").alias("_minv"),
                 F.col("_bmax").alias("_maxv"),
@@ -162,7 +183,7 @@ def grouped_weighted_median(
                 (F.col("_bmin") == F.col("_bmax")).alias("_done"),
             )
         )
-        # carry untouched groups (already done, or small enough for the
+        # carry untouched targets (already done, or small enough for the
         # exact finish) alongside the narrowed active ones
         rest = bounds.where(
             F.col("_done") | (F.col("_n") <= finish_threshold)
@@ -179,31 +200,132 @@ def grouped_weighted_median(
     # widths), everything left flows to the exact finish below
 
     # exact finish over the (small) remaining ranges: distinct-value
-    # weights -> per-group cumulative -> min qualifying value
+    # weights -> per-(group, target) cumulative -> min qualifying value
     rem = bounds.where(~F.col("_done"))
     finished = bounds.where(F.col("_done")).select(
-        *group_cols, F.col("_maxv").alias(median_col)
+        *gkey, F.col("_maxv").alias("_rv"), "_total"
     )
 
     rj = facts.join(rem, group_cols).where(
         F.col("_v").between(F.col("_minv"), F.col("_maxv"))
     )
-    dv = rj.groupBy(*group_cols, F.col("_v")).agg(
+    dv = rj.groupBy(*gkey, F.col("_v")).agg(
         F.sum("_w").alias("_vw"),
         F.first("_t").alias("_t"),
+        F.first("_total").alias("_total"),
         F.first("_base").alias("_base"),
     )
-    winv = Window.partitionBy(*group_cols).orderBy("_v")
+    winv = Window.partitionBy(*gkey).orderBy("_v")
     cum = F.col("_base") + F.sum("_vw").over(
         winv.rowsBetween(Window.unboundedPreceding, 0)
     )
     tail = (
         dv.withColumn("_cum", cum)
         .where(F.col("_cum") >= F.col("_t"))
-        .groupBy(*group_cols)
-        .agg(F.min("_v").alias(median_col))
+        .groupBy(*gkey)
+        .agg(F.min("_v").alias("_rv"), F.first("_total").alias("_total"))
     )
     # the final bounds blocks are released by the caller's post-collect
     # sweep (session.unpersist_rdds), matching the other iterative
     # operators
     return tail.unionByName(finished)
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    buckets: int = 4096,
+    finish_threshold: int = 4096,
+    max_passes: int = 12,
+    median_col: str = "wmedian",
+) -> DataFrame:
+    """Exact lower weighted median of ``value_col`` per group:
+    ``min { x : 2 * cumw(x) >= total }`` — ``value_at(ceil(total/2))``.
+
+    Contract: ``weight_col`` is int64 >= 0; groups with zero total
+    weight are omitted (a median of nothing).  ``value_col`` is any
+    numeric (compared as double).  Output: one row per group,
+    ``group_cols + [median_col]``.
+    """
+    facts = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).where((F.col("_w") > 0) & F.col("_v").isNotNull())
+    ranks = _grouped_value_at_ranks(
+        facts,
+        group_cols,
+        [("m", "(_total + 1) div 2")],
+        buckets=buckets,
+        finish_threshold=finish_threshold,
+        max_passes=max_passes,
+    )
+    return ranks.select(*group_cols, F.col("_rv").alias(median_col))
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    *,
+    buckets: int = 4096,
+    finish_threshold: int = 4096,
+    max_passes: int = 12,
+    col_prefix: str = "p",
+) -> DataFrame:
+    """Exact INTERPOLATED percentiles per group at fact scale — the
+    distributed twin of SQL ``percentile_cont`` / Spark ``percentile``,
+    with the single-aggregation-buffer problem removed (Spark's exact
+    ``percentile`` buffers every value of a group in one reducer's
+    memory; this computes the same answer from O(log V) scans).
+
+    Pinned definition (unweighted, n rows per group):
+    ``pos = 1 + (n - 1) * p``; ``k = floor(pos)``; ``f = pos - k``;
+    ``result = x_(k) + f * (x_(k+1) - x_(k))`` over the ascending order
+    statistics (x_(n+1) clamped to x_(n)).  The interpolation arithmetic
+    is part of the contract — oracles must use this exact expression
+    shape, not their built-in quantile, for bit-equality.
+
+    Output: one row per group, ``group_cols + [<prefix><idx> ...]``
+    (one column per requested percentile, in input order).
+    """
+    facts = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(1).cast("long").alias("_w"),
+    ).where(F.col("_v").isNotNull())
+    targets = []
+    for i, p in enumerate(ps):
+        pos = f"(1.0D + (CAST(_total - 1 AS DOUBLE) * CAST({p!r} AS DOUBLE)))"
+        k = f"CAST(floor({pos}) AS BIGINT)"
+        targets.append((f"lo{i}", k))
+        targets.append((f"hi{i}", f"least({k} + 1L, _total)"))
+    ranks = _grouped_value_at_ranks(
+        facts,
+        group_cols,
+        targets,
+        buckets=buckets,
+        finish_threshold=finish_threshold,
+        max_passes=max_passes,
+    )
+    # pivot the <= 2*len(ps) target rows per group into columns
+    # (bounded map, no data-sized collect_list)
+    pivoted = ranks.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_tid", "_rv"))
+        ).alias("_m"),
+        F.first("_total").alias("_n"),
+    )
+    cols = [F.col(c) for c in group_cols]
+    for i, p in enumerate(ps):
+        pos = f"(1.0D + (CAST(_n - 1 AS DOUBLE) * CAST({p!r} AS DOUBLE)))"
+        frac = f"({pos} - floor({pos}))"
+        lo, hi = f"element_at(_m, 'lo{i}')", f"element_at(_m, 'hi{i}')"
+        cols.append(
+            F.expr(f"{lo} + {frac} * ({hi} - {lo})").alias(f"{col_prefix}{i}")
+        )
+    return pivoted.select(*cols)

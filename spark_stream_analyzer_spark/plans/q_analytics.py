@@ -1688,3 +1688,82 @@ def q_lineitem_weighted_median_partkey(
     return med.select(
         "l_partkey", round6(F.col("_wm")).alias("weighted_median_price")
     )
+
+
+def _duck_pct_arith(p: float, n: str = "n") -> tuple[str, str, str]:
+    """DuckDB twins of the pinned percentile arithmetic — pos/k/frac,
+    expression-shape-identical to functions/median.py (double ops are
+    IEEE-deterministic, so matching shapes means matching bits)."""
+    pos = f"(1.0 + (({n} - 1)::DOUBLE * {p!r}::DOUBLE))"
+    k = f"CAST(floor({pos}) AS BIGINT)"
+    return pos, k, f"({pos} - floor({pos}))"
+
+
+_PCT_PS = (0.5, 0.9, 0.99)
+_PCT_NAMES = ("p50", "p90", "p99")
+
+
+def _pct_oracle() -> str:
+    sel_lo_hi = []
+    finals = []
+    for i, (p, nm) in enumerate(zip(_PCT_PS, _PCT_NAMES)):
+        _pos, k, frac = _duck_pct_arith(p)
+        sel_lo_hi.append(
+            f"MAX(CASE WHEN rn = {k} THEN v END) AS lo{i},\n"
+            f"       MAX(CASE WHEN rn = least({k} + 1, n) THEN v END) AS hi{i}"
+        )
+        finals.append(f"ROUND(lo{i} + {frac} * (hi{i} - lo{i}), 6) AS {nm}")
+    return f"""
+    WITH s AS (SELECT l_partkey AS g, l_extendedprice::DOUBLE AS v
+               FROM lineitem),
+    r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n FROM s),
+    a AS (SELECT g, MAX(n) AS n,
+       {', '.join(sel_lo_hi)}
+          FROM r GROUP BY g)
+    SELECT g AS l_partkey, {', '.join(finals)} FROM a
+    """
+
+
+@register(
+    "lineitem_exact_percentiles_bisect",
+    oracle=_pct_oracle(),
+    doc="EXT fact-scale EXACT interpolated percentiles (r10 — the exact "
+    "twin of the approx family, completing it: percentile_approx is "
+    "checked against exact forms elsewhere, but Spark's exact "
+    "percentile() buffers every value of a group in ONE aggregation "
+    "buffer — the approx_quantile_check row's known single-reducer cost. "
+    "This computes the same interpolated answer per l_partkey from "
+    "O(log_B V) scans via the rank-target bisection in "
+    "functions/median.py: each percentile contributes two rank targets "
+    "(k, k+1) that SHARE every scan, bounds narrow per target, and the "
+    "finish window is group-partitioned). Interpolation arithmetic "
+    "pinned (pos = 1+(n-1)p; x_k + (pos-k)(x_{k+1}-x_k)) with "
+    "expression-shape-identical DuckDB twins — bit-exact before the "
+    "round6. Driver row forces real bisection passes (buckets=8, "
+    "threshold=4); defaults 4096/4096 are the fact-scale setting",
+)
+def q_lineitem_exact_percentiles_bisect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_exact_percentiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = grouped_exact_percentiles(
+        li,
+        ["l_partkey"],
+        "l_extendedprice",
+        list(_PCT_PS),
+        buckets=8,
+        finish_threshold=4,
+        max_passes=10,
+    )
+    return pct.select(
+        "l_partkey",
+        *[
+            round6(F.col(f"p{i}")).alias(nm)
+            for i, nm in enumerate(_PCT_NAMES)
+        ],
+    )

@@ -117,7 +117,12 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_quantile_check",
     oracle="SELECT 1::INT AS median_ok, 1::INT AS p95_ok",
     doc="percentile_approx (Greenwald-Khanna sketch) vs exact percentile, "
-    "0.5% rank-tolerance verdict",
+    "0.5% rank-tolerance verdict. Known cost of the CHECK side: Spark's "
+    "exact percentile() buffers the whole column in ONE aggregation "
+    "buffer (measured linear, 10.2x at 10x input, in SCALING_SWEEP) — "
+    "fine for a validation row; the distributed exact form is "
+    "lineitem_exact_percentiles_bisect (functions/median.py), the sketch "
+    "is the production path",
 )
 def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")

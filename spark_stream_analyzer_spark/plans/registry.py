@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = (
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",
+    "lineitem_exact_percentiles_bisect",
     # -- round-10 changed-code rows (fresh driver row required) --
     "customer_name_fuzzy_pairs",  # empty-string deletion-key guard
     "customer_name_fuzzy_pairs_d2",

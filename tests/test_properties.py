@@ -560,6 +560,52 @@ def test_grouped_weighted_median_matches_bruteforce(spark, rows):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-30, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_grouped_exact_percentiles_match_pinned_arithmetic(spark, rows):
+    """The multi-target bisection must reproduce the PINNED interpolated
+    percentile (pos = 1+(n-1)p; x_k + (pos-k)(x_{k+1}-x_k)) bit-exactly —
+    Python doubles evaluate the identical IEEE expression tree, so
+    equality here is exact, not approximate."""
+    import math
+
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_exact_percentiles,
+    )
+
+    ps = [0.0, 0.5, 0.9, 1.0]
+    df = spark.createDataFrame(rows, "g long, v long").repartition(4)
+    got = {
+        r.g: (r.p0, r.p1, r.p2, r.p3)
+        for r in grouped_exact_percentiles(
+            df, ["g"], "v", ps, buckets=2, finish_threshold=1, max_passes=64
+        ).collect()
+    }
+    want = {}
+    by_g: dict[int, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        out = []
+        for p in ps:
+            pos = 1.0 + (float(n - 1) * p)
+            k = int(math.floor(pos))
+            f = pos - math.floor(pos)
+            lo = float(vs[k - 1])
+            hi = float(vs[min(k + 1, n) - 1])
+            out.append(lo + f * (hi - lo))
+        want[g] = tuple(out)
+    assert got == want
+
+
 def test_fuzzy_d2_candidate_count_bounded(spark):
     """The order-2 deletion blocking must stay LINEAR on a corpus of
     distinct names (like the LSH hot-band test: bound the candidate set,
