@@ -2241,3 +2241,52 @@ def _bpe_merge_sql(rounds: int = 3) -> str:
 )
 def q_text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_table(_docs(spark, sf_dir), rounds=3)
+
+
+# ------------------------------------------------- round-10 additions
+
+
+@register(
+    "events_k_anonymity",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+             CAST(floor(value / 100.0) AS BIGINT) AS value_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS sensitive_distinct
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, hour_of_day, value_band, class_size,
+           sensitive_distinct,
+           (class_size >= 5) AS k_anonymous,
+           (sensitive_distinct >= 2) AS l_diverse
+    FROM c
+    """,
+    doc="EXT privacy release audit (r10): k-anonymity + l-diversity per "
+    "quasi-identifier class over (event_type, hour-of-day, banded "
+    "value) with user_id as the sensitive attribute — the release-gate "
+    "complement to text_pii_redaction. One hash aggregation: count is "
+    "map-side partial, the exact distinct is Spark's standard two-phase "
+    "distinct agg; class count bounded by the banded QI domain "
+    "(operators/privacy.py documents why banding is the caller's "
+    "contract). Flags name the failure: small classes re-identify, "
+    "homogeneous classes leak the attribute even when large",
+)
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.privacy import (
+        k_anonymity_classes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return k_anonymity_classes(
+        ev,
+        [
+            F.col("event_type"),
+            F.hour("ts").cast("long"),
+            F.floor(F.col("value") / 100.0).cast("long"),
+        ],
+        ["event_type", "hour_of_day", "value_band"],
+        F.col("user_id"),
+        k=5,
+        l=2,
+    )

@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = (
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",
     "lineitem_exact_percentiles_bisect",
+    "events_k_anonymity",
     # -- round-10 changed-code rows (fresh driver row required) --
     "customer_name_fuzzy_pairs",  # empty-string deletion-key guard
     "customer_name_fuzzy_pairs_d2",

@@ -136,6 +136,7 @@ PROBE_QUERIES = [
     # track the fact scan like its bounded-groups UDAF sibling, with
     # 10× output rows impossible (one row per partkey, dims pinned)
     "lineitem_weighted_median_partkey",
+    "lineitem_exact_percentiles_bisect",
     # round-10: dedup_semantic_keep_list is probed by the registry-wide
     # sweep (tools/scale_sweep.py, EXPLAINED entry: within-cluster
     # pairwise is the published SemDeDup cost model; k must scale with
@@ -306,7 +307,8 @@ def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else None
 
     spark = get_spark(app_name="ssa-scale-probe")
-    build_corpora(spark, sf_dir, base, factor)
+    if os.environ.get("SPARK_GRAFT_PROBE_SKIP_BUILD") != "1":
+        build_corpora(spark, sf_dir, base, factor)
     t1, r1 = time_queries(spark, f"{base}/x1")
     t1b, _ = time_queries(spark, f"{base}/x1")  # warm second run: steadier 1x
     t1 = {k: min(t1[k], t1b[k]) for k in t1}
