@@ -2531,3 +2531,120 @@ def q_orders_cdc_transactional_publish(spark: SparkSession, sf_dir: str) -> Data
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_VDIFF_CHANGES_SQL = """
+    base AS (SELECT o_orderkey AS k, o_custkey AS cust,
+                    o_orderstatus AS status, o_totalprice AS price
+             FROM orders),
+    changes AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey AS cust,
+             o_orderstatus AS status, o_totalprice + 100.0 AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, NULL
+      FROM orders WHERE o_orderkey % 11 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000000, 1, 'I', o_custkey, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 5
+    ),
+    latest AS (
+      SELECT k, op, cust, status, price
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) rn
+            FROM changes)
+      WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT COALESCE(c.k, b.k) AS k, COALESCE(c.cust, b.cust) AS cust,
+             COALESCE(c.status, b.status) AS status,
+             COALESCE(c.price, b.price) AS price
+      FROM base b FULL OUTER JOIN latest c ON b.k = c.k
+      WHERE c.op IS NULL OR c.op <> 'D'
+    ),
+    d AS (
+      SELECT b.k AS ka, b.cust AS ca, b.status AS sa, b.price AS pa,
+             v2.k AS kb, v2.cust AS cb, v2.status AS sb, v2.price AS pb
+      FROM base b FULL OUTER JOIN v2 ON b.k = v2.k
+    )
+"""
+
+_VDIFF_NEQ = """(ca IS DISTINCT FROM cb OR sa IS DISTINCT FROM sb
+                 OR pa IS DISTINCT FROM pb)"""
+
+
+@register(
+    "orders_version_changes",
+    oracle=f"""
+    WITH {_VDIFF_CHANGES_SQL}
+    SELECT kb AS o_orderkey, cb AS cust, sb AS status,
+           ROUND(pb, 6) AS price, 'insert' AS change_type
+    FROM d WHERE ka IS NULL
+    UNION ALL
+    SELECT ka, ca, sa, ROUND(pa, 6), 'delete' FROM d WHERE kb IS NULL
+    UNION ALL
+    SELECT ka, ca, sa, ROUND(pa, 6), 'update_preimage'
+    FROM d WHERE ka IS NOT NULL AND kb IS NOT NULL AND {_VDIFF_NEQ}
+    UNION ALL
+    SELECT kb, cb, sb, ROUND(pb, 6), 'update_postimage'
+    FROM d WHERE ka IS NOT NULL AND kb IS NOT NULL AND {_VDIFF_NEQ}
+    """,
+    doc="EXT version CHANGE FEED from immutable snapshots (r10 — the "
+    "table_changes/Delta-CDF shape, completing the lakehouse read "
+    "surface beside time travel and the streaming state CDF): because "
+    "every published version's data dir is immutable and "
+    "manifest-addressed, the row-level diff between ANY two versions is "
+    "reconstructible after the fact with no writer-side change logging. "
+    "One full-outer key join + null-safe struct comparison + a <=2-row "
+    "explode emits insert / delete / update_preimage / update_postimage "
+    "rows; byte-equal rows emit nothing (a rewritten-but-identical file "
+    "never pollutes the feed). Driver row publishes v1 = orders, v2 = "
+    "the CDC-merged snapshot, diffs through the manifests; oracle "
+    "re-derives both versions and the diff independently",
+)
+def q_orders_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        snapshot_dir,
+        version_changes,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssa_vdiff_")
+    try:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        v1 = o.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        d1 = snapshot_dir(root)
+        v1.write.parquet(d1)
+        publish(root, d1, 1)
+        d2 = snapshot_dir(root)
+        _cdc_merged_snapshot(o).write.parquet(d2)
+        publish(root, d2, 2)
+        ch = version_changes(spark, root, 1, 2, ["o_orderkey"])
+        out = ch.select(
+            "o_orderkey",
+            "cust",
+            "status",
+            round6(F.col("price")).alias("price"),
+            "change_type",
+        )
+        # the diff must materialize before the tempdir vanishes — and
+        # the change set is FACT-scale (~3/7 of keys), so it stays on
+        # executors: lineage_cut pins the computed blocks and severs the
+        # plan's dependency on the deleted snapshot files (no
+        # collect/re-parallelize driver round-trip)
+        from spark_stream_analyzer_spark.functions.materialize import (
+            lineage_cut,
+        )
+
+        return lineage_cut(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

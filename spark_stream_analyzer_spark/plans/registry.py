@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = (
     "dedup_semantic_keep_list",
     "lineitem_exact_percentiles_bisect",
     "events_k_anonymity",
+    "orders_version_changes",
     # -- round-10 changed-code rows (fresh driver row required) --
     "customer_name_fuzzy_pairs",  # empty-string deletion-key guard
     "customer_name_fuzzy_pairs_d2",
