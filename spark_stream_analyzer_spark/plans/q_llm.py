@@ -2251,7 +2251,8 @@ def q_text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT event_type,
-             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+               AS hour_of_day,
              CAST(floor(value / 100.0) AS BIGINT) AS value_band,
              CAST(COUNT(*) AS BIGINT) AS class_size,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS sensitive_distinct
@@ -2282,7 +2283,10 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         [
             F.col("event_type"),
-            F.hour("ts").cast("long"),
+            # epoch arithmetic, not hour(): calendar functions render in
+            # the session timezone (same discipline as
+            # events_hour_of_week_profile — caught by the r10 TZ sweep)
+            F.expr("(unix_micros(ts) div 3600000000) % 24"),
             F.floor(F.col("value") / 100.0).cast("long"),
         ],
         ["event_type", "hour_of_day", "value_band"],

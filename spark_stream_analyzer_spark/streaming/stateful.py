@@ -290,8 +290,13 @@ def _make_ttl_update(gap_seconds: int):
         for pdf in pdfs:
             n += int(len(pdf))
             tot += int(pdf["val"].sum())
-            # ts arrives as pandas datetime64[ns]; timer API wants epoch ms
-            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+            # epoch ms from the JVM-computed long, NEVER from the pandas
+            # datetime64: Arrow renders timestamps in the SESSION
+            # timezone, so `.value` on a non-UTC session is wall-clock
+            # masquerading as epoch — the timer then lands behind the
+            # watermark and the query dies (caught by the r10
+            # TZ=America/New_York sweep)
+            last_ms = max(last_ms, int(pdf["ts_ms"].max()))
         state.update((n, tot))
         state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
         yield pd.DataFrame(
@@ -319,10 +324,19 @@ def ttl_evicting_totals_stream(events: DataFrame, gap_seconds: int = 3600) -> Da
     dataless groups — so its state resurrects and totals merge; the
     tombstone only ever fires for keys idle through the firing batch.
     """
-    return events.groupBy("user_id").applyInPandasWithState(
-        _make_ttl_update(gap_seconds),
-        outputStructType=TTL_OUT_SCHEMA,
-        stateStructType=TTL_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    from pyspark.sql import functions as F
+
+    # carry the epoch as a JVM-computed long across the Arrow boundary —
+    # the timestamp column itself renders in the session timezone on the
+    # pandas side (see _make_ttl_update)
+    return (
+        events.withColumn("ts_ms", F.unix_millis("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ttl_update(gap_seconds),
+            outputStructType=TTL_OUT_SCHEMA,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
