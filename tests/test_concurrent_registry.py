@@ -90,3 +90,22 @@ def test_concurrent_mixed_registry_matches_serial(spark):
     ]
     assert not mismatches, f"concurrent runs diverged from serial: {mismatches}"
     assert len(results) == len(jobs)
+
+
+def test_newsession_isolates_fixture_confs(spark):
+    """The serving-isolation boundary the module docstring recommends,
+    demonstrated: two spark.newSession() handles share the SparkContext
+    (one JVM, one block manager) but hold INDEPENDENT SQL confs — a
+    fixture pinning shuffle partitions in one session must not leak into
+    the other, which is exactly what the shared-session set/restore race
+    cannot guarantee."""
+    s1 = spark.newSession()
+    s2 = spark.newSession()
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    s1.conf.set("spark.sql.shuffle.partitions", "2")
+    assert s2.conf.get("spark.sql.shuffle.partitions") == base
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
+    # and the isolated setting is live for s1's plans
+    df = s1.range(0, 1000).selectExpr("id % 7 AS k").groupBy("k").count()
+    parts = df.rdd.getNumPartitions()
+    assert parts <= 2

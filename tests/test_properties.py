@@ -711,3 +711,47 @@ def test_duplicated_spans_matches_bruteforce(spark, corpus):
             exp["longest"],
             exp["dup_words"],
         ), (i, corpus)
+
+
+def test_weighted_median_bisection_agrees_with_udaf(spark):
+    """Cross-implementation coherence: the fact-scale bisection and the
+    bounded-groups Arrow UDAF implement ONE pinned definition — run both
+    on the same (returnflag, linestatus) grouping and require identical
+    medians (the UDAF is the r9 contract, the bisection the r10 removal
+    of its scale asterisk; a definition drift between them would be
+    invisible to their separate oracles)."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_weighted_median,
+    )
+    from spark_stream_analyzer_spark.functions.udafs import weighted_median
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_extendedprice").cast("double").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+    )
+    udaf = {
+        (r.l_returnflag, r.l_linestatus): r.m
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(weighted_median("v", "w").alias("m"))
+        .collect()
+    }
+    bis = {
+        (r.l_returnflag, r.l_linestatus): r.m
+        for r in grouped_weighted_median(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            "v",
+            "w",
+            buckets=8,
+            finish_threshold=16,
+            median_col="m",
+        ).collect()
+    }
+    assert bis == udaf
