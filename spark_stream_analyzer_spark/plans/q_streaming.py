@@ -2585,3 +2585,94 @@ def q_streaming_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "streaming_table_version_tail",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) // 1000000) AS DOUBLE) + CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0), 6) AS price_msum6
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND((CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) // 1000000) AS DOUBLE) + CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0), 6)
+    FROM orders WHERE o_orderkey % 5 = 1
+    """,
+    doc="EXT LIVE streaming FROM the transactional table (r10 — the "
+    "Delta-streaming-source shape, closing the lakehouse loop: publish "
+    "-> tail -> enrich): a custom Python DataSource whose stream "
+    "OFFSETS are the table's committed VERSION numbers, discovered by "
+    "polling the manifest pointer (sources/table_datasource.py). The "
+    "fixture publishes v1 (orders keys %5=0), drains, publishes v2 "
+    "(keys %5=1) MID-QUERY, drains again: each version must be emitted "
+    "exactly once, tagged _version, the second discovered by a "
+    "separate micro-batch — immutable manifest-addressed snapshot dirs "
+    "give exactly-once on replay by construction. One input partition "
+    "per parquet file per version (publisher-controlled fan-out); rows "
+    "decode via pyarrow in the Python worker; schema discovered from "
+    "the committed footer at plan time",
+)
+def q_streaming_table_version_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spark_stream_analyzer_spark.sources.table_datasource import (
+        register_manifesttable,
+    )
+    from spark_stream_analyzer_spark.sources.tables import load_table
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        snapshot_dir,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssa_tabletail_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        d1 = snapshot_dir(root)
+        o.filter(F.col("o_orderkey") % 5 == 0).write.parquet(d1)
+        publish(root, d1, 1)
+
+        register_manifesttable(spark)
+        stream = (
+            spark.readStream.format("manifesttable").option("path", root).load()
+        )
+        name = f"ttail_{uuid.uuid4().hex[:8]}"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+        try:
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # drains v1
+                d2 = snapshot_dir(root)
+                o.filter(F.col("o_orderkey") % 5 == 1).write.parquet(d2)
+                publish(root, d2, 2)  # mid-query commit
+                q.processAllAvailable()  # v2 discovered incrementally
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = (
+            spark.table(name)
+            .groupBy(F.col("_version").alias("version"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                round6(msum6(F.col("o_totalprice"))).alias("price_msum6"),
+            )
+        )
+        # the sink table outlives the tempdir (memory sink), but the agg
+        # must materialize before root vanishes only if it re-reads the
+        # source — it reads the SINK, so a plain return is safe; still
+        # cut lineage so the fixture dir can be reclaimed immediately
+        from spark_stream_analyzer_spark.functions.materialize import (
+            lineage_cut,
+        )
+
+        return lineage_cut(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

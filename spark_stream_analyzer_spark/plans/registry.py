@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = (
     "lineitem_exact_percentiles_bisect",
     "events_k_anonymity",
     "orders_version_changes",
+    "streaming_table_version_tail",
     # -- round-10 changed-code rows (fresh driver row required) --
     "customer_name_fuzzy_pairs",  # empty-string deletion-key guard
     "customer_name_fuzzy_pairs_d2",

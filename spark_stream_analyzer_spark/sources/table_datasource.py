@@ -1,0 +1,147 @@
+"""``manifesttable`` Python DataSource: STREAM a transactional table.
+
+The lakehouse streaming-ingest shape (what Delta/Iceberg expose as
+"streaming from a table"): the stream's OFFSETS are the table's
+committed VERSION numbers, discovered by polling the manifest pointer —
+so a 24/7 pipeline tails a table other jobs publish to, with
+exactly-once delivery for free because every version's data dir is
+immutable and manifest-addressed (:mod:`.txn_publish`).
+
+Semantics: each committed version's snapshot rows are emitted exactly
+once, tagged ``_version``.  For append-style publishing (each version
+adds a new slice) this IS the row stream; for rewrite-style versions
+compose downstream with :func:`.txn_publish.version_changes` (the CDF
+op) or a keyed dedup.  Offsets live in the streaming checkpoint, so a
+restart resumes at the next uncommitted version — a replayed batch
+re-reads the same immutable dir and overwrites the same sink epoch.
+
+Parallelism: one input partition PER PARQUET FILE per version (the
+publisher controls file counts; a fact-scale snapshot fans out across
+the cluster).  Rows are decoded with pyarrow in the Python worker —
+the same Arrow path the rest of the Python DataSource family uses.
+
+Schema is discovered at planning time from the committed snapshot's
+parquet footer (subset mapping: int32/int64/float32/float64/string/
+bool — the types :mod:`.txn_publish` tables use), plus ``_version``.
+
+Reference scope note: the reference has no table-format tailing at all
+(its only stream source is Kafka) — this is EXT surface, the
+composition target being `publish -> tail -> enrich` pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_PA_TO_DDL = {
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+}
+
+
+def _manifest(root: str, version: int | None = None) -> dict | None:
+    name = "_manifest.json" if version is None else f"_manifest.v{version}.json"
+    path = os.path.join(root, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _snapshot_files(root: str, version: int) -> list[str]:
+    m = _manifest(root, version)
+    if m is None:
+        return []
+    d = m["dir"]
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+class _VersionFilePartition(InputPartition):
+    def __init__(self, path: str, version: int):
+        self.path = path
+        self.version = version
+
+
+class ManifestTableStreamReader(DataSourceStreamReader):
+    """Offsets = committed table versions (the Delta-source shape)."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.start_version = int(options.get("startingversion", 1))
+
+    def initialOffset(self):
+        return {"version": self.start_version - 1}
+
+    def latestOffset(self):
+        m = _manifest(self.root)
+        v = int(m["version"]) if m else self.start_version - 1
+        return {"version": v}
+
+    def partitions(self, start, end):
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            for f in _snapshot_files(self.root, v):
+                parts.append(_VersionFilePartition(f, v))
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+        v = partition.version
+        for row in zip(*cols):
+            yield (*row, v)
+
+    def commit(self, end):
+        pass  # snapshot dirs are immutable; vacuum policy is the table's
+
+
+class ManifestTableDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "manifesttable"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        root = self.options["path"]
+        m = _manifest(root)
+        if m is None:
+            raise ValueError(
+                f"manifesttable: no committed manifest under {root!r}"
+            )
+        files = _snapshot_files(root, int(m["version"]))
+        sch = pq.read_schema(files[0])
+        fields = []
+        for fld in sch:
+            ddl = _PA_TO_DDL.get(str(fld.type))
+            if ddl is None:
+                raise ValueError(
+                    f"manifesttable: unsupported parquet type {fld.type} "
+                    f"for column {fld.name!r} (supported: {_PA_TO_DDL})"
+                )
+            fields.append(f"{fld.name} {ddl}")
+        fields.append("_version bigint")
+        return ", ".join(fields)
+
+    def streamReader(self, schema):
+        return ManifestTableStreamReader(self.options)
+
+
+def register_manifesttable(spark) -> None:
+    spark.dataSource.register(ManifestTableDataSource)

@@ -151,6 +151,11 @@ PROBE_QUERIES = [
     # nothing (documented here instead of silently skipped).
     "streaming_ann_lookup",
     "streaming_dim_refresh_enrich",
+    # round-10: table-version tailing — 10× orders means two 10× snapshot
+    # writes + two 10× version drains; expected write/scan-volume bound
+    # with the micro-batch scheduling floor unchanged (2 versions either
+    # way), like streaming_cdc_upsert_publish
+    "streaming_table_version_tail",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
