@@ -79,10 +79,11 @@ _DRIVER_PRIORITY = (
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",
     "lineitem_exact_percentiles_bisect",
-    "events_k_anonymity",
     "orders_version_changes",
     "streaming_table_version_tail",
     # -- round-10 changed-code rows (fresh driver row required) --
+    "streaming_state_ttl_eviction",  # timer epoch from unix_millis (TZ fix)
+    "events_k_anonymity",  # hour-of-day from epoch arithmetic (TZ fix)
     "customer_name_fuzzy_pairs",  # empty-string deletion-key guard
     "customer_name_fuzzy_pairs_d2",
     "customer_spend_ranks",  # integer-div ntile arithmetic
@@ -103,7 +104,6 @@ _DRIVER_PRIORITY = (
     "streaming_cdc_upsert_publish",
     # -- round-8 changed-code rows (fresh driver row required) --
     "source_small_file_compaction",  # bound-derived verdict bits (ADVICE)
-    "streaming_state_ttl_eviction",  # non-empty-batch assertion (ADVICE)
     "dedup_minhash_lsh_pairs",  # default band_cap path (cold branch)
     "dedup_duplicate_clusters",  # edge-block release via RDD-id diff
     "dedup_lsh_recall_audit",
