@@ -156,6 +156,19 @@ def spark_l2sq_lit(a_expr: str, vec: list[float]) -> str:
     )
 
 
+def spark_l2sq(a_expr: str, b_expr: str) -> str:
+    """Squared L2 between two array columns (left-fold over dims —
+    bit-exact twin of :func:`duck_l2sq`: the 0-seeded fold and DuckDB's
+    first-element-seeded list_reduce agree exactly because 0 + x == x
+    in IEEE doubles)."""
+    return (
+        f"aggregate(zip_with({a_expr}, {b_expr},"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def spark_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
     """Count of tokens (with multiplicity) that are in the stopword set.
 

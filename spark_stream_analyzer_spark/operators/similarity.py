@@ -204,6 +204,75 @@ def kmeans_assign(
     return assign.select(id_col, "cluster_id")
 
 
+def kmeans_assign_join(
+    emb: DataFrame,
+    k: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's assignment for LARGE k — the scalable twin of
+    :func:`kmeans_assign`.
+
+    The literal-expression form inlines k centroid-distance structs into
+    ONE codegen expression: perfect for the 8-cell oracle rows, but at
+    production k (thousands — the "k grows with N" regime SemDeDup and
+    IVF live in) the expression blows past codegen limits and every k
+    re-plans the query. This form keeps centroids as DATA:
+
+    * distances via a broadcast join against the k-row centroid table
+      (``BroadcastNestedLoopJoin`` over a provably k-bounded side — the
+      N x k pair stream is the algorithm's irreducible work, and it
+      flows through one shuffle-free stage);
+    * argmin per vector = ``min(struct(dist, cid))`` — a plain
+      map-side-combinable aggregate, NO window;
+    * per-round centroid recompute stays DISTRIBUTED: (cluster, dim)
+      means -> round6 quantization -> arrays rebuilt via sorted
+      collect_list of k x dim rows — unlike :func:`kmeans_assign`, no
+      k x dim driver exchange; only the k seed vectors ever reach the
+      driver (init, bounded by construction).
+
+    Same pinned semantics as :func:`kmeans_assign` (id-seeded init,
+    round6-quantized means, (dist, cid) tie-break), so the unrolled
+    DuckDB oracle form is identical modulo k.
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col))
+    # init: first k vectors by id — k rows to the driver (bounded: the
+    # seed set), the only driver exchange in this variant
+    init = e.orderBy(id_col).limit(k).collect()
+    spark = emb.sparkSession
+    # cid = the seed vector's id (kmeans_assign's id-seeded naming)
+    cents = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in init],
+        "cid long, cvec array<double>",
+    )
+    dist = F.expr(TH.spark_l2sq(vec_col, "cvec"))
+    assign = None
+    for t in range(iters):
+        pairs = e.join(F.broadcast(cents)).withColumn("_d", dist)
+        assign = (
+            pairs.groupBy(id_col)
+            .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"))
+            .select(id_col, F.col("_m.cid").alias("cluster_id"))
+        )
+        if t < iters - 1:
+            cents = (
+                assign.join(e, id_col)
+                .select("cluster_id", F.posexplode(vec_col).alias("dim", "x"))
+                .groupBy("cluster_id", "dim")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+                .groupBy("cluster_id")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(dim, c))),"
+                        " s -> s.c)"
+                    ).alias("cvec")
+                )
+                .select(F.col("cluster_id").alias("cid"), "cvec")
+            )
+    return assign
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred: Column,

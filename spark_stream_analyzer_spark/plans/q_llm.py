@@ -626,13 +626,14 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
 
 
-# The unrolled 2-round Lloyd's k-means CTE chain (k=8, id-seeded,
+# The unrolled 2-round Lloyd's k-means CTE chain (id-seeded,
 # round6-quantized centroids) ending at a2(vec_id, cid) — shared by the
-# kmeans-assign oracle and the SemDeDup oracle (which builds on the final
-# assignment).
-_KMEANS_A2_SQL = f"""
+# kmeans-assign oracles (k=8 literal-expression form, k=64 join form)
+# and the SemDeDup oracle (which builds on the final assignment).
+def _kmeans_a2_sql(k: int) -> str:
+    return f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT {k}),
     d1 AS (SELECT e.vec_id, c0.cid, {TH.duck_l2sq('e.embedding', 'c0.cvec')} AS d
            FROM e CROSS JOIN c0),
     a1 AS (SELECT vec_id, cid FROM
@@ -650,6 +651,9 @@ _KMEANS_A2_SQL = f"""
     a2 AS (SELECT vec_id, cid FROM
             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM d2) WHERE rn = 1)"""
+
+
+_KMEANS_A2_SQL = _kmeans_a2_sql(8)
 
 
 @register(
@@ -2294,3 +2298,26 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         l=2,
     )
+
+
+@register(
+    "embedding_kmeans_bigk_assign",
+    oracle=f"""
+    {_kmeans_a2_sql(64)}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2
+    """,
+    doc="EXT scalable-k Lloyd's assignment (r10): the join form of "
+    "kmeans_assign for PRODUCTION k (the k-grows-with-N regime SemDeDup "
+    "and IVF live in, where inlining k centroid-distance structs into "
+    "one codegen expression stops scaling): centroids as a broadcast "
+    "k-row TABLE, distances through one BroadcastNestedLoopJoin over "
+    "the provably-k-bounded side, argmin as a map-side-combinable "
+    "min(struct(dist, cid)) aggregate (no window), per-round centroid "
+    "means recomputed DISTRIBUTED (k x dim rows, no driver exchange — "
+    "only the k seed vectors ever reach the driver). Same pinned "
+    "semantics as kmeans_assign (id-seeded, round6 means, (dist, cid) "
+    "tie-break), oracle = the same unrolled SQL at k=64; cross-form "
+    "parity pinned in tests at k=8",
+)
+def q_embedding_kmeans_bigk_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_assign_join(_emb(spark, sf_dir), k=64, iters=2)

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = (
     "lineitem_exact_percentiles_bisect",
     "orders_version_changes",
     "streaming_table_version_tail",
+    "embedding_kmeans_bigk_assign",
     # -- round-10 changed-code rows (fresh driver row required) --
     "streaming_state_ttl_eviction",  # timer epoch from unix_millis (TZ fix)
     "events_k_anonymity",  # hour-of-day from epoch arithmetic (TZ fix)

@@ -755,3 +755,25 @@ def test_weighted_median_bisection_agrees_with_udaf(spark):
         ).collect()
     }
     assert bis == udaf
+
+
+def test_kmeans_join_form_matches_literal_form(spark):
+    """The scalable-k join assignment must reproduce the
+    literal-expression form EXACTLY at a shared k — same id-seeded init,
+    same round6 centroid grid, same (dist, cid) tie-break; a drift here
+    would silently change every downstream IVF/SemDeDup clustering."""
+    from spark_stream_analyzer_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(emb, k=8, iters=2).collect()
+    }
+    jn = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign_join(emb, k=8, iters=2).collect()
+    }
+    assert jn == lit
