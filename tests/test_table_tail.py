@@ -1,0 +1,106 @@
+"""Manifest-table streaming source (r10): restart / exactly-once pins.
+
+The driver row (``streaming_table_version_tail``) proves mid-query
+incremental discovery; this suite pins the RESTART contract the
+exactly-once claim rests on: offsets live in the checkpoint, so a new
+query resuming from the same checkpoint emits ONLY versions committed
+after the last batch — never a re-read of already-delivered versions —
+and a version published while the stream was DOWN is picked up on
+resume (the catch-up path).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.sources.table_datasource import (
+    register_manifesttable,
+)
+from spark_stream_analyzer_spark.sources.txn_publish import publish, snapshot_dir
+
+
+def _publish_version(spark, root, version, ids):
+    d = snapshot_dir(str(root))
+    spark.createDataFrame(
+        [(i, f"v{version}") for i in ids], "k bigint, tag string"
+    ).coalesce(1).write.parquet(d)
+    publish(str(root), d, version)
+
+
+def _drain(spark, root, ckpt, out_dir):
+    """One run segment: foreachBatch-append into a parquet dir (the
+    memory sink refuses checkpoint recovery, so restart tests need a
+    recoverable sink)."""
+
+    def _sink(bdf, bid):
+        if bdf.count():
+            bdf.withColumn("_batch", F.lit(bid)).write.mode("append").parquet(
+                str(out_dir)
+            )
+
+    q = (
+        spark.readStream.format("manifesttable")
+        .option("path", str(root))
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_restart_resumes_at_next_version_exactly_once(spark, tmp_path):
+    root = tmp_path / "table"
+    root.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    register_manifesttable(spark)
+
+    _publish_version(spark, root, 1, [1, 2, 3])
+    _drain(spark, root, ckpt, out)
+    got1 = {(r.k, r.tag, r._version) for r in spark.read.parquet(str(out)).collect()}
+    assert got1 == {(1, "v1", 1), (2, "v1", 1), (3, "v1", 1)}
+
+    # version published while the stream is DOWN -> catch-up on resume;
+    # v1 must NOT be re-emitted (the sink would show duplicate v1 rows)
+    _publish_version(spark, root, 2, [10, 11])
+    _drain(spark, root, ckpt, out)
+    got2 = {(r.k, r.tag, r._version) for r in spark.read.parquet(str(out)).collect()}
+    assert got2 == got1 | {(10, "v2", 2), (11, "v2", 2)}
+    assert spark.read.parquet(str(out)).count() == 5  # no re-emission
+
+    # nothing new -> an idle resume emits nothing
+    _drain(spark, root, ckpt, out)
+    assert spark.read.parquet(str(out)).count() == 5
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    root = tmp_path / "table"
+    root.mkdir()
+    register_manifesttable(spark)
+    _publish_version(spark, root, 1, [1])
+    _publish_version(spark, root, 2, [2])
+    name = f"tts_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifesttable")
+        .option("path", str(root))
+        .option("startingversion", "2")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.k, r._version) for r in spark.table(name).collect()}
+    assert got == {(2, 2)}
+    spark.catalog.dropTempView(name)
