@@ -77,11 +77,22 @@ class _VersionFilePartition(InputPartition):
 
 
 class ManifestTableStreamReader(DataSourceStreamReader):
-    """Offsets = committed table versions (the Delta-source shape)."""
+    """Offsets = committed table versions (the Delta-source shape).
+
+    ``maxversionspertrigger`` (option, default unlimited) is ADMISSION
+    CONTROL: a stream restarting into a deep backlog of committed
+    versions drains them as bounded micro-batches instead of one giant
+    catch-up batch — the same throttle-watermark pattern as the wirelog
+    source's ``maxfilespertrigger`` (driver-local ``_planned``, re-based
+    from the first ``partitions()`` call after a restart; a momentary
+    start > end slice plans one empty batch, never a re-read).
+    """
 
     def __init__(self, options):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 1))
+        self.max_versions = int(options.get("maxversionspertrigger", 0)) or None
+        self._planned = self.start_version - 1
 
     def initialOffset(self):
         return {"version": self.start_version - 1}
@@ -89,9 +100,15 @@ class ManifestTableStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         m = _manifest(self.root)
         v = int(m["version"]) if m else self.start_version - 1
+        if self.max_versions is not None:
+            v = min(v, self._planned + self.max_versions)
+        self._planned = max(self._planned, v)
         return {"version": v}
 
     def partitions(self, start, end):
+        self._planned = max(
+            self._planned, int(start["version"]), int(end["version"])
+        )
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for f in _snapshot_files(self.root, v):

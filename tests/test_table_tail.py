@@ -104,3 +104,41 @@ def test_starting_version_skips_history(spark, tmp_path):
     got = {(r.k, r._version) for r in spark.table(name).collect()}
     assert got == {(2, 2)}
     spark.catalog.dropTempView(name)
+
+
+def test_maxversionspertrigger_throttles_catchup(spark, tmp_path):
+    """A 4-version backlog with maxversionspertrigger=1 must drain as
+    multiple bounded micro-batches — distinct batch ids per version —
+    and still deliver every version exactly once."""
+    root = tmp_path / "table"
+    root.mkdir()
+    register_manifesttable(spark)
+    for v in range(1, 5):
+        _publish_version(spark, root, v, [v * 10])
+    out = tmp_path / "out"
+
+    def _sink(bdf, bid):
+        if bdf.count():
+            bdf.withColumn("_batch", F.lit(bid)).write.mode("append").parquet(
+                str(out)
+            )
+
+    q = (
+        spark.readStream.format("manifesttable")
+        .option("path", str(root))
+        .option("maxversionspertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    assert {(r.k, r._version) for r in rows} == {
+        (10, 1), (20, 2), (30, 3), (40, 4)
+    }
+    # one version per micro-batch: 4 distinct batch ids
+    assert len({r._batch for r in rows}) == 4
