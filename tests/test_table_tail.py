@@ -142,3 +142,45 @@ def test_maxversionspertrigger_throttles_catchup(spark, tmp_path):
     }
     # one version per micro-batch: 4 distinct batch ids
     assert len({r._batch for r in rows}) == 4
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=10),
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=10),
+)
+def test_version_changes_matches_bruteforce(spark, tmp_path_factory, pre, post):
+    """Delta-CDF semantics against a dict diff: inserts/deletes/updates
+    classified exactly; byte-equal rows emit NOTHING; updates emit both
+    pre- and post-image rows."""
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        snapshot_dir,
+        version_changes,
+    )
+
+    root = str(tmp_path_factory.mktemp("vdiff"))
+    for v, data in ((1, pre), (2, post)):
+        d = snapshot_dir(root)
+        spark.createDataFrame(
+            [(k, val) for k, val in data.items()] or [(None, None)],
+            "k bigint, val bigint",
+        ).where("k IS NOT NULL").coalesce(1).write.parquet(d)
+        publish(root, d, v)
+    got = {
+        (r.k, r.val, r.change_type)
+        for r in version_changes(spark, root, 1, 2, ["k"]).collect()
+    }
+    want = set()
+    for k in post.keys() - pre.keys():
+        want.add((k, post[k], "insert"))
+    for k in pre.keys() - post.keys():
+        want.add((k, pre[k], "delete"))
+    for k in pre.keys() & post.keys():
+        if pre[k] != post[k]:
+            want.add((k, pre[k], "update_preimage"))
+            want.add((k, post[k], "update_postimage"))
+    assert got == want
