@@ -311,9 +311,16 @@ def main() -> None:
             spark.catalog.dropTempView(_tpt_name)
             stream_tp = {
                 "n_events": _tp_events,
+                "n_lines": _tp_lines,
+                "n_batches": _tp_batches,
                 "native_events_per_sec": round(_tp_events / _nat_sec),
                 "pandas_twin_events_per_sec": round(_tp_events / _twin_sec),
                 "band": STREAM_TP_BAND,
+                # this host's micro-batch calib rides along so the detail
+                # JSON is a COMPLETE baseline-refresh source — omitting it
+                # would silently disable cross-host scaling next time the
+                # baseline is regenerated from a bench run (r10 review)
+                "stream_calib_sec": stream_calib,
             }
         finally:
             _sh.rmtree(_tpdir, ignore_errors=True)

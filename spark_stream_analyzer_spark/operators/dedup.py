@@ -1031,18 +1031,16 @@ def semdedup_keep_list(
     trade: more clusters => smaller c_i.  All cosines use the pinned
     left-fold double dot product (bit-exact DuckDB twin).
     """
+    from spark_stream_analyzer_spark.operators.similarity import (
+        centroid_arrays,
+    )
+
     e = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
-    # final-cluster centroids: (cluster, dim) means -> re-assembled arrays
-    cent = (
-        e.select("cluster_id", F.posexplode(vec_col).alias("dim", "x"))
-        .groupBy("cluster_id", "dim")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
-        .groupBy("cluster_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
-            ).alias("_cent")
-        )
+    # final-cluster centroids: the shared round6 assembly (one contract
+    # with the kmeans forms and their oracles), plus the centroid norm
+    # computed ONCE per cluster in the k-row table — not per member row
+    cent = centroid_arrays(e, "cluster_id", vec_col, "_cent").withColumn(
+        "_cnrm", F.expr(f"sqrt({TH.spark_dot('_cent', '_cent')})")
     )
     scored = (
         e.join(F.broadcast(cent), "cluster_id")
@@ -1053,10 +1051,7 @@ def semdedup_keep_list(
         .withColumn(
             "_cos_c",
             F.expr(TH.spark_dot(vec_col, "_cent"))
-            / (
-                F.col("_nrm")
-                * F.expr(f"sqrt({TH.spark_dot('_cent', '_cent')})")
-            ),
+            / (F.col("_nrm") * F.col("_cnrm")),
         )
         .withColumn(
             "_rnk",

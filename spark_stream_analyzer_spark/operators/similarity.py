@@ -204,6 +204,33 @@ def kmeans_assign(
     return assign.select(id_col, "cluster_id")
 
 
+def centroid_arrays(
+    assigned: DataFrame,
+    key_col: str = "cluster_id",
+    vec_col: str = "embedding",
+    out_col: str = "cvec",
+) -> DataFrame:
+    """Distributed round6-quantized centroid means, re-assembled as
+    arrays: (key, dim) means -> ROUND(.., 6) -> sorted collect_list.
+
+    This expression is a CROSS-IMPLEMENTATION CONTRACT: the kmeans
+    oracles, the SemDeDup oracle, and the k=8 cross-form parity test
+    all depend on the exact round6 grid and dim ordering — it lives in
+    one place so an edit cannot silently diverge one consumer (r10
+    review: it had been restated in three)."""
+    return (
+        assigned.select(key_col, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(key_col, "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy(key_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+            ).alias(out_col)
+        )
+    )
+
+
 def kmeans_assign_join(
     emb: DataFrame,
     k: int = 64,
@@ -236,6 +263,8 @@ def kmeans_assign_join(
     round6-quantized means, (dist, cid) tie-break), so the unrolled
     DuckDB oracle form is identical modulo k.
     """
+    if iters < 1:
+        raise ValueError("kmeans_assign_join needs iters >= 1")
     e = emb.select(F.col(id_col), F.col(vec_col))
     # init: first k vectors by id — k rows to the driver (bounded: the
     # seed set), the only driver exchange in this variant
@@ -256,20 +285,9 @@ def kmeans_assign_join(
             .select(id_col, F.col("_m.cid").alias("cluster_id"))
         )
         if t < iters - 1:
-            cents = (
-                assign.join(e, id_col)
-                .select("cluster_id", F.posexplode(vec_col).alias("dim", "x"))
-                .groupBy("cluster_id", "dim")
-                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
-                .groupBy("cluster_id")
-                .agg(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(dim, c))),"
-                        " s -> s.c)"
-                    ).alias("cvec")
-                )
-                .select(F.col("cluster_id").alias("cid"), "cvec")
-            )
+            cents = centroid_arrays(
+                assign.join(e, id_col), "cluster_id", vec_col, "cvec"
+            ).select(F.col("cluster_id").alias("cid"), "cvec")
     return assign
 
 

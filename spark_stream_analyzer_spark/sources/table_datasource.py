@@ -83,9 +83,22 @@ class ManifestTableStreamReader(DataSourceStreamReader):
     CONTROL: a stream restarting into a deep backlog of committed
     versions drains them as bounded micro-batches instead of one giant
     catch-up batch — the same throttle-watermark pattern as the wirelog
-    source's ``maxfilespertrigger`` (driver-local ``_planned``, re-based
-    from the first ``partitions()`` call after a restart; a momentary
-    start > end slice plans one empty batch, never a re-read).
+    source's ``maxfilespertrigger``.
+
+    Restart safety (r10 code-review finding): the throttle watermark
+    ``_planned`` is driver-local, and the Python offset API gives
+    ``latestOffset`` no start argument — so after a RESTART the first
+    ``latestOffset`` runs before the reader has learned the engine's
+    committed offset, and capping there would return an offset BELOW
+    the committed one; Spark logs that regressed end and the NEXT batch
+    re-reads (re-delivers) versions — an exactly-once violation. The
+    throttle therefore only engages once the position is KNOWN — and
+    the engine calls ``latestOffset`` BEFORE ``initialOffset`` even on
+    a fresh start (measured), so the honest contract under this API is:
+    the FIRST batch of any run (fresh or restarted) is unthrottled;
+    every later batch throttles. The JVM sources avoid this via
+    ``SupportsAdmissionControl.latestOffset(start, limit)``, which the
+    Python API does not expose.
     """
 
     def __init__(self, options):
@@ -93,14 +106,18 @@ class ManifestTableStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingversion", 1))
         self.max_versions = int(options.get("maxversionspertrigger", 0)) or None
         self._planned = self.start_version - 1
+        self._position_known = False
 
     def initialOffset(self):
+        # only called on a FRESH start — the position IS the configured
+        # start, so throttling is safe from the first batch
+        self._position_known = True
         return {"version": self.start_version - 1}
 
     def latestOffset(self):
         m = _manifest(self.root)
         v = int(m["version"]) if m else self.start_version - 1
-        if self.max_versions is not None:
+        if self.max_versions is not None and self._position_known:
             v = min(v, self._planned + self.max_versions)
         self._planned = max(self._planned, v)
         return {"version": v}
@@ -109,6 +126,7 @@ class ManifestTableStreamReader(DataSourceStreamReader):
         self._planned = max(
             self._planned, int(start["version"]), int(end["version"])
         )
+        self._position_known = True
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for f in _snapshot_files(self.root, v):
@@ -116,13 +134,19 @@ class ManifestTableStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
+        # yield Arrow RecordBatches directly — stays on the Arrow path
+        # end-to-end and streams the file in chunks; materializing
+        # columns as Python lists and pickling row tuples was measured
+        # as the slow path for fact-scale snapshot files (r10 review)
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
-        cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
-        v = partition.version
-        for row in zip(*cols):
-            yield (*row, v)
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            yield batch.append_column(
+                "_version",
+                pa.array([partition.version] * batch.num_rows, type=pa.int64()),
+            )
 
     def commit(self, end):
         pass  # snapshot dirs are immutable; vacuum policy is the table's
@@ -143,6 +167,12 @@ class ManifestTableDataSource(DataSource):
                 f"manifesttable: no committed manifest under {root!r}"
             )
         files = _snapshot_files(root, int(m["version"]))
+        if not files:
+            raise ValueError(
+                f"manifesttable: committed version {m['version']} under "
+                f"{root!r} has no parquet files (empty-partition write?) — "
+                "cannot discover a schema"
+            )
         sch = pq.read_schema(files[0])
         fields = []
         for fld in sch:

@@ -109,33 +109,41 @@ class WireLogStreamReader(DataSourceStreamReader):
     backlog at production scale.
 
     The throttle watermark (``_planned``) is driver-local, not
-    checkpointed: after a restart it re-bases from the first
-    ``partitions()`` call's offsets (the engine replays the WAL batch
-    before asking for new offsets). The one committed-restart corner —
-    ``latestOffset`` running before any ``partitions()`` — can
-    momentarily return an offset below the restored one, which plans a
-    single EMPTY batch (a start > end slice reads nothing, so no
-    re-read and no loss), after which the watermark has re-based and
-    throttling resumes.
+    checkpointed. The committed-restart corner (r10 code-review
+    finding — the r8 note here previously called it safe, wrongly):
+    ``latestOffset`` running before any ``partitions()`` after a
+    restart would return a throttle-capped offset BELOW the engine's
+    committed one; the empty start > end batch itself reads nothing,
+    but Spark LOGS the regressed end, and the batch after it re-reads
+    (re-emits) the gap — duplicate delivery. The throttle therefore
+    only engages once the reader's position is KNOWN (the engine calls
+    ``latestOffset`` before ``initialOffset`` even on a fresh start, so
+    that means: after the first ``partitions()`` call). Documented
+    consequence: the FIRST batch of any run is unthrottled (the Python
+    offset API has no start-aware ``latestOffset``); all later batches
+    throttle.
     """
 
     def __init__(self, options):
         self.path = options["path"]
         self.max_files = int(options.get("maxfilespertrigger", 0)) or None
         self._planned = 0
+        self._position_known = False
 
     def initialOffset(self):
+        self._position_known = True  # fresh start: position = 0
         return {"n_files": 0}
 
     def latestOffset(self):
         avail = len(_list_files(self.path))
-        if self.max_files is not None:
+        if self.max_files is not None and self._position_known:
             avail = min(avail, self._planned + self.max_files)
         self._planned = max(self._planned, avail)
         return {"n_files": avail}
 
     def partitions(self, start, end):
         self._planned = max(self._planned, start["n_files"], end["n_files"])
+        self._position_known = True
         names = _list_files(self.path)[start["n_files"] : end["n_files"]]
         return [_FilePartition(self.path, n) for n in names]
 

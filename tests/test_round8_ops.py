@@ -106,9 +106,12 @@ def test_chunk_udtf_matches_explode_form_and_plan_shapes(spark):
 
 
 def test_wirelog_stream_reader_maxfilespertrigger_throttles_batches(spark, tmp_path):
-    """Admission control: a 6-file backlog with maxfilespertrigger=2
-    must drain in 3 bounded micro-batches, covering every row exactly
-    once — not one giant catch-up batch."""
+    """Admission control: the FIRST batch of a run is unthrottled by
+    API necessity (r10: latestOffset runs before the reader can know
+    its position; capping there regresses offsets after a restart and
+    re-delivers data — see the reader docstring). Steady-state, a
+    6-file backlog with maxfilespertrigger=2 drains in 3 bounded
+    micro-batches, every row exactly once."""
     import os
 
     from spark_stream_analyzer_spark.sources.wire_datasource import register_wirelog
@@ -116,9 +119,8 @@ def test_wirelog_stream_reader_maxfilespertrigger_throttles_batches(spark, tmp_p
     register_wirelog(spark)
     src = str(tmp_path / "src")
     os.makedirs(src)
-    for i in range(6):
-        with open(f"{src}/{i:03d}.txt", "w") as f:
-            f.write(f"row-{i}\n")
+    with open(f"{src}/seed.txt", "w") as f:
+        f.write("row-seed\n")
     q = (
         spark.readStream.format("wirelog")
         .options(path=src, maxfilespertrigger="2")
@@ -129,14 +131,18 @@ def test_wirelog_stream_reader_maxfilespertrigger_throttles_batches(spark, tmp_p
         .start()
     )
     try:
+        q.processAllAvailable()  # batch 0: the seed file (unthrottled)
+        for i in range(6):  # backlog lands mid-run
+            with open(f"{src}/z{i:03d}.txt", "w") as f:
+                f.write(f"row-{i}\n")
         q.processAllAvailable()
         batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     finally:
         q.stop()
     got = {r.value for r in spark.table("throttle_t").collect()}
-    assert got == {f"row-{i}" for i in range(6)}
-    assert len(batches) == 3
-    assert all(p["numInputRows"] == 2 for p in batches)
+    assert got == {"row-seed"} | {f"row-{i}" for i in range(6)}
+    steady = [p for p in batches if p["numInputRows"] == 2]
+    assert len(steady) == 3  # the backlog drained as 3 bounded batches
     spark.catalog.dropTempView("throttle_t")
 
 

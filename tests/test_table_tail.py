@@ -106,15 +106,15 @@ def test_starting_version_skips_history(spark, tmp_path):
     spark.catalog.dropTempView(name)
 
 
-def test_maxversionspertrigger_throttles_catchup(spark, tmp_path):
-    """A 4-version backlog with maxversionspertrigger=1 must drain as
-    multiple bounded micro-batches — distinct batch ids per version —
-    and still deliver every version exactly once."""
+def test_maxversionspertrigger_throttles_steady_state(spark, tmp_path):
+    """The FIRST batch of a run is unthrottled by API necessity (the
+    engine asks latestOffset before the reader can know its position —
+    see the reader docstring); once running, a multi-version backlog
+    drains one version per micro-batch, every version exactly once."""
     root = tmp_path / "table"
     root.mkdir()
     register_manifesttable(spark)
-    for v in range(1, 5):
-        _publish_version(spark, root, v, [v * 10])
+    _publish_version(spark, root, 1, [10])
     out = tmp_path / "out"
 
     def _sink(bdf, bid):
@@ -133,14 +133,17 @@ def test_maxversionspertrigger_throttles_catchup(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()  # batch 0: v1 (unthrottled first batch)
+        for v in range(2, 5):  # a 3-version backlog lands mid-run
+            _publish_version(spark, root, v, [v * 10])
+        q.processAllAvailable()  # throttled: one version per batch
     finally:
         q.stop()
     rows = spark.read.parquet(str(out)).collect()
     assert {(r.k, r._version) for r in rows} == {
         (10, 1), (20, 2), (30, 3), (40, 4)
     }
-    # one version per micro-batch: 4 distinct batch ids
+    # v2-v4 each in their OWN micro-batch (plus batch 0 for v1)
     assert len({r._batch for r in rows}) == 4
 
 
@@ -184,3 +187,45 @@ def test_version_changes_matches_bruteforce(spark, tmp_path_factory, pre, post):
             want.add((k, pre[k], "update_preimage"))
             want.add((k, post[k], "update_postimage"))
     assert got == want
+
+
+def test_throttled_restart_never_redelivers(spark, tmp_path):
+    """The r10 code-review scenario: drain v1-v4 under
+    maxversionspertrigger=1, STOP, publish v5-v6, RESTART with the same
+    throttle. The cold first latestOffset must not regress below the
+    committed offset (which would make the next batch re-deliver v2-v4);
+    resume emits exactly v5-v6, nothing twice."""
+    root = tmp_path / "table"
+    root.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    register_manifesttable(spark)
+    for v in range(1, 5):
+        _publish_version(spark, root, v, [v * 10])
+
+    def _sink(bdf, bid):
+        if bdf.count():
+            bdf.write.mode("append").parquet(str(out))
+
+    def _run():
+        q = (
+            spark.readStream.format("manifesttable")
+            .option("path", str(root))
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run()
+    assert spark.read.parquet(str(out)).count() == 4
+    for v in (5, 6):
+        _publish_version(spark, root, v, [v * 10])
+    _run()  # restart: new reader instance, cold _planned
+    rows = [(r.k, r._version) for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(rows) == [(v * 10, v) for v in range(1, 7)]  # no dupes
