@@ -73,12 +73,18 @@ def salted_agg(
     hash-agg map spills and one reducer still receives a mega-key's
     partials alongside millions of others.
 
-    The salt here stays ``monotonically_increasing_id``-based ON PURPOSE
-    (unlike :func:`salted_join`): for decomposable aggregates ANY
-    per-row salt assignment yields the same merged result (a retried map
-    task regenerates its shuffle output wholesale, so partials are never
-    double-counted), and a row-id salt spreads even fully-duplicate rows
-    of a hot key, which a content hash would concentrate on one salt.
+    The salt is a DETERMINISTIC content hash over every column (like
+    :func:`salted_join`), not ``monotonically_increasing_id``: a row-id
+    salt is nondeterministic under shuffle-fetch-failure recomputation
+    (the same row can land on a different salt in the regenerated map
+    output while some reducers already consumed the old output — and
+    nondeterministic SQL expressions do NOT mark the stage indeterminate
+    for Spark's rollback, which only the round-robin-repartition case
+    got; r10 review), silently double- or under-counting partials.
+    Trade-off, documented: rows that are FULLY identical (every column)
+    concentrate on one salt — real fact rows carry ids/timestamps, so
+    the spread survives; a corpus of byte-identical rows should be
+    pre-aggregated first anyway.
     """
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     level1 = [
@@ -87,6 +93,7 @@ def salted_agg(
     ]
     level2 = [merge_fn[fn](out).alias(out) for out, (_, fn) in aggs.items()]
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)),
     )
     return salted.groupBy(*keys, "_salt").agg(*level1).groupBy(*keys).agg(*level2)

@@ -178,9 +178,16 @@ def spark_stop_hits(words_expr: str, stopwords: tuple[str, ...]) -> str:
     are clean ``[a-z0-9]+`` runs separated by single spaces, so
     ``(?:^| )word(?= |$)`` matches exactly the stopword tokens; the
     lookahead keeps the trailing separator unconsumed so consecutive
-    stopwords all match.
+    stopwords all match. Each word is regex-ESCAPED: the function is
+    public and takes arbitrary tuples, and an unescaped metacharacter
+    ("c++") would diverge from duck_stop_hits' exact list membership —
+    the bit-parity contract this module exists for (r10 review).
     """
-    alt = "|".join(stopwords)
+    import re as _re
+
+    # spark_escape doubles the escape backslashes: Spark's SQL parser
+    # consumes single backslashes inside '…' literals (see its docstring)
+    alt = "|".join(spark_escape(_re.escape(w)) for w in stopwords)
     return (
         f"size(regexp_extract_all(array_join({words_expr}, ' '),"
         f" '(?:^| )(?:{alt})(?= |$)', 0))"

@@ -72,14 +72,15 @@ class ControlServer:
                     else:
                         ok = controller.start(factory)
                     self._reply(200 if ok else 409, {"started": ok})
-                elif self.path == "/stop":
+                elif parsed.path == "/stop":
                     ok = controller.stop()
                     self._reply(200 if ok else 409, {"stopped": ok})
                 else:
                     self._reply(404, {"error": "unknown route"})
 
             def do_GET(self) -> None:  # noqa: N802 - http.server API
-                if self.path == "/status":
+                # parsed path, not raw: /status?src=ui must route too
+                if urllib.parse.urlparse(self.path).path == "/status":
                     self._reply(200, controller.status())
                 else:
                     self._reply(404, {"error": "unknown route"})

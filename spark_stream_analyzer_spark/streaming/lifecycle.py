@@ -57,10 +57,14 @@ class StreamController:
         return self._query is not None and self._query.isActive
 
     def status(self) -> dict:
-        if self._query is None:
+        # snapshot once: a concurrent stop() (ThreadingHTTPServer runs
+        # /status and /stop on different threads) may null self._query
+        # between the check and the dereferences (r10 review)
+        q = self._query
+        if q is None:
             return {"running": False}
         return {
-            "running": self._query.isActive,
-            "id": str(self._query.id),
-            "last_progress": self._query.lastProgress,
+            "running": q.isActive,
+            "id": str(q.id),
+            "last_progress": q.lastProgress,
         }

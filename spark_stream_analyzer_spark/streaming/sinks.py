@@ -106,8 +106,21 @@ def jdbc_snapshot_batch_writer(url: str, table: str, driver: str | None = None):
             _jdbc_execute(
                 spark, url, f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}', driver
             )
-        except Exception:  # noqa: BLE001 — table does not exist yet (first batch)
-            pass
+        except Exception:  # noqa: BLE001
+            # ONLY missing-table (first batch, append creates it below)
+            # may be swallowed. A transient DELETE failure on an EXISTING
+            # table must abort the batch — swallowing it and appending
+            # would duplicate the replayed batch's rows, silently voiding
+            # the sink's exactly-once contract (r10 review)
+            try:
+                spark.read.jdbc(
+                    url=url, table=f"(SELECT 1 FROM {table} WHERE 1=0) t",
+                    properties=props,
+                ).collect()  # bounded: zero-row existence probe
+            except Exception:  # noqa: BLE001 — table truly absent
+                pass
+            else:
+                raise
         (
             batch_df.withColumn("batch_id", F.lit(int(batch_id)))
             .write.jdbc(url=url, table=table, mode="append", properties=props)

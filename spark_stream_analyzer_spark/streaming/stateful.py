@@ -74,27 +74,21 @@ def running_player_stats_stream(events: DataFrame) -> DataFrame:
     return derived_metrics(events.groupBy("steam_id").agg(*counter_aggs()))
 
 
-def _make_update_snapshots():
-    """Build the applyInPandasWithState updater as a CLOSURE.
+def _make_snapshot_fold():
+    """The ONE per-batch fold both stateful APIs wrap (r10 review: it had
+    been restated verbatim in each, a drift hazard for the module's
+    parity claim). Mirrors reference PlayerStatsUpdater.updatePlayerStats:
+    fold the batch's events into carried counters, compute derived
+    metrics, return ``(new_state_tuple, emitted_row_dict)``.
 
-    Deliberately not a module-level function: cloudpickle serializes
-    module-level functions by reference, which would require this package
-    to be importable inside executor Python workers (it is not, when the
-    driver runs from another cwd — e.g. the grading harness). A closure
-    is pickled by value and only needs pandas on the workers.
+    Closure-built so cloudpickle serializes it by value (module-level
+    functions pickle by reference and would require this package on
+    executor Python workers).
     """
     import pandas as pd  # rebind locally so the closure is self-contained
 
-    def update_snapshots(
-        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
-    ) -> Iterable["pd.DataFrame"]:
-        # Mirrors reference PlayerStatsUpdater.updatePlayerStats: load or
-        # init state, fold the batch's events into counters, store, emit
-        # one snapshot with batch-local max(second)/max(round).
-        (steam_id,) = key
-        kills, deaths, assists, damage, name = (
-            state.get if state.exists else (0, 0, 0, 0.0, "")
-        )
+    def fold(steam_id, pdfs, carried):
+        kills, deaths, assists, damage, name = carried
         cur_second = 0
         cur_round = 0
         batch_name = ""
@@ -114,24 +108,38 @@ def _make_update_snapshots():
         # recomputes the first non-blank name per batch; stored name is only
         # the fallback when the whole batch is blank)
         name = batch_name or name
-        state.update((kills, deaths, assists, damage, name))
         kd = float(kills) if deaths == 0 else kills / deaths
         dpr = None if cur_round == 0 else damage / cur_round
-        yield pd.DataFrame(
-            [
-                {
-                    "steam_id": steam_id,
-                    "player_name": name,
-                    "second": cur_second,
-                    "kills": kills,
-                    "deaths": deaths,
-                    "assists": assists,
-                    "damage": damage,
-                    "kd_ratio": kd,
-                    "damage_per_round": dpr,
-                }
-            ]
-        )
+        row = {
+            "steam_id": steam_id,
+            "player_name": name,
+            "second": cur_second,
+            "kills": kills,
+            "deaths": deaths,
+            "assists": assists,
+            "damage": damage,
+            "kd_ratio": kd,
+            "damage_per_round": dpr,
+        }
+        return (kills, deaths, assists, damage, name), row
+
+    return fold
+
+
+def _make_update_snapshots():
+    """The applyInPandasWithState wrapper around the shared fold."""
+    import pandas as pd
+
+    fold = _make_snapshot_fold()
+
+    def update_snapshots(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterable["pd.DataFrame"]:
+        (steam_id,) = key
+        carried = state.get if state.exists else (0, 0, 0, 0.0, "")
+        new_state, row = fold(steam_id, pdfs, carried)
+        state.update(new_state)
+        yield pd.DataFrame([row])
 
     return update_snapshots
 
@@ -162,51 +170,22 @@ def _make_snapshot_processor():
 
     state_ddl = "kills BIGINT, deaths BIGINT, assists BIGINT, damage DOUBLE, name STRING"
 
+    fold = _make_snapshot_fold()
+
     class SnapshotProcessor(StatefulProcessor):
         def init(self, handle):
             self._player = handle.getValueState("player", state_ddl)
 
         def handleInputRows(self, key, rows, timerValues):
             (steam_id,) = key
-            if self._player.exists():
-                kills, deaths, assists, damage, name = self._player.get()
-            else:
-                kills, deaths, assists, damage, name = 0, 0, 0, 0.0, ""
-            cur_second = 0
-            cur_round = 0
-            batch_name = ""
-            for pdf in rows:
-                kills += int((pdf["type"] == "kill").sum())
-                deaths += int((pdf["type"] == "death").sum())
-                assists += int((pdf["type"] == "assist").sum())
-                dmg = pdf.loc[pdf["type"] == "damage", "amount"].sum()
-                damage += float(0.0 if pd.isna(dmg) else dmg)
-                cur_second = max(cur_second, int(pdf["second"].max()))
-                cur_round = max(cur_round, int(pdf["round"].max()))
-                if not batch_name:
-                    nonblank = pdf.loc[pdf["player"] != "", "player"]
-                    if len(nonblank):
-                        batch_name = str(nonblank.iloc[0])
-            # batch-first name precedence (see _make_update_snapshots)
-            name = batch_name or name
-            self._player.update((kills, deaths, assists, damage, name))
-            kd = float(kills) if deaths == 0 else kills / deaths
-            dpr = None if cur_round == 0 else damage / cur_round
-            yield pd.DataFrame(
-                [
-                    {
-                        "steam_id": steam_id,
-                        "player_name": name,
-                        "second": cur_second,
-                        "kills": kills,
-                        "deaths": deaths,
-                        "assists": assists,
-                        "damage": damage,
-                        "kd_ratio": kd,
-                        "damage_per_round": dpr,
-                    }
-                ]
+            carried = (
+                self._player.get()
+                if self._player.exists()
+                else (0, 0, 0, 0.0, "")
             )
+            new_state, row = fold(steam_id, rows, carried)
+            self._player.update(new_state)
+            yield pd.DataFrame([row])
 
         def close(self):
             pass
@@ -264,6 +243,12 @@ TTL_STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("total", LongType()),
+        # max event-time ever seen for the key: the timer must be armed
+        # from this, not the current batch's max — a late-but-valid
+        # straggler would otherwise REGRESS the timer (early eviction),
+        # and a very late one would arm at/below the watermark, which
+        # raises and kills the query (r10 review)
+        StructField("last_ms", LongType()),
     ]
 )
 
@@ -279,14 +264,13 @@ def _make_ttl_update(gap_seconds: int):
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
-            n, tot = state.get
+            n, tot, _last = state.get
             state.remove()
             yield pd.DataFrame(
                 [{"user_id": user_id, "n_events": n, "total": tot, "evicted": 1}]
             )
             return
-        n, tot = state.get if state.exists else (0, 0)
-        last_ms = 0
+        n, tot, last_ms = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += int(len(pdf))
             tot += int(pdf["val"].sum())
@@ -297,8 +281,14 @@ def _make_ttl_update(gap_seconds: int):
             # watermark and the query dies (caught by the r10
             # TZ=America/New_York sweep)
             last_ms = max(last_ms, int(pdf["ts_ms"].max()))
-        state.update((n, tot))
-        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        state.update((n, tot, last_ms))
+        # arm from the max ts EVER seen (state-carried), never the
+        # current batch alone: a late straggler must not regress the
+        # timer; and clamp above the watermark — arbitrary stateful ops
+        # do NOT drop late input, and an at-or-below-watermark timestamp
+        # raises and kills the query (r10 review)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + gap_seconds * 1000, wm + 1))
         yield pd.DataFrame(
             [{"user_id": user_id, "n_events": n, "total": tot, "evicted": 0}]
         )
