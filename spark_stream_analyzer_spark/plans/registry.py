@@ -75,12 +75,30 @@ _LOADED = False
 #: ~50 sample slots) — drop a name from the older section when a new
 #: round re-touches it; test_driver_priority_names_all_resolve enforces.
 _DRIVER_PRIORITY = (
+    # -- round-11 head: the 8 rows the r10 verdict flagged as NEVER
+    # driver-sampled (r9 additions that landed after the r9 sample was
+    # taken and were then displaced by the r10 head).  These must stay at
+    # the very top until each has a green CORRECTNESS row; the structural
+    # guard test_never_sampled_rows_lead_driver_priority derives this set
+    # from the CORRECTNESS_r*.json history and fails if any member sits
+    # outside the sample-window head.
+    "corpus_span_dedup_clean",
+    "dedup_duplicated_spans",
+    "lineitem_weighted_median_udaf",
+    "streaming_ann_lookup",
+    "streaming_dim_refresh_enrich",
+    "streaming_join_state_reader",
+    "streaming_state_change_feed",
+    "streaming_state_store_reader",
+    # -- round-11 changed-code rows (fresh driver row required) --
+    "approx_quantile_check",  # exact check side swapped to bisection form
+    "streaming_jdbc_sink_snapshots",  # DELETE failure classified by SQLState
+    "streaming_table_version_tail",  # latestOffset floored at planned version
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",
     "lineitem_exact_percentiles_bisect",
     "orders_version_changes",
-    "streaming_table_version_tail",
     "embedding_kmeans_bigk_assign",
     # -- round-10 changed-code rows (fresh driver row required) --
     "streaming_state_ttl_eviction",  # timer epoch from unix_millis (TZ fix)
@@ -115,7 +133,6 @@ _DRIVER_PRIORITY = (
     "streaming_rocksdb_windowed_counts",
     "streaming_availablenow_backfill",
     "streaming_checkpoint_restart",
-    "streaming_jdbc_sink_snapshots",
     "dedup_incremental_index",
     "text_bpe_pair_counts",
     "text_bpe_merge_table",
@@ -149,7 +166,6 @@ _DRIVER_PRIORITY = (
     "tpch_revenue_forecast",
     "tpch_shipping_priority",
     "approx_distinct_check",
-    "approx_quantile_check",
     "churned_customers_except",
     "repeat_customers_intersect",
     # -- rotation: rows whose latest driver check is r2 --

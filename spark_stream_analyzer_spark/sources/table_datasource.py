@@ -116,7 +116,13 @@ class ManifestTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         m = _manifest(self.root)
-        v = int(m["version"]) if m else self.start_version - 1
+        # Floor at the last planned version: a transiently missing or
+        # unreadable manifest (eventually-consistent object store, racing
+        # writer) must read as "no new versions", never as an offset
+        # REGRESSION below a previously returned/committed offset — the
+        # same regressed-offset re-read hazard the throttle path fixes,
+        # reintroduced here for the m-is-None branch (r10 ADVICE).
+        v = int(m["version"]) if m else self._planned
         if self.max_versions is not None and self._position_known:
             v = min(v, self._planned + self.max_versions)
         self._planned = max(self._planned, v)

@@ -59,6 +59,33 @@ WIRE_SCHEMA = StructType(
 MANIFEST = "_wirelog_manifest.json"
 _STAGING = "_staging"
 
+#: Driver-local planned-offset sidecar (see ``maxcatchup``). Leading
+#: underscore keeps it invisible to the ``*.txt`` glob and the manifest.
+_PLANNED_SIDECAR = "_planned_offset.json"
+
+
+def _read_planned_sidecar(path: str) -> int | None:
+    p = os.path.join(path, _PLANNED_SIDECAR)
+    try:
+        with open(p) as f:
+            return int(json.load(f)["n_files"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_planned_sidecar(path: str, n_files: int) -> None:
+    """Atomic tmp+rename publish. Raises on failure — fail-closed: a
+    silently-stale sidecar below an engine-committed offset would make a
+    LATER restart's capped first offset regress below the committed one,
+    re-emitting the gap (duplicate delivery)."""
+    p = os.path.join(path, _PLANNED_SIDECAR)
+    tmp = p + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"n_files": int(n_files)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
 
 def _list_files(path: str) -> list[str]:
     manifest = os.path.join(path, MANIFEST)
@@ -118,17 +145,49 @@ class WireLogStreamReader(DataSourceStreamReader):
     (re-emits) the gap — duplicate delivery. The throttle therefore
     only engages once the reader's position is KNOWN (the engine calls
     ``latestOffset`` before ``initialOffset`` even on a fresh start, so
-    that means: after the first ``partitions()`` call). Documented
+    that means: after the first ``partitions()`` call). Default
     consequence: the FIRST batch of any run is unthrottled (the Python
     offset API has no start-aware ``latestOffset``); all later batches
     throttle.
+
+    ``maxcatchup`` (option, default off — r10 ADVICE) closes that first
+    batch for the restart-into-deep-backlog case it matters most: when
+    set, the reader persists its max-ever PLANNED offset to an atomic
+    sidecar (``_planned_offset.json`` beside the data; written BEFORE
+    the offset is returned to the engine, so sidecar ≥ any offset the
+    engine can ever commit), and the first ``latestOffset`` of a run is
+    capped at ``sidecar + maxcatchup`` — floored at the sidecar itself,
+    so it can never regress below a committed offset. A truly fresh
+    start (no sidecar) caps at ``maxcatchup`` from zero. Operational
+    contract: the sidecar must be retained/deleted TOGETHER with the
+    checkpoint — deleting only the checkpoint turns the stale sidecar
+    into a (safe but large) first-batch floor; deleting only the
+    sidecar while keeping the checkpoint forfeits the cap's no-regress
+    guarantee for one restart.
     """
 
     def __init__(self, options):
         self.path = options["path"]
         self.max_files = int(options.get("maxfilespertrigger", 0)) or None
+        self.max_catchup = int(options.get("maxcatchup", 0)) or None
         self._planned = 0
         self._position_known = False
+        self._sidecar_written: int | None = None
+        if self.max_catchup is not None:
+            side = _read_planned_sidecar(self.path)
+            if side is not None:
+                self._planned = max(self._planned, side)
+                self._sidecar_written = side
+
+    def _persist_planned(self) -> None:
+        # sidecar machinery is active ONLY under maxcatchup: zero
+        # behavior (and failure-surface) change for existing streams
+        if self.max_catchup is None:
+            return
+        if self._sidecar_written is not None and self._planned <= self._sidecar_written:
+            return
+        _write_planned_sidecar(self.path, self._planned)
+        self._sidecar_written = self._planned
 
     def initialOffset(self):
         self._position_known = True  # fresh start: position = 0
@@ -136,14 +195,23 @@ class WireLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         avail = len(_list_files(self.path))
-        if self.max_files is not None and self._position_known:
-            avail = min(avail, self._planned + self.max_files)
-        self._planned = max(self._planned, avail)
+        if self._position_known:
+            if self.max_files is not None:
+                avail = min(avail, self._planned + self.max_files)
+        elif self.max_catchup is not None:
+            # first call of a run: cap the catch-up batch, floored below
+            # at the sidecar (= self._planned here) so a capped restart
+            # offset can never regress below a committed one
+            avail = min(avail, self._planned + self.max_catchup)
+        avail = max(avail, self._planned)  # never return a regression
+        self._planned = avail
+        self._persist_planned()
         return {"n_files": avail}
 
     def partitions(self, start, end):
         self._planned = max(self._planned, start["n_files"], end["n_files"])
         self._position_known = True
+        self._persist_planned()
         names = _list_files(self.path)[start["n_files"] : end["n_files"]]
         return [_FilePartition(self.path, n) for n in names]
 

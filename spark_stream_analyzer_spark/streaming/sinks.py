@@ -81,6 +81,40 @@ def _jdbc_execute(spark, url: str, sql: str, driver: str | None = None) -> None:
         conn.close()
 
 
+#: SQLStates that denote "table does not exist" across the engines this
+#: sink targets: Derby 42X05, ODBC/MySQL 42S02, Postgres 42P01, HSQLDB
+#: S0002.  Anything else is NOT classified as missing-table.
+_MISSING_TABLE_SQLSTATES = {"42X05", "42S02", "42P01", "S0002"}
+
+
+def _is_missing_table_error(exc: BaseException) -> bool:
+    """True iff a JDBC exception chain denotes table-not-found.
+
+    Classifies the DELETE's OWN exception by SQLState instead of issuing
+    a second existence-probe round-trip: the probe was itself fail-open —
+    a transient probe failure (DB blip, SELECT-permission gap) while the
+    table exists would misclassify a real DELETE failure as table-absent
+    and the append would duplicate the replayed batch's rows (r10 ADVICE).
+    Walks the Java cause chain; any state we cannot read counts as NOT
+    missing-table, so unclassifiable failures abort the batch (fail-closed).
+    """
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 16:  # bounded: defensive vs cause cycles
+        seen += 1
+        try:
+            state = je.getSQLState()
+        except Exception:  # noqa: BLE001 — not a SQLException
+            state = None
+        if state and str(state).upper() in _MISSING_TABLE_SQLSTATES:
+            return True
+        try:
+            je = je.getCause()
+        except Exception:  # noqa: BLE001
+            return False
+    return False
+
+
 def jdbc_snapshot_batch_writer(url: str, table: str, driver: str | None = None):
     """foreachBatch writer: delete-batch-then-insert, idempotent under
     replay (reference K2, ``spark/SparkStreamingService.java:254-295``,
@@ -106,20 +140,16 @@ def jdbc_snapshot_batch_writer(url: str, table: str, driver: str | None = None):
             _jdbc_execute(
                 spark, url, f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}', driver
             )
-        except Exception:  # noqa: BLE001
+        except Exception as exc:  # noqa: BLE001
             # ONLY missing-table (first batch, append creates it below)
-            # may be swallowed. A transient DELETE failure on an EXISTING
-            # table must abort the batch — swallowing it and appending
-            # would duplicate the replayed batch's rows, silently voiding
-            # the sink's exactly-once contract (r10 review)
-            try:
-                spark.read.jdbc(
-                    url=url, table=f"(SELECT 1 FROM {table} WHERE 1=0) t",
-                    properties=props,
-                ).collect()  # bounded: zero-row existence probe
-            except Exception:  # noqa: BLE001 — table truly absent
-                pass
-            else:
+            # may be swallowed, classified from the DELETE's own SQLState
+            # (fail-closed: unclassifiable → abort). A transient DELETE
+            # failure on an EXISTING table must abort the batch —
+            # swallowing it and appending would duplicate the replayed
+            # batch's rows, voiding the exactly-once contract (r10
+            # review; probe replaced by SQLState classification per r10
+            # ADVICE — the probe itself was fail-open).
+            if not _is_missing_table_error(exc):
                 raise
         (
             batch_df.withColumn("batch_id", F.lit(int(batch_id)))

@@ -17,6 +17,17 @@ Two forms (SURVEY §2.5 A2):
   over *only the current micro-batch* and the emitted name is the first
   non-blank name *in the batch* (else the stored one, else blank). One
   snapshot row per key per batch it appears in.
+
+State-schema changelog (checkpoint compatibility):
+
+* **r10 — BREAKING for TTL streams**: ``TTL_STATE_SCHEMA`` gained a
+  third field ``last_ms`` (max-ever event time per key; the eviction
+  timer is armed from it — see the field's comment). A
+  ``ttl_evicting_totals_stream`` query restarted from a pre-r10
+  checkpoint fails state deserialization LOUDLY (schema mismatch, no
+  silent corruption). Operators must start the TTL stream from a fresh
+  checkpoint location after upgrading; all other stateful streams'
+  schemas are unchanged.
 """
 
 from __future__ import annotations

@@ -186,6 +186,36 @@ def test_driver_priority_names_all_resolve():
     assert len(set(registry._DRIVER_PRIORITY)) == len(registry._DRIVER_PRIORITY)
 
 
+def test_never_sampled_rows_lead_driver_priority():
+    """Structural guard for the r10 verdict's blind spot: any registry row
+    that has NEVER appeared in a driver CORRECTNESS_r*.json sample must sit
+    inside the head of _DRIVER_PRIORITY (the driver snapshots ~50 rows per
+    round in iteration order), or it will age out unsampled forever —
+    exactly what happened to the 8 r9 rows that landed after the r9 sample
+    was taken."""
+    import glob
+    import json
+    import pathlib
+
+    from spark_stream_analyzer_spark.plans import registry
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    files = sorted(glob.glob(str(root / "CORRECTNESS_r*.json")))
+    if not files:  # fresh checkout without driver artifacts: nothing to pin
+        return
+    sampled: set[str] = set()
+    for f in files:
+        sampled.update(json.load(open(f)).keys())
+    never = set(registry.queries()) - sampled
+    window = 50  # driver sample-window size
+    head = set(registry._DRIVER_PRIORITY[:window])
+    outside = sorted(never - head)
+    assert not outside, (
+        f"{len(outside)} never-driver-sampled rows sit outside the "
+        f"{window}-row priority head and will never be checked: {outside}"
+    )
+
+
 def test_incremental_rollup_merge_equals_full_recompute(spark):
     """The partial-merge identity on a hand-built frame: keys present in
     only-history, only-delta, and both must all come out equal to the
