@@ -245,34 +245,12 @@ def main() -> None:
     # stateful groupBy into a memory sink, so its wall-clock moves with
     # exactly the barrier/scheduler costs the streaming rows pay.
     # streaming_* rows are judged against stream_calib_ratio below.
-    _cdir = _tf.mkdtemp(prefix="ssa_bench_scal_")
-    for _i in range(6):
-        with open(f"{_cdir}/{_i:03d}.txt", "w") as _f:
-            _f.write(f"k{_i % 2},{_i}\n")
-    _cname = f"scal_{_uuid.uuid4().hex[:8]}"
-    # probe width stays pinned at 8 partitions — the BASELINE file's
-    # stream_calib_sec was recorded at 8, and the ratio only means
-    # something if the probe pays the same per-batch barrier cost on
-    # every host (the fixtures themselves now pin 2 JVM-stateful / 8
-    # Python-stateful, plans/q_streaming.py — the probe tracks
-    # SCHEDULING latency, which is width-independent)
-    _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    t0 = time.perf_counter()
-    _cparts = _F.split("value", ",")
-    _cq = (
-        file_lines_stream(spark, _cdir, max_files_per_trigger=1)
-        .select(_cparts[0].alias("k"), _cparts[1].cast("long").alias("v"))
-        .groupBy("k").agg(_F.sum("v").alias("s"))
-        .writeStream.outputMode("update").format("memory").queryName(_cname)
-        .start()
-    )
-    _cq.processAllAvailable()
-    _cq.stop()
-    stream_calib = round(time.perf_counter() - t0, 3)
-    spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
-    _sh.rmtree(_cdir, ignore_errors=True)
-    spark.catalog.dropTempView(_cname)
+    # Probe body lives in tools/stream_throughput.stream_calib_probe —
+    # the SAME code records the baseline pair (refresh_tp_baseline.py),
+    # so recorded and run-time calibs are always like-for-like.
+    from tools.stream_throughput import stream_calib_probe as _scal_probe
+
+    stream_calib = _scal_probe(spark)
 
     # streaming THROUGHPUT gate (r10, VERDICT r9 task 2): the reference's
     # implicit envelope is "sustain a 1 s trigger"
@@ -285,34 +263,22 @@ def main() -> None:
     stream_tp: dict = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_NOTP"):
         from tools.stream_throughput import gen_lines as _tp_gen
-        from tools.stream_throughput import run_path as _tp_run
-
-        from spark_stream_analyzer_spark.streaming.stateful import (
-            running_player_stats_stream as _tp_native,
-        )
+        from tools.stream_throughput import throughput_best_of as _tp_best
 
         _tp_lines, _tp_batches = 100_000, 10
         _tpdir = _tf.mkdtemp(prefix="ssa_bench_tp_")
         try:
             _tp_gen(f"{_tpdir}/src", _tp_lines, _tp_batches)
             _tp_events = _tp_lines * 3  # killer/victim/assister per line
-            _tpn_name = f"tpn_{_uuid.uuid4().hex[:8]}"
-            _tpt_name = f"tpt_{_uuid.uuid4().hex[:8]}"
-            _nat_sec = _tp_run(
-                spark,
-                f"{_tpdir}/src",
-                lambda ev: _tp_native(ev.drop("player")),
-                _tpn_name,
-            )
-            _twin_sec = _tp_run(
-                spark, f"{_tpdir}/src", snapshot_player_stats_stream, _tpt_name
-            )
-            spark.catalog.dropTempView(_tpn_name)
-            spark.catalog.dropTempView(_tpt_name)
+            # best-of-2 per path, attempts interleaved (r10 verdict task
+            # 2a: the single-shot probe made the gate a coin-flip under
+            # driver-host contention while batch rows got retries)
+            _nat_sec, _twin_sec = _tp_best(spark, f"{_tpdir}/src", attempts=2)
             stream_tp = {
                 "n_events": _tp_events,
                 "n_lines": _tp_lines,
                 "n_batches": _tp_batches,
+                "n_attempts": 2,
                 "native_events_per_sec": round(_tp_events / _nat_sec),
                 "pandas_twin_events_per_sec": round(_tp_events / _twin_sec),
                 "band": STREAM_TP_BAND,
@@ -390,12 +356,21 @@ def main() -> None:
             # throughput gate: expected events/sec on THIS host = the
             # recorded baseline scaled by the micro-batch calib ratio
             # between the RECORDING host and now; green iff measured >=
-            # expected / band
+            # expected / band. The scale is CAPPED at 1.0: a host whose
+            # calib probe comes out faster than the recording host's is
+            # still only expected to match the recorded baseline — the
+            # probe measures per-batch SCHEDULING, which is only part of
+            # the throughput fixture's runtime, so linear up-scaling
+            # over-expects (this exact over-expectation produced the r10
+            # red twin row and a repeat in the r11 pre-commit run:
+            # expected 47-54k ev/s from a ~24k baseline).
             _base_tp = _base.get("stream_throughput") or {}
             if stream_tp and _base_tp:
-                _tp_scale = (
-                    _base_tp.get("stream_calib_sec") or stream_calib
-                ) / max(stream_calib, 1e-9)
+                _tp_scale = min(
+                    1.0,
+                    (_base_tp.get("stream_calib_sec") or stream_calib)
+                    / max(stream_calib, 1e-9),
+                )
                 for _side in (
                     "native_events_per_sec",
                     "pandas_twin_events_per_sec",

@@ -112,19 +112,31 @@ def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    doc="EXT exact interpolated percentiles per group (Spark `percentile` "
-    "vs DuckDB `quantile_cont` — independent implementations of the same "
-    "linear-interpolation definition). Exact percentile is a sort-based "
-    "agg; the approx_quantile_check query is the at-scale alternative "
-    "and quantifies the sketch error against this exact form",
+    doc="EXT exact interpolated percentiles per group vs DuckDB "
+    "`quantile_cont` — independent implementations of the same "
+    "linear-interpolation definition. r11: computed by the "
+    "functions/median.py value-domain bisection (Spark's own exact "
+    "percentile() buffers every group value in ONE reducer — with "
+    "~5 event_type groups that is table-scale memory; banned by plan "
+    "lint). The approx_quantile_check query is the sketch alternative "
+    "and quantifies its error against this exact form",
 )
 def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_exact_percentiles,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        round6(F.expr("percentile(value, 0.5)")).alias("p50"),
-        round6(F.expr("percentile(value, 0.9)")).alias("p90"),
-        round6(F.expr("percentile(value, 0.99)")).alias("p99"),
+    pct = grouped_exact_percentiles(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99]
+    )
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return n.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "n",
+        round6(F.col("p0")).alias("p50"),
+        round6(F.col("p1")).alias("p90"),
+        round6(F.col("p2")).alias("p99"),
     )
 
 

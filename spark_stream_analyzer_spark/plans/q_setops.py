@@ -117,24 +117,38 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_quantile_check",
     oracle="SELECT 1::INT AS median_ok, 1::INT AS p95_ok",
     doc="percentile_approx (Greenwald-Khanna sketch) vs exact percentile, "
-    "0.5% rank-tolerance verdict. Known cost of the CHECK side: Spark's "
-    "exact percentile() buffers the whole column in ONE aggregation "
-    "buffer (measured linear, 10.2x at 10x input, in SCALING_SWEEP) — "
-    "fine for a validation row; the distributed exact form is "
-    "lineitem_exact_percentiles_bisect (functions/median.py), the sketch "
-    "is the production path",
+    "0.5% rank-tolerance verdict. r11: the CHECK side is now the "
+    "functions/median.py value-domain bisection (grouped_exact_"
+    "percentiles over one constant group) — the registry's LAST "
+    "single-buffer exact aggregate retired: Spark's exact percentile() "
+    "buffered the whole column in ONE aggregation buffer (measured "
+    "linear, 10.2x at 10x input, in SCALING_SWEEP); the bisection gets "
+    "the same interpolated answer from O(log_B V) map-side-combinable "
+    "scans. The two 1-row sides meet in a broadcast join (no "
+    "CartesianProduct). Plan lint now BANS exact percentile( in every "
+    "registry plan",
 )
 def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    q = l.agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("ap"),
-        F.expr("percentile(l_extendedprice, array(0.495D, 0.505D, 0.945D, 0.955D))").alias("ex"),
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_exact_percentiles,
     )
-    return q.select(
-        ((F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[1]))
+
+    l = _t(spark, sf_dir, "lineitem")
+    ap = l.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("ap")
+    )
+    ex = grouped_exact_percentiles(
+        l.withColumn("_g", F.lit(1)),
+        ["_g"],
+        "l_extendedprice",
+        [0.495, 0.505, 0.945, 0.955],
+        col_prefix="ex",
+    ).drop("_g")
+    return ap.join(F.broadcast(ex)).select(
+        ((F.col("ap")[0] >= F.col("ex0")) & (F.col("ap")[0] <= F.col("ex1")))
         .cast("int")
         .alias("median_ok"),
-        ((F.col("ap")[1] >= F.col("ex")[2]) & (F.col("ap")[1] <= F.col("ex")[3]))
+        ((F.col("ap")[1] >= F.col("ex2")) & (F.col("ap")[1] <= F.col("ex3")))
         .cast("int")
         .alias("p95_ok"),
     )

@@ -543,16 +543,25 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="ordered-set aggregate class: EXACT interpolated percentiles per "
-    "group (continuous definition matches DuckDB quantile_cont)",
+    "group (continuous definition matches DuckDB quantile_cont). r11: "
+    "computed by the functions/median.py bisection — 3 l_returnflag "
+    "groups means Spark's exact percentile() would buffer a third of "
+    "the fact table per reducer; banned by plan lint",
 )
 def q_price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_exact_percentiles,
+    )
+
     l = _t(spark, sf_dir, "lineitem")
-    q = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
-    return l.groupBy("l_returnflag").agg(q.alias("q")).select(
+    pct = grouped_exact_percentiles(
+        l, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75]
+    )
+    return pct.select(
         "l_returnflag",
-        round6(F.col("q")[0]).alias("p25"),
-        round6(F.col("q")[1]).alias("p50"),
-        round6(F.col("q")[2]).alias("p75"),
+        round6(F.col("p0")).alias("p25"),
+        round6(F.col("p1")).alias("p50"),
+        round6(F.col("p2")).alias("p75"),
     )
 
 

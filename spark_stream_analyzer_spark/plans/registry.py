@@ -92,6 +92,8 @@ _DRIVER_PRIORITY = (
     "streaming_state_store_reader",
     # -- round-11 changed-code rows (fresh driver row required) --
     "approx_quantile_check",  # exact check side swapped to bisection form
+    "events_value_percentiles",  # bisection form (lint ban on percentile())
+    "price_quartiles_by_flag",  # bisection form (lint ban on percentile())
     "streaming_jdbc_sink_snapshots",  # DELETE failure classified by SQLState
     "streaming_table_version_tail",  # latestOffset floored at planned version
     # -- round-10 additions --

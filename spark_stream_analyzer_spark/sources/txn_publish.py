@@ -38,6 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 
 
+class ConcurrentPublishError(RuntimeError):
+    """A second publisher claimed the same version — the loser fails
+    CLOSED (r10 verdict task 5 pins this outcome): its data dir stays an
+    invisible orphan, the winner's snapshot is untouched, and the caller
+    retries with a fresh version number."""
+
+
 def snapshot_dir(root: str) -> str:
     """A fresh, never-reused data directory for one snapshot write."""
     return os.path.join(root, "data", f"snap-{uuid.uuid4().hex}")
@@ -55,15 +62,60 @@ def publish(root: str, data_dir: str, version: int) -> None:
     swap: since snapshot data dirs are immutable and never reused, the
     retained manifests give time travel for free (:func:`read_version`)
     until a vacuum deletes a version's manifest + data dir together.
+
+    Concurrent publishers (r11, verdict task 5): the versioned manifest
+    is the CLAIM, taken with ``os.link`` (exclusive on POSIX) — two
+    publishers racing the same version leave exactly one winner; the
+    loser raises :class:`ConcurrentPublishError` before touching the
+    live pointer (fail-closed; its orphan data dir is invisible). The
+    live-pointer swap is additionally version-guarded so a straggler
+    committing an OLDER version (claimed v5, scheduled late, v6 already
+    live) retains its versioned manifest for time travel but never
+    regresses the table. The guard's read-then-replace is the local
+    form's honest TOCTOU residue: a real deployment does this one step with a
+    CAS/conditional-put on the pointer object.
     """
     body = json.dumps({"version": version, "dir": data_dir})
-    for target in (f"{MANIFEST[:-5]}.v{version}.json", MANIFEST):
+
+    def _write_tmp(target: str) -> str:
         tmp = os.path.join(root, f".{target}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(body)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(root, target))
+        return tmp
+
+    claim = f"{MANIFEST[:-5]}.v{version}.json"
+    tmp = _write_tmp(claim)
+    try:
+        os.link(tmp, os.path.join(root, claim))  # exclusive: loser raises
+    except FileExistsError:
+        # Roll the WINNER's commit forward first: if the claim's owner
+        # died between its claim and its live swap, the table would
+        # otherwise be stuck (claim held, pointer stale) — any
+        # subsequent publisher of the version completes the swap to the
+        # CLAIMED body, then still fails closed for its own data.
+        live = committed_version(root)
+        if live is None or live < version:
+            with open(os.path.join(root, claim)) as f:
+                claimed_body = f.read()
+            t2 = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+            with open(t2, "w") as f:
+                f.write(claimed_body)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(t2, os.path.join(root, MANIFEST))
+        raise ConcurrentPublishError(
+            f"version {version} already claimed at {root!r}; "
+            "retry with a fresh version number"
+        ) from None
+    finally:
+        os.remove(tmp)
+    live = committed_version(root)
+    if live is not None and live >= version:
+        return  # stale straggler: claimed, retained, but never regresses
+    tmp = _write_tmp(MANIFEST)
+    os.replace(tmp, os.path.join(root, MANIFEST))
 
 
 def read_committed(spark: SparkSession, root: str) -> DataFrame:

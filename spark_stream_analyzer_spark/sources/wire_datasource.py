@@ -97,6 +97,29 @@ def _list_files(path: str) -> list[str]:
     )
 
 
+def _ensure_manifest(path: str) -> None:
+    """Close the crash window on manifest-less directories (r10 verdict
+    task 5): a writer commit moves staged files into the root BEFORE its
+    manifest swap, and on a directory with NO manifest yet, readers fall
+    back to the raw ``*.txt`` glob — so a commit crashing between the
+    move and the swap would leak uncommitted files to that fallback.
+    Snapshotting the current raw listing into an initial manifest FIRST
+    (atomic tmp+rename) flips readers onto manifest resolution before
+    any file moves; from then on, visibility changes only at manifest
+    swaps. Pre-protocol files are retained in the snapshot, so they stay
+    visible under append semantics."""
+    mpath = os.path.join(path, MANIFEST)
+    if os.path.exists(mpath):
+        return
+    files = sorted(f for f in os.listdir(path) if f.endswith(".txt"))
+    tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": files, "batches": {}}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mpath)
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str, name: str):
         self.path = path
@@ -294,9 +317,10 @@ class WireLogWriter(DataSourceWriter):
         return _WireCommit(name, n)
 
     def commit(self, messages):
+        _ensure_manifest(self.path)  # crash-window guard, see helper
         new_files = [m.staged for m in messages if m is not None and m.staged]
-        # previous committed snapshot: manifest if present, else the raw
-        # *.txt listing (directory predates the protocol)
+        # previous committed snapshot: the manifest (guaranteed present
+        # now; the initial one snapshots any pre-protocol raw listing)
         prior = [f for f in _list_files(self.path) if f not in set(new_files)]
         for name in new_files:
             os.replace(
@@ -385,13 +409,12 @@ class WireLogStreamWriter(DataSourceStreamWriter):
         return _WireCommit(name, n)
 
     def commit(self, messages, batchId):
+        _ensure_manifest(self.path)  # crash-window guard, see helper
         new_files = [m.staged for m in messages if m is not None and m.staged]
         manifest_path = os.path.join(self.path, MANIFEST)
-        state = {"files": [], "batches": {}}
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                state = json.load(f)
-                state.setdefault("batches", {})
+        with open(manifest_path) as f:
+            state = json.load(f)
+            state.setdefault("batches", {})
         if str(batchId) in state["batches"]:
             # restart replay of an already-committed batch: exactly-once
             # means this attempt's output must NOT become visible twice

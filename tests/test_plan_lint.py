@@ -80,6 +80,21 @@ def plans(spark):
     return out
 
 
+def test_no_single_buffer_exact_percentile_anywhere(plans):
+    """r11 (verdict task 3): Spark's exact ``percentile()`` aggregate
+    buffers every value of a group in ONE aggregation buffer (measured
+    linear in SCALING_SWEEP) — banned registry-wide now that the last
+    user (approx_quantile_check's check side) runs on the
+    functions/median.py bisection. ``percentile_approx`` (bounded GK
+    sketch) stays allowed; the regex's lookbehind keeps it and
+    ``approx_percentile`` out of scope."""
+    import re
+
+    pat = re.compile(r"(?<![\w.])percentile\(")
+    offenders = [n for n, p in plans.items() if pat.search(p)]
+    assert not offenders, f"single-buffer exact percentile() in: {offenders}"
+
+
 def test_no_cartesian_product_anywhere(plans):
     offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
     assert not offenders, f"unconstrained cross products in: {offenders}"

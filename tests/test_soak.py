@@ -1,0 +1,203 @@
+"""Endurance soak for the streaming core (r10 verdict task 4).
+
+Every other live fixture runs ≤ ~10 micro-batches; the reference's
+implicit envelope is a 24/7 1 s trigger
+(``spark/SparkStreamingService.java:259``). This drives the full
+reference-shaped pipeline — wire kill + damage file streams → columnar
+parse → union → TTL-evicting keyed state (``applyInPandasWithState``,
+event-time timers) → idempotent JDBC snapshot sink (embedded Derby) —
+for MANY driver-controlled micro-batch rounds with a sliding active
+keyset, asserting the three things duration can break:
+
+1. **bounded state**: idle keys leave the store (state-store reader row
+   count tracks the ACTIVE window, not the lifetime keyset);
+2. **stable latency**: per-round wall time must not grow monotonically
+   (state growth / listener leaks / sink table bloat would show here);
+3. **clean checkpointed restart** at the end, exactly-once rows in the
+   sink across it.
+
+The default suite runs a 30-round mini-soak (~60 s); set
+``SPARK_GRAFT_SOAK=1`` for the full 200-round version whose numbers are
+recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.operators.events import union_streams
+from spark_stream_analyzer_spark.sources.wire import (
+    parse_damage_lines,
+    parse_kill_lines,
+)
+from spark_stream_analyzer_spark.streaming.sinks import jdbc_snapshot_batch_writer
+from spark_stream_analyzer_spark.streaming.sources import file_lines_stream
+from spark_stream_analyzer_spark.streaming.stateful import (
+    ttl_evicting_totals_stream,
+)
+
+T0 = 1_700_000_000  # event-time epoch anchor (seconds)
+STEP_S = 30  # event-time advance per round
+WINDOW = 10  # keys active per round (sliding by 1)
+GAP_S = 120  # TTL: evict after 120 s of event-time inactivity
+# a key is idle after WINDOW rounds; its timer fires once the watermark
+# (trailing ~2 steps) passes last_event + GAP_S → live keys ≈ WINDOW +
+# GAP_S/STEP_S + watermark lag ≈ 16; assert with slack:
+STATE_BOUND = 3 * WINDOW + 10
+
+
+def _write_round(kdir: str, ddir: str, rnd: int) -> None:
+    """One kill file + one damage file for round ``rnd``: keys
+    [rnd, rnd+WINDOW) each appear as killer once, victim once (next key,
+    wrapping inside the window), damager once."""
+    tick = (T0 + rnd * STEP_S) * 128  # parse derives second = tick/128
+    with open(f"{kdir}/{rnd:05d}.txt", "w") as f:
+        for i in range(WINDOW):
+            k = rnd + i
+            v = rnd + (i + 1) % WINDOW
+            # assister "0" is dropped by the parser's guard → each line
+            # yields exactly kill(k) + death(v)
+            f.write(f"x,{tick},{rnd},P{k},S{k},x,x,P{v},S{v},x,x,0,S0\n")
+    with open(f"{ddir}/{rnd:05d}.txt", "w") as f:
+        for i in range(WINDOW):
+            k = rnd + i
+            f.write(f"x,{tick},{rnd},x,x,10,3,x,x,S{k}\n")  # damage = 7
+    for p in (f"{kdir}/{rnd:05d}.txt", f"{ddir}/{rnd:05d}.txt"):
+        t = 1_600_000_000 + rnd * 120  # strictly-increasing ms mtimes:
+        os.utime(p, (t, t))  # processing order == round index
+
+
+def _build(spark, kdir: str, ddir: str):
+    kills = parse_kill_lines(file_lines_stream(spark, kdir))
+    dmg = parse_damage_lines(file_lines_stream(spark, ddir))
+    ev = union_streams(kills, dmg)
+    keyed = ev.select(
+        F.expr("CAST(substring(steam_id, 2) AS LONG)").alias("user_id"),
+        F.timestamp_seconds("second").alias("ts"),
+        F.col("amount").alias("val"),
+    ).withWatermark("ts", "30 seconds")
+    return ttl_evicting_totals_stream(keyed, gap_seconds=GAP_S)
+
+
+def _start(spark, kdir, ddir, url, ckpt):
+    return (
+        _build(spark, kdir, ddir)
+        .writeStream.outputMode("update")
+        .foreachBatch(jdbc_snapshot_batch_writer(url, "soak_snapshots"))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+@pytest.mark.parametrize(
+    "n_rounds",
+    [
+        pytest.param(
+            30,
+            id="mini",
+            marks=pytest.mark.skipif(
+                bool(os.environ.get("SPARK_GRAFT_SOAK")),
+                reason="full soak requested; mini is redundant",
+            ),
+        ),
+        pytest.param(
+            200,
+            id="full",
+            marks=pytest.mark.skipif(
+                not os.environ.get("SPARK_GRAFT_SOAK"),
+                reason="soak: set SPARK_GRAFT_SOAK=1 (numbers in SCALING.md)",
+            ),
+        ),
+    ],
+)
+def test_streaming_soak_bounded_state_stable_latency(spark, tmp_path, n_rounds):
+    kdir, ddir = str(tmp_path / "kills"), str(tmp_path / "dmg")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(kdir)
+    os.makedirs(ddir)
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    lat: list[float] = []
+    try:
+        q = _start(spark, kdir, ddir, url, ckpt)
+        try:
+            for rnd in range(n_rounds):
+                _write_round(kdir, ddir, rnd)
+                t0 = time.perf_counter()
+                q.processAllAvailable()
+                lat.append(time.perf_counter() - t0)
+        finally:
+            q.stop()
+
+        # ---- 2. latency stability: no monotone growth over the run.
+        # median(last fifth) vs median(second fifth) — first rounds are
+        # excluded as JIT/warm-up; 2x band tolerates host noise while a
+        # leak (state, sink bloat, listener) compounds well past it.
+        fifth = max(5, n_rounds // 5)
+        early = statistics.median(lat[fifth : 2 * fifth])
+        late = statistics.median(lat[-fifth:])
+        assert late <= 2.0 * early, (
+            f"per-round latency grew: early median {early:.2f}s -> "
+            f"late median {late:.2f}s over {n_rounds} rounds ({lat})"
+        )
+
+        # ---- 1. bounded state: the store holds ~the active window,
+        # not the ~n_rounds+WINDOW lifetime keyset.
+        state = spark.read.format("statestore").load(ckpt)
+        n_state = state.count()
+        assert n_state <= STATE_BOUND, (
+            f"state store holds {n_state} keys after {n_rounds} rounds "
+            f"(bound {STATE_BOUND}) — TTL eviction is not keeping state "
+            "bounded"
+        )
+
+        # sink sanity while the stream is down: one row per
+        # (user_id, batch_id) — the delete-then-insert sink never dupes
+        out = spark.read.jdbc(url, "soak_snapshots")
+        assert (
+            out.count()
+            == out.select("user_id", "batch_id").distinct().count()
+        )
+
+        # a mid-run key that lived its full WINDOW rounds saw per round:
+        # 1 kill + 1 death + 1 damage = 3 events, val 0+0+7
+        mid = n_rounds // 2
+        mid_rows = out.filter(F.col("user_id") == mid)
+        final = mid_rows.orderBy(F.desc("batch_id")).limit(1).collect()[0]
+        assert final.n_events == 3 * WINDOW
+        assert final.total == 7 * WINDOW
+        assert mid_rows.filter("evicted = 1").count() == 1  # tombstoned
+
+        # ---- 3. clean checkpointed restart: one more round drains
+        # through the SAME checkpoint; totals continue, no dupes.
+        _write_round(kdir, ddir, n_rounds)
+        q = _start(spark, kdir, ddir, url, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out2 = spark.read.jdbc(url, "soak_snapshots")
+        assert (
+            out2.count()
+            == out2.select("user_id", "batch_id").distinct().count()
+        )
+        # the restarted round's newest key starts its own count
+        newest = n_rounds + WINDOW - 1
+        got = (
+            out2.filter(F.col("user_id") == newest)
+            .orderBy(F.desc("batch_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        # first round for this key: killer once, victim once (the
+        # (i+1)%WINDOW rotation is a bijection), damager once
+        assert (got.n_events, got.total) == (3, 7)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
