@@ -143,6 +143,11 @@ def test_streaming_soak_bounded_state_stable_latency(spark, tmp_path, n_rounds):
         fifth = max(5, n_rounds // 5)
         early = statistics.median(lat[fifth : 2 * fifth])
         late = statistics.median(lat[-fifth:])
+        print(
+            f"\nSOAK n_rounds={n_rounds} early_median={early:.2f}s "
+            f"late_median={late:.2f}s max={max(lat):.2f}s "
+            f"total={sum(lat):.1f}s"
+        )
         assert late <= 2.0 * early, (
             f"per-round latency grew: early median {early:.2f}s -> "
             f"late median {late:.2f}s over {n_rounds} rounds ({lat})"
@@ -152,6 +157,7 @@ def test_streaming_soak_bounded_state_stable_latency(spark, tmp_path, n_rounds):
         # not the ~n_rounds+WINDOW lifetime keyset.
         state = spark.read.format("statestore").load(ckpt)
         n_state = state.count()
+        print(f"SOAK state_rows={n_state} (bound {STATE_BOUND})")
         assert n_state <= STATE_BOUND, (
             f"state store holds {n_state} keys after {n_rounds} rounds "
             f"(bound {STATE_BOUND}) — TTL eviction is not keeping state "
