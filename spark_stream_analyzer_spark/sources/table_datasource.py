@@ -60,6 +60,34 @@ def _manifest(root: str, version: int | None = None) -> dict | None:
         return json.load(f)
 
 
+#: Planned-offset sidecar for ``maxcatchup`` (same design as the wirelog
+#: source's ``_planned_offset.json`` — see that class docstring for the
+#: full contract). Distinct name: it lives beside ``_manifest*.json``.
+_PLANNED_SIDECAR = "_planned_version.json"
+
+
+def _read_planned_sidecar(root: str) -> int | None:
+    try:
+        with open(os.path.join(root, _PLANNED_SIDECAR)) as f:
+            return int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_planned_sidecar(root: str, version: int) -> None:
+    """Atomic tmp+rename; raises on failure (fail-closed — a silently
+    stale sidecar could cap a later restart below a committed offset)."""
+    import uuid
+
+    p = os.path.join(root, _PLANNED_SIDECAR)
+    tmp = p + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
 def _snapshot_files(root: str, version: int) -> list[str]:
     m = _manifest(root, version)
     if m is None:
@@ -99,14 +127,42 @@ class ManifestTableStreamReader(DataSourceStreamReader):
     every later batch throttles. The JVM sources avoid this via
     ``SupportsAdmissionControl.latestOffset(start, limit)``, which the
     Python API does not expose.
+
+    ``maxcatchup`` (option, default off — r11, mirroring the wirelog
+    source) closes that first batch: the reader persists its max-ever
+    PLANNED version to an atomic sidecar (``_planned_version.json``,
+    written BEFORE the offset is returned, so sidecar ≥ anything the
+    engine can commit) and caps the first ``latestOffset`` of a run at
+    ``sidecar + maxcatchup``, floored at the sidecar — a deep backlog of
+    published versions drains as bounded batches from the FIRST trigger
+    of a restart, with no regressed-offset redelivery hazard. Same
+    operational contract as the wirelog sidecar: retain/delete it
+    together with the checkpoint.
     """
 
     def __init__(self, options):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 1))
         self.max_versions = int(options.get("maxversionspertrigger", 0)) or None
+        self.max_catchup = int(options.get("maxcatchup", 0)) or None
         self._planned = self.start_version - 1
         self._position_known = False
+        self._sidecar_written: int | None = None
+        if self.max_catchup is not None:
+            side = _read_planned_sidecar(self.root)
+            if side is not None:
+                self._planned = max(self._planned, side)
+                self._sidecar_written = side
+
+    def _persist_planned(self) -> None:
+        # active ONLY under maxcatchup: zero behavior/failure-surface
+        # change for existing streams
+        if self.max_catchup is None:
+            return
+        if self._sidecar_written is not None and self._planned <= self._sidecar_written:
+            return
+        _write_planned_sidecar(self.root, self._planned)
+        self._sidecar_written = self._planned
 
     def initialOffset(self):
         # only called on a FRESH start — the position IS the configured
@@ -123,9 +179,16 @@ class ManifestTableStreamReader(DataSourceStreamReader):
         # same regressed-offset re-read hazard the throttle path fixes,
         # reintroduced here for the m-is-None branch (r10 ADVICE).
         v = int(m["version"]) if m else self._planned
-        if self.max_versions is not None and self._position_known:
-            v = min(v, self._planned + self.max_versions)
-        self._planned = max(self._planned, v)
+        if self._position_known:
+            if self.max_versions is not None:
+                v = min(v, self._planned + self.max_versions)
+        elif self.max_catchup is not None:
+            # first call of a run: bounded catch-up, floored at the
+            # sidecar (= self._planned here) — never below committed
+            v = min(v, self._planned + self.max_catchup)
+        v = max(v, self._planned)  # never return a regression
+        self._planned = v
+        self._persist_planned()
         return {"version": v}
 
     def partitions(self, start, end):
@@ -133,6 +196,7 @@ class ManifestTableStreamReader(DataSourceStreamReader):
             self._planned, int(start["version"]), int(end["version"])
         )
         self._position_known = True
+        self._persist_planned()
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for f in _snapshot_files(self.root, v):

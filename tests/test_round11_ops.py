@@ -235,3 +235,124 @@ def test_wire_maxcatchup_live_restart_throttles_first_batch(spark, tmp_path):
     assert sorted(rows) == [f"row-f{i:02d}.txt" for i in range(9)]  # exactly once
     restarted = seen[n_before:]
     assert restarted and all(n <= 2 for _, n in restarted), restarted
+
+
+# ---------------------------------------------------------------------------
+# 4b. manifesttable maxcatchup sidecar (mirror of the wirelog design)
+# ---------------------------------------------------------------------------
+
+
+def _publish(spark, root: str, version: int, ids: list[int]) -> None:
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        snapshot_dir,
+    )
+
+    d = snapshot_dir(root)
+    spark.createDataFrame([(i,) for i in ids], "k bigint").coalesce(
+        1
+    ).write.parquet(d)
+    publish(root, d, version)
+
+
+def test_table_maxcatchup_caps_fresh_start_first_offset(spark, tmp_path):
+    from spark_stream_analyzer_spark.sources.table_datasource import (
+        ManifestTableStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    for v in range(1, 10):
+        _publish(spark, root, v, [v])
+    r = ManifestTableStreamReader({"path": root, "maxcatchup": "2"})
+    assert r.latestOffset() == {"version": 2}
+    assert r.initialOffset() == {"version": 0}
+    r.partitions({"version": 0}, {"version": 2})
+    assert r.latestOffset() == {"version": 9}
+
+
+def test_table_maxcatchup_restart_floors_at_sidecar(spark, tmp_path):
+    from spark_stream_analyzer_spark.sources.table_datasource import (
+        _PLANNED_SIDECAR,
+        ManifestTableStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    for v in range(1, 4):
+        _publish(spark, root, v, [v])
+    r1 = ManifestTableStreamReader({"path": root, "maxcatchup": "10"})
+    assert r1.latestOffset() == {"version": 3}
+    with open(os.path.join(root, _PLANNED_SIDECAR)) as f:
+        assert json.load(f)["version"] == 3  # written before the return
+    r1.partitions({"version": 0}, {"version": 3})
+    for v in range(4, 13):  # backlog published while the stream is down
+        _publish(spark, root, v, [v])
+    r2 = ManifestTableStreamReader({"path": root, "maxcatchup": "2"})
+    assert r2.latestOffset() == {"version": 5}  # 3+2, never below 3
+    r2.partitions({"version": 3}, {"version": 5})
+    assert r2.latestOffset() == {"version": 12}
+
+
+def test_table_maxcatchup_off_means_no_sidecar(spark, tmp_path):
+    from spark_stream_analyzer_spark.sources.table_datasource import (
+        _PLANNED_SIDECAR,
+        ManifestTableStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    _publish(spark, root, 1, [1])
+    r = ManifestTableStreamReader({"path": root})
+    assert r.latestOffset() == {"version": 1}
+    assert not os.path.exists(os.path.join(root, _PLANNED_SIDECAR))
+
+
+def test_table_maxcatchup_live_restart_throttles_first_batch(spark, tmp_path):
+    """End-to-end twin of the wirelog test: drain 2 versions, stop,
+    publish a 6-version backlog, restart with maxcatchup=2 +
+    maxversionspertrigger=2 — every micro-batch of the restarted run
+    carries ≤ 2 versions (including the FIRST) and every version
+    arrives exactly once."""
+    from spark_stream_analyzer_spark.sources.table_datasource import (
+        register_manifesttable,
+    )
+
+    register_manifesttable(spark)
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple[int, list[int]]] = []
+
+    def _sink(bdf, bid):
+        vs = [r._version for r in bdf.collect()]  # bounded: tiny test rows
+        if vs:
+            seen.append((bid, sorted(vs)))
+
+    def _run():
+        q = (
+            spark.readStream.format("manifesttable")
+            .options(path=root, maxcatchup="2", maxversionspertrigger="2")
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for v in (1, 2):
+        _publish(spark, root, v, [v * 10])
+    _run()
+    n_before = len(seen)
+    for v in range(3, 9):
+        _publish(spark, root, v, [v * 10])
+    _run()  # cold restart into the backlog
+    all_versions = sorted(v for _, vs in seen for v in vs)
+    assert all_versions == list(range(1, 9))  # exactly once
+    restarted = seen[n_before:]
+    assert restarted and all(
+        len(set(vs)) <= 2 for _, vs in restarted
+    ), restarted

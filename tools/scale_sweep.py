@@ -43,7 +43,13 @@ Env:
     SPARK_GRAFT_SWEEP_ONLY  comma-separated query subset
     SPARK_GRAFT_SWEEP_SKIP_BUILD=1  reuse corpora already on disk
     SPARK_GRAFT_SWEEP_MERGE=<json>  re-check only rows flagged (or
-        missing/errored) in a prior sweep JSON; keep the rest
+        missing/errored) in a prior sweep JSON; keep the rest. Rows
+        outside a SWEEP_ONLY selection are carried over verbatim, so
+        ONLY+MERGE updates a subset without truncating the report.
+    SPARK_GRAFT_SWEEP_FORCE=<names>  comma-separated rows to re-run even
+        if their prior row passes — REQUIRED when a query's
+        implementation changed (the prior row measured the old plan;
+        r11 added this after ONLY+MERGE silently kept three stale rows)
 """
 
 from __future__ import annotations
@@ -276,15 +282,24 @@ def main() -> None:
     in_f = input_factors(factor)
     prior: dict = {}
     merge_path = os.environ.get("SPARK_GRAFT_SWEEP_MERGE")
+    force = {
+        s for s in os.environ.get("SPARK_GRAFT_SWEEP_FORCE", "").split(",") if s
+    }
     if merge_path:
         with open(merge_path) as f:
             prior = json.load(f).get("rows", {})
         # keep prior rows that pass the CURRENT rule; re-run the rest
         keep = {}
         rerun = []
+        # rows outside the ONLY selection carry over verbatim — a subset
+        # update must never truncate the standing 190-row report
+        in_names = set(names)
+        for n, r in prior.items():
+            if n not in in_names and "error" not in r:
+                keep[n] = r
         for n in names:
             r = prior.get(n)
-            if r and "error" not in r:
+            if n not in force and r and "error" not in r:
                 r = _verdict(dict(r), factor, in_f[n], n)
                 if not r["flagged"]:
                     keep[n] = r
