@@ -1782,3 +1782,54 @@ def q_lineitem_exact_percentiles_bisect(
             for i, nm in enumerate(_PCT_NAMES)
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# runtime Bloom-filter semi-join pruning (round 11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_bloom_semijoin",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+    doc="EXT runtime Bloom semi-join pruning (functions/bloom.py): the "
+    "filtered dim's keys are folded into a 16 Kbit bloom word table "
+    "(one bounded exchange, <=256 rows to the driver — the filter, not "
+    "the keys), embedded as a literal probe on the fact scan BEFORE the "
+    "join exchange, then an exact sort-merge join (hinted — pinning the "
+    "regime where a runtime filter pays: creation side too big to "
+    "broadcast) removes the bloom's false positives. Never a false "
+    "negative (identical deterministic hash positions both sides), so "
+    "the oracle is the plain exact join — the bloom is pure exchange-"
+    "volume savings, ~(1 - selectivity) of the fact shuffle at scale. "
+    "Spark's own InjectRuntimeFilter builds this very shape but only "
+    "above a 10 GB probe-side scan and never from user SQL",
+)
+def q_orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.bloom import (
+        bloom_build_words,
+        bloom_might_contain,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words = bloom_build_words(cust, "c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    pruned = orders.filter(bloom_might_contain(words, F.col("o_custkey")))
+    joined = pruned.hint("merge").join(
+        cust, pruned["o_custkey"] == cust["c_custkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _money_sum("o_totalprice", "sum_price"),
+    )

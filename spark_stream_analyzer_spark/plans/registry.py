@@ -96,6 +96,8 @@ _DRIVER_PRIORITY = (
     "price_quartiles_by_flag",  # bisection form (lint ban on percentile())
     "streaming_jdbc_sink_snapshots",  # DELETE failure classified by SQLState
     "streaming_table_version_tail",  # latestOffset floored at planned version
+    # -- round-11 additions --
+    "orders_bloom_semijoin",
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",

@@ -1,0 +1,81 @@
+"""Round-11 new operators.
+
+1. Bloom-filter runtime semi-join pruning (``functions/bloom.py``):
+   never a false negative, measured FP rate inside the sizing bound,
+   and the probe actually prunes the fact side before the join
+   exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.functions.bloom import (
+    bloom_build_words,
+    bloom_might_contain,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# 1. bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    words = bloom_build_words(keys, "k", num_bits=1 << 13)
+    missed = keys.filter(~bloom_might_contain(words, F.col("k"))).count()
+    assert missed == 0  # the hard guarantee: identical positions both sides
+
+
+def test_bloom_fp_rate_within_sizing_bound(spark):
+    inserted = spark.range(0, 1000).select(F.col("id").alias("k"))
+    words = bloom_build_words(inserted, "k", num_bits=1 << 14)
+    # probe a disjoint key range: every hit is a false positive
+    absent = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = absent.filter(bloom_might_contain(words, F.col("k"))).count()
+    # 16 Kbit / 1k keys at k=4 -> theoretical FP ~0.24%; allow 4x slack
+    assert fp / 10_000 < 0.01
+
+
+def test_bloom_word_table_is_bounded(spark):
+    # a million keys still produce at most num_bits/64 words
+    keys = spark.range(0, 100_000).select(F.col("id").alias("k"))
+    words = bloom_build_words(keys, "k", num_bits=1 << 10)
+    assert len(words) == (1 << 10) // 64
+    # saturated filter: every word fully set is the worst case, and the
+    # list length (what crosses the driver) never scales with keys
+    assert all(isinstance(w, int) for w in words)
+
+
+def test_bloom_rejects_unaligned_num_bits(spark):
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        bloom_build_words(keys, "k", num_bits=100)
+
+
+def test_bloom_semijoin_prunes_fact_side_and_matches_exact_join(spark):
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    words = bloom_build_words(cust, "c_custkey")
+    pruned = orders.filter(bloom_might_contain(words, F.col("o_custkey")))
+
+    exact = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    n_exact = exact.count()
+    n_orders = orders.count()
+    n_pruned = pruned.count()
+    # sound: every truly-matching order survives the probe
+    assert n_pruned >= n_exact
+    # effective: the probe removed a large share of the fact side
+    # (BUILDING is ~1/5 of customers; FPs at this sizing are ~0)
+    assert n_pruned < 0.5 * n_orders
+    # exact join after the probe equals the unpruned exact join
+    n_joined = pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"]).count()
+    assert n_joined == n_exact
