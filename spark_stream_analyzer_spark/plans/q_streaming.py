@@ -799,6 +799,88 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_semi_join",
+    oracle=f"""
+    WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cs
+               FROM events WHERE event_type = 'click' AND event_id < {EVENT_CAP}),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ps
+          FROM events WHERE event_type = 'purchase' AND event_id < {EVENT_CAP})
+    SELECT p.purchase_id, p.user_id, p.ps AS purchase_s
+    FROM p WHERE EXISTS (
+      SELECT 1 FROM c WHERE c.user_id = p.user_id
+                        AND c.cs >= p.ps AND c.cs <= p.ps + 86400)
+    """,
+    doc="EXT stream-stream LEFT SEMI interval join, LIVE (r11 — the last "
+    "join mode beside inner/left_outer/full_outer): a purchase emits "
+    "EXACTLY ONCE if at least one click by the same user lands within "
+    "the following 24 h (wide enough that the corpus has multi-click "
+    "purchases — at 1 h it has none and once-only would be vacuous), "
+    "however many clicks do — the semi join's "
+    "dedup-on-match is state-backed (a second matching click must NOT "
+    "re-emit the purchase; Spark supports the mode since 3.1). Clicks "
+    "arrive split across micro-batches, so cross-batch matches and the "
+    "once-only contract are both exercised; far-future sentinels on "
+    "both streams drive state cleanup, flow through the plan "
+    "(pre-watermark filters starve it — see streaming_join_then_window) "
+    "and are excluded at the SINK. Oracle is the batch EXISTS "
+    "semi-join; a double-emit on a multi-click purchase or a dropped "
+    "cross-batch match flips the row red",
+)
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "sec", "event_type"
+    ).collect()  # harness boundary
+    max_sec = max(r.sec for r in rows)
+    delay_s = 36_500 * 86_400
+    sent0 = max_sec + delay_s + 2 * 86_400
+    workdir = tempfile.mkdtemp(prefix="ssa_semistream_")
+    for etype, sub in (("click", "clicks"), ("purchase", "purchases")):
+        _write_batches(
+            [r for r in rows if r.event_type == etype],
+            f"{workdir}/{sub}",
+            batch_of=lambda r: [r.event_id % 2],
+            fmt=lambda r: f"{r.event_id},{r.user_id},{r.sec}",
+        )
+        for i, s in ((2, sent0), (3, sent0 + 3600)):
+            with open(f"{workdir}/{sub}/{i:03d}.txt", "w") as f:
+                f.write(f"-1,-1,{s}\n")
+            _stamp_batch_file(f"{workdir}/{sub}/{i:03d}.txt", i)
+
+    def _parse(path: str, prefix: str) -> DataFrame:
+        parts = F.split("value", ",")
+        return file_lines_stream(spark, path).select(
+            parts[0].cast("long").alias(f"{prefix}_id"),
+            parts[1].cast("long").alias(f"{prefix}_user"),
+            F.timestamp_seconds(parts[2].cast("long")).alias(f"{prefix}_ts"),
+        )
+
+    clicks = _parse(f"{workdir}/clicks", "click").withWatermark(
+        "click_ts", f"{delay_s} seconds"
+    )
+    purchases = _parse(f"{workdir}/purchases", "purchase").withWatermark(
+        "purchase_ts", f"{delay_s} seconds"
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("interval 24 hours")),
+        "left_semi",
+    ).select(
+        "purchase_id",
+        F.col("purchase_user").alias("user_id"),
+        F.unix_timestamp("purchase_ts").cast("long").alias("purchase_s"),
+    )
+    name = f"smj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, spark, "append", workdir=workdir)
+    # sentinel purchases match sentinel clicks (same -1 user, in-window),
+    # so each sentinel-derived emission carries user_id -1 — sink filter
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
     "streaming_join_then_window",
     oracle=f"""
     WITH c AS (SELECT event_id AS click_id, user_id,

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = (
     "streaming_table_version_tail",  # latestOffset floored at planned version
     # -- round-11 additions --
     "orders_bloom_semijoin",
+    "streaming_semi_join",
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",

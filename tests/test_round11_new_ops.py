@@ -4,6 +4,9 @@
    never a false negative, measured FP rate inside the sizing bound,
    and the probe actually prunes the fact side before the join
    exchange.
+2. Stream-stream LEFT SEMI interval join (``streaming_semi_join``):
+   once-only emission per matched purchase even under multiple
+   matching clicks, cross-batch matches included.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from spark_stream_analyzer_spark.functions.bloom import (
     bloom_build_words,
     bloom_might_contain,
 )
+from spark_stream_analyzer_spark.plans.registry import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -79,3 +83,38 @@ def test_bloom_semijoin_prunes_fact_side_and_matches_exact_join(spark):
     # exact join after the probe equals the unpruned exact join
     n_joined = pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"]).count()
     assert n_joined == n_exact
+
+
+# ---------------------------------------------------------------------------
+# 2. stream-stream left semi join
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_semi_join_emits_once_per_matched_purchase(spark):
+    out = QUERIES["streaming_semi_join"].build(spark, SF_DIR).collect()
+    pids = [r["purchase_id"] for r in out]
+    assert pids, "semi join emitted nothing"
+    # once-only: no purchase may re-emit when a second click matches
+    assert len(pids) == len(set(pids))
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("cs")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("ps"),
+    )
+    matches = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (clicks["cs"] >= purchases["ps"])
+        & (clicks["cs"] <= purchases["ps"] + 86400),
+    )
+    expected = {r.purchase_id for r in matches.select("purchase_id").distinct().collect()}
+    assert set(pids) == expected
+    # the once-only contract must actually have been exercised: at least
+    # one emitted purchase had >1 matching click
+    per_purchase = matches.groupBy("purchase_id").count().filter("count > 1").count()
+    assert per_purchase > 0, "corpus has no multi-click purchase — test is vacuous"
