@@ -788,3 +788,64 @@ def rank_fusion(
             F.round("rrf_score", 6).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random sign projection (round 11)
+# ---------------------------------------------------------------------------
+
+#: Deterministic sign-matrix parameters — integer arithmetic both Spark
+#: and DuckDB evaluate bit-identically (no RNG, no engine hash).
+JL_MULT_A = 2654435761  # Knuth multiplicative constant
+JL_MULT_B = 40503
+JL_MOD = 97
+
+
+def jl_sign_sql(d_expr: str, j: int) -> str:
+    """±1 sign of projection row ``d`` (1-based), output dim ``j`` — a
+    SQL fragment valid in BOTH Spark SQL and DuckDB (plain integer ``%``
+    on non-negative operands), so the oracle reconstructs the identical
+    matrix."""
+    return (
+        f"(CASE WHEN (({d_expr} * {JL_MULT_A} + {j * JL_MULT_B}) "
+        f"% {JL_MOD}) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def random_sign_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic Rademacher (±1) sign matrix: ``r_j = (1/sqrt(k)) ·
+    Σ_d x_d · s(d, j)``.
+
+    The JL workhorse of an embedding pipeline at 100 TB: cut 768-d
+    vectors to k dims BEFORE the ANN index / pairwise stages so their
+    shuffle and state scale with k, not D. Sign projections are
+    distance-preserving in expectation (E[‖Px‖²] = ‖x‖², the Achlioptas
+    construction) with distortion ~1/√k per pair.
+
+    Scale shape: one whole-row higher-order-function fold per output
+    dim — per-row JVM expressions, NO shuffle, NO explode (a
+    posexplode+groupBy formulation would exchange D·k rows per vector),
+    NO Python. The fold is sequential over the array, so the float sum
+    order is deterministic. The sign matrix is pure integer arithmetic
+    (``jl_sign_sql``) — no broadcast side data, and the oracle rebuilds
+    it exactly.
+    """
+    inv = 1.0 / float(out_dim) ** 0.5
+    comps = [
+        (
+            F.expr(
+                f"aggregate(sequence(1, size({vec_col})), CAST(0.0 AS DOUBLE), "
+                f"(acc, d) -> acc + CAST(element_at({vec_col}, d) AS DOUBLE)"
+                f" * {jl_sign_sql('d', j)})"
+            )
+            * inv
+        ).alias(f"r{j}")
+        for j in range(out_dim)
+    ]
+    return emb.select(id_col, *comps)

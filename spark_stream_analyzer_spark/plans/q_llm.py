@@ -2321,3 +2321,40 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_kmeans_bigk_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign_join(_emb(spark, sf_dir), k=64, iters=2)
+
+
+_JL_K = 8
+_JL_COMPS = ",\n       ".join(
+    "ROUND(SUM(v * {s}) / sqrt({k}.0), 6) AS r{j}".format(
+        s=similarity.jl_sign_sql("d", j), k=_JL_K, j=j
+    )
+    for j in range(_JL_K)
+)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                      generate_subscripts(embedding, 1) AS d
+               FROM embeddings)
+    SELECT vec_id,
+       {_JL_COMPS}
+    FROM u GROUP BY vec_id
+    """,
+    doc="EXT Johnson-Lindenstrauss reduction (similarity.py "
+    "random_sign_projection): 64-d → 8-d via a deterministic Rademacher "
+    "sign matrix (pure integer arithmetic — jl_sign_sql — so the oracle "
+    "rebuilds the identical matrix). One sequential HOF fold per output "
+    "dim, per-row JVM expressions: no shuffle, no explode (D·k exchange "
+    "avoided), no Python. The at-scale slot: cut D before the ANN / "
+    "pairwise stages so downstream shuffle and state scale with k. "
+    "Unbiasedness (E[‖Px‖²] = ‖x‖²) is property-tested",
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.scalar import round6
+
+    proj = similarity.random_sign_projection(_emb(spark, sf_dir), out_dim=_JL_K)
+    return proj.select(
+        "vec_id", *[round6(F.col(f"r{j}")).alias(f"r{j}") for j in range(_JL_K)]
+    )

@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = (
     # -- round-11 additions --
     "orders_bloom_semijoin",
     "streaming_semi_join",
+    "embedding_random_projection",
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",

@@ -118,3 +118,56 @@ def test_streaming_semi_join_emits_once_per_matched_purchase(spark):
     # one emitted purchase had >1 matching click
     per_purchase = matches.groupBy("purchase_id").count().filter("count > 1").count()
     assert per_purchase > 0, "corpus has no multi-click purchase — test is vacuous"
+
+
+# ---------------------------------------------------------------------------
+# 3. Johnson-Lindenstrauss random sign projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_is_unbiased_and_shuffle_free(spark):
+    from spark_stream_analyzer_spark.operators.similarity import (
+        random_sign_projection,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    k = 8
+    proj = random_sign_projection(emb, out_dim=k)
+    # E[||Px||^2] = ||x||^2 for Rademacher projections: the MEAN ratio
+    # over 500 vectors must sit near 1 even though any single vector's
+    # ratio is noisy at k=8
+    pn = proj.select(
+        "vec_id",
+        sum(
+            [F.col(f"r{j}") * F.col(f"r{j}") for j in range(k)],
+            F.lit(0.0),
+        ).alias("p2"),
+    )
+    xn = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("x2"),
+    )
+    ratio = (
+        pn.join(xn, "vec_id")
+        .agg(F.avg(F.col("p2") / F.col("x2")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert 0.85 < ratio < 1.15, f"projection is biased: mean ratio {ratio}"
+    # scale shape: per-row expressions only — no exchange in the plan
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_jl_projection_deterministic(spark):
+    from spark_stream_analyzer_spark.operators.similarity import (
+        random_sign_projection,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = random_sign_projection(emb, out_dim=4).orderBy("vec_id").collect()
+    b = random_sign_projection(emb, out_dim=4).orderBy("vec_id").collect()
+    assert a == b
