@@ -1833,3 +1833,69 @@ def q_orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _money_sum("o_totalprice", "sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity quality buckets (round 11)
+# --------------------------------------------------------------------------
+
+# the bucket row composes the bigram-LM row: reuse its ORACLE TEXT verbatim
+# so the two can never drift (the registered string is the contract)
+from spark_stream_analyzer_spark.plans.registry import QUERIES as _Q
+
+_BPPL_ORACLE = _Q["text_bigram_perplexity"].oracle
+
+
+@register(
+    "corpus_quality_buckets",
+    oracle=f"""
+    WITH base AS ({_BPPL_ORACLE}),
+    t AS (SELECT *, ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket FROM base)
+    SELECT bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+           CAST(SUM(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS sum_ppl,
+           ROUND(MIN(ppl), 6) AS min_ppl,
+           ROUND(MAX(ppl), 6) AS max_ppl
+    FROM t GROUP BY bucket
+    """,
+    doc="EXT CCNet-style quality bucketing: every doc scored by the "
+    "corpus bigram LM (text_bigram_perplexity — its ORACLE TEXT is "
+    "reused verbatim so the two rows cannot drift), then split into "
+    "head/middle/tail perplexity tertiles — the published CCNet "
+    "curation step that keeps 'head' for training and drops or "
+    "downsamples 'tail'. The tertile is operators/rank.py global_ntile "
+    "(range shuffle + per-partition window + broadcast offsets, no "
+    "Exchange SinglePartition); (ppl, doc_id) makes the order total so "
+    "the bucket boundary is deterministic across engines. Money-style "
+    "decimal sum keeps the per-bucket ppl mass order-independent",
+)
+def q_corpus_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.rank import global_ntile
+
+    scored = q_text_bigram_perplexity(spark, sf_dir)
+    t = global_ntile(scored, [F.col("ppl"), F.col("doc_id")], 3, tile_col="bucket")
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+            F.sum(F.col("ppl").cast("decimal(18,6)")).cast("double").alias("sum_ppl"),
+            round6(F.min("ppl")).alias("min_ppl"),
+            round6(F.max("ppl")).alias("max_ppl"),
+        )
+        .select(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket").cast("int"),
+            ).alias("label"),
+            "n_docs",
+            "sum_bigrams",
+            "sum_ppl",
+            "min_ppl",
+            "max_ppl",
+        )
+    )

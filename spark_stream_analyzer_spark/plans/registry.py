@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     "orders_bloom_semijoin",
     "streaming_semi_join",
     "embedding_random_projection",
+    "corpus_quality_buckets",
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",

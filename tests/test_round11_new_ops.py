@@ -171,3 +171,19 @@ def test_jl_projection_deterministic(spark):
     a = random_sign_projection(emb, out_dim=4).orderBy("vec_id").collect()
     b = random_sign_projection(emb, out_dim=4).orderBy("vec_id").collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# 4. CCNet perplexity tertiles
+# ---------------------------------------------------------------------------
+
+
+def test_quality_buckets_are_balanced_tertiles(spark):
+    out = QUERIES["corpus_quality_buckets"].build(spark, SF_DIR).collect()
+    assert {r["label"] for r in out} == {"head", "middle", "tail"}
+    sizes = {r["bucket"]: r["n_docs"] for r in out}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile contract
+    by = {r["label"]: r for r in out}
+    # head is the LOW-perplexity tertile: ordering must be monotone
+    assert by["head"]["max_ppl"] <= by["middle"]["min_ppl"]
+    assert by["middle"]["max_ppl"] <= by["tail"]["min_ppl"]
