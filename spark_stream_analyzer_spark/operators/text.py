@@ -444,6 +444,18 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text", rounds: int = 3) -> D
 
     Returns one row per round: ``(round, pair, n)``.
     """
+    spark = df.sparkSession
+    out_rows = bpe_train_merges(df, text_col=text_col, rounds=rounds)
+    return spark.createDataFrame(out_rows, "round int, pair string, n bigint")
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", rounds: int = 3
+) -> list[tuple[int, str, int]]:
+    """The :func:`bpe_merge_table` training loop, returning the merge
+    list ``[(round, pair, n), ...]`` for callers that need the trained
+    table as literals (the encode path). One argmax row crosses the
+    driver per round — the bounded exchange IS the return value."""
     words = with_words(df, text_col).select(F.explode("words").alias("w"))
     sdf = words.select(
         F.expr(
@@ -486,5 +498,55 @@ def bpe_merge_table(df: DataFrame, text_col: str = "text", rounds: int = 3) -> D
         sdf = sdf.select(
             F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s")
         )
-    spark = df.sparkSession
-    return spark.createDataFrame(out_rows, "round int, pair string, n bigint")
+    return out_rows
+
+
+def bpe_encode_stats(
+    df: DataFrame, merges: list[str], text_col: str = "text"
+) -> DataFrame:
+    """ENCODE with a trained BPE merge table — the apply half of the
+    tokenizer story beside :func:`bpe_merge_table` (train).
+
+    Each doc's words are char-split into space-delimited symbol strings
+    and the merge table is applied IN TRAINING ORDER via the same
+    single-pass non-overlapping ``replace`` the trainer used (Java and
+    DuckDB share that semantics exactly, so encode is oracle-checkable
+    end-to-end). Per doc: token count under the trained vocab, merged
+    (length≥2) token count, char count, and an md5-60 fingerprint of
+    the position-ordered encoded stream — the fingerprint pins the
+    exact token geometry, not just counts.
+
+    Scale shape: the merge table is ``len(merges)`` LITERALS in a
+    per-row expression chain over the words array (``transform`` keeps
+    word order — no explode, no shuffle, no Python); the whole encode
+    is a scan-bound map, embarrassingly parallel at any SF. A
+    production encoder with 10k+ merges would swap the literal chain
+    for a broadcast trie in a pandas UDF; the plumbing (per-doc stats +
+    stream fingerprint) is identical.
+    """
+    chain = (
+        "concat(' ', array_join(transform(sequence(1, length(wd)),"
+        " i -> substring(wd, i, 1)), ' '), ' ')"
+    )
+    for pair in merges:
+        merged = pair.replace(" ", "")
+        chain = f"replace({chain}, ' {pair} ', ' {merged} ')"
+    enc = with_words(df, text_col).select(
+        "doc_id", F.expr(f"transform(words, wd -> trim({chain}))").alias("enc"),
+        "words",
+    )
+    return enc.select(
+        "doc_id",
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT),"
+            " (a, e) -> a + size(split(e, ' ')))"
+        ).alias("n_tokens"),
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a +"
+            " size(filter(split(e, ' '), t -> length(t) >= 2)))"
+        ).alias("n_merged_tokens"),
+        F.expr(
+            "aggregate(words, CAST(0 AS BIGINT), (a, w) -> a + length(w))"
+        ).alias("n_chars"),
+        F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
+    )

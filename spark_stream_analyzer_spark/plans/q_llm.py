@@ -2192,10 +2192,11 @@ def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(_docs(spark, sf_dir), k=20)
 
 
-def _bpe_merge_sql(rounds: int = 3) -> str:
-    """Unrolled DuckDB twin of ``text.bpe_merge_table`` — one CTE stage
-    per merge round (count pairs → argmax → apply via the same
-    non-overlapping ``replace`` semantics Spark uses)."""
+def _bpe_merge_parts(rounds: int = 3) -> list[str]:
+    """Shared CTE chain of the unrolled DuckDB BPE trainer — one stage
+    per merge round (count pairs → argmax ``m{r}`` → apply via the same
+    non-overlapping ``replace`` semantics Spark uses). Reused verbatim
+    by the train row AND the encode row so the two cannot drift."""
     syms = "string_split(trim(s), ' ')"
     parts = [
         f"w AS ({_W})",
@@ -2204,7 +2205,6 @@ def _bpe_merge_sql(rounds: int = 3) -> str:
         "range(1, length(wd) + 1), i -> substr(wd, CAST(i AS INT), 1)), ' ')"
         " || ' ' AS s FROM t)",
     ]
-    sel = []
     for r in range(1, rounds + 1):
         prev = f"s{r - 1}"
         parts.append(
@@ -2222,8 +2222,21 @@ def _bpe_merge_sql(rounds: int = 3) -> str:
             f" ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' ') AS s"
             f" FROM {prev})"
         )
-        sel.append(f"SELECT CAST({r} AS INT) AS round, pair, n FROM m{r}")
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+    return parts
+
+
+def _bpe_merge_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of ``text.bpe_merge_table``."""
+    sel = [
+        f"SELECT CAST({r} AS INT) AS round, pair, n FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_bpe_merge_parts(rounds))
+        + "\n"
+        + "\nUNION ALL\n".join(sel)
+    )
 
 
 @register(
@@ -2358,3 +2371,69 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return proj.select(
         "vec_id", *[round6(F.col(f"r{j}")).alias(f"r{j}") for j in range(_JL_K)]
     )
+
+
+def _bpe_encode_sql(rounds: int = 3) -> str:
+    """Encode twin: the SAME unrolled trainer CTEs (merges m1..mN), then
+    a doc-keyed symbol chain applying each merge in training order."""
+    parts = _bpe_merge_parts(rounds)
+    parts.append(
+        "d0 AS (SELECT doc_id, wi, ' ' || array_to_string(list_transform("
+        "range(1, length(wd) + 1), i -> substr(wd, CAST(i AS INT), 1)), ' ')"
+        " || ' ' AS s, length(wd) AS nc FROM "
+        "(SELECT doc_id, generate_subscripts(words, 1) AS wi,"
+        " unnest(words) AS wd FROM w))"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT doc_id, wi, replace(s,"
+            f" ' ' || (SELECT pair FROM m{r}) || ' ',"
+            f" ' ' || replace((SELECT pair FROM m{r}), ' ', '') || ' ') AS s,"
+            f" nc FROM d{r - 1})"
+        )
+    parts.append(f"e AS (SELECT doc_id, wi, trim(s) AS es, nc FROM d{rounds})")
+    parts.append(
+        "g AS (SELECT doc_id,"
+        " CAST(SUM(len(string_split(es, ' '))) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(len(list_filter(string_split(es, ' '),"
+        " t -> length(t) >= 2))) AS BIGINT) AS n_merged_tokens,"
+        " CAST(SUM(nc) AS BIGINT) AS n_chars,"
+        " string_agg(es, '|' ORDER BY wi) AS stream"
+        " FROM e GROUP BY doc_id)"
+    )
+    h = TH.duck_hash60("COALESCE(g.stream, '')")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT d.doc_id,"
+        " CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens,"
+        " CAST(COALESCE(g.n_merged_tokens, 0) AS BIGINT) AS n_merged_tokens,"
+        " CAST(COALESCE(g.n_chars, 0) AS BIGINT) AS n_chars,"
+        f" {h} AS stream_hash"
+        " FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id"
+    )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_sql(3),
+    doc="EXT BPE ENCODE — the apply half of the tokenizer story beside "
+    "text_bpe_merge_table (train): the trained merge table (3 argmax "
+    "rows, the only driver crossings) is applied to every doc's words "
+    "in training order via the same single-pass non-overlapping "
+    "replace semantics, yielding per-doc token counts under the "
+    "trained vocab, merged-token counts, char counts, and an md5-60 "
+    "fingerprint of the position-ordered encoded stream (pins token "
+    "GEOMETRY, not just counts — transform keeps word order, no "
+    "explode). Encode is a pure per-row expression chain: zero "
+    "shuffle, zero Python, scan-bound at any SF. Oracle reuses the "
+    "trainer's unrolled CTEs verbatim (_bpe_merge_parts) so train and "
+    "encode can never drift. A production 10k-merge encoder swaps the "
+    "literal chain for a broadcast trie in a pandas UDF — same "
+    "plumbing",
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [
+        p for _, p, _ in text.bpe_train_merges(_docs(spark, sf_dir), rounds=3)
+    ]
+    return text.bpe_encode_stats(_docs(spark, sf_dir), merges)

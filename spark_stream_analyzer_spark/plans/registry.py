@@ -101,6 +101,9 @@ _DRIVER_PRIORITY = (
     "streaming_semi_join",
     "embedding_random_projection",
     "corpus_quality_buckets",
+    "text_bpe_encode",
+    # -- round-11 changed-code rows (cont.) --
+    "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
     "lineitem_weighted_median_partkey",
     "dedup_semantic_keep_list",

@@ -187,3 +187,52 @@ def test_quality_buckets_are_balanced_tertiles(spark):
     # head is the LOW-perplexity tertile: ordering must be monotone
     assert by["head"]["max_ppl"] <= by["middle"]["min_ppl"]
     assert by["middle"]["max_ppl"] <= by["tail"]["min_ppl"]
+
+
+# ---------------------------------------------------------------------------
+# 5. BPE encode (apply half of the tokenizer pair)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_applies_merges_in_training_order(spark):
+    from spark_stream_analyzer_spark.operators.text import bpe_encode_stats
+
+    # hand-traced: word "banana" with merges ["a n", "an a"] under
+    # single-pass NON-OVERLAPPING replace (the documented deviation from
+    # re-scanning greedy BPE):
+    #   ' b a n a n a ' --"a n"-> ' b an a n a '   (the second 'a n' is
+    #   not replaced: its leading space was consumed by the first match)
+    #   --"an a"-> ' b ana n a '
+    # => tokens [b, ana, n, a]
+    df = spark.createDataFrame([(1, "banana")], "doc_id long, text string")
+    out = bpe_encode_stats(df, ["a n", "an a"]).collect()[0]
+    assert out["n_tokens"] == 4  # b | ana | n | a
+    assert out["n_merged_tokens"] == 1  # ana
+    assert out["n_chars"] == 6
+    # empty doc: zero counts, fingerprint of the empty stream
+    e = bpe_encode_stats(
+        spark.createDataFrame([(2, "")], "doc_id long, text string"),
+        ["a n"],
+    ).collect()[0]
+    assert (e["n_tokens"], e["n_merged_tokens"], e["n_chars"]) == (0, 0, 0)
+
+
+def test_bpe_encode_matches_trained_table_end_to_end(spark):
+    from spark_stream_analyzer_spark.operators.text import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = [p for _, p, _ in bpe_train_merges(docs, rounds=2)]
+    assert len(merges) == 2
+    out = bpe_encode_stats(docs, merges)
+    # every merge can only SHRINK the token stream: n_tokens <= n_chars,
+    # and at least one doc must contain a merged token (the trained
+    # merges came from this very corpus)
+    agg = out.selectExpr(
+        "sum(case when n_tokens > n_chars then 1 else 0 end) AS bad",
+        "sum(n_merged_tokens) AS merged",
+    ).collect()[0]
+    assert agg["bad"] == 0
+    assert agg["merged"] > 0
