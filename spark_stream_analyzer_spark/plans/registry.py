@@ -145,7 +145,7 @@ _DRIVER_PRIORITY = (
     "streaming_checkpoint_restart",
     "dedup_incremental_index",
     "text_bpe_pair_counts",
-    "text_bpe_merge_table",
+    # (text_bpe_merge_table moved to the round-11 changed-code section)
     "orders_salted_customer_join",
     "source_partitioned_pruned_scan",
     "source_schema_evolution_merge",
