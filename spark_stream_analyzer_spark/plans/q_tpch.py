@@ -2657,3 +2657,81 @@ def q_orders_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lineage_cut(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "orders_time_travel_asof",
+    oracle=f"""
+    WITH v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       ROUND({_msum6_sql("o_totalprice")}, 6) AS m
+                FROM orders WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND({_msum6_sql("o_totalprice")}, 6) AS m
+           FROM orders WHERE o_orderkey % 3 <= 1)
+    SELECT CAST(1500 AS BIGINT) AS asof_ts, CAST(1 AS INT) AS version,
+           n AS n_orders, m AS price_msum6, CAST(1 AS INT) AS before_first_rejected
+    FROM v1
+    UNION ALL
+    SELECT CAST(2500 AS BIGINT), CAST(2 AS INT), n, m, CAST(1 AS INT) FROM v2
+    """,
+    doc="EXT TIMESTAMP AS OF time travel (sources/txn_publish.py "
+    "read_as_of) — the other half of the Delta/Iceberg travel surface "
+    "beside VERSION AS OF (r8): publish stamps commit_ts in the "
+    "manifest; AS OF resolves the HIGHEST version among manifests with "
+    "commit_ts <= t (version order decides, timestamps gate — a stale "
+    "straggler's later wall time can never shadow the snapshot that "
+    "was live). Fixture publishes v1@ts=1000 and v2@ts=2000 with "
+    "EXPLICIT commit times (deterministic row), reads AS OF 1500 and "
+    "2500, and pins that AS OF 500 (before the first commit) fails "
+    "closed with ValueError. Resolution is a manifest-file scan — "
+    "O(retained versions), no data read until the chosen snapshot",
+)
+def q_orders_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        read_as_of,
+        snapshot_dir,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssa_asof_")
+    try:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        d1 = snapshot_dir(root)
+        o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "version", F.lit(1)
+        ).write.parquet(d1)
+        publish(root, d1, 1, commit_ts=1000.0)
+        d2 = snapshot_dir(root)
+        o.filter(F.col("o_orderkey") % 3 <= 1).withColumn(
+            "version", F.lit(2)
+        ).write.parquet(d2)
+        publish(root, d2, 2, commit_ts=2000.0)
+
+        try:
+            read_as_of(spark, root, 500.0)
+            rejected = 0  # a state that never existed resolved — red
+        except ValueError:
+            rejected = 1
+
+        rows = []
+        for t in (1500.0, 2500.0):
+            r = (
+                read_as_of(spark, root, t)
+                .agg(
+                    F.max("version").alias("v"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(msum6(F.col("o_totalprice")), 6).alias("m"),
+                )
+                .collect()[0]  # one row per AS OF probe — bounded
+            )
+            rows.append((int(t), int(r.v), int(r.n), float(r.m), rejected))
+        return spark.createDataFrame(
+            rows,
+            "asof_ts long, version int, n_orders long, price_msum6 double,"
+            " before_first_rejected int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +51,15 @@ def snapshot_dir(root: str) -> str:
     return os.path.join(root, "data", f"snap-{uuid.uuid4().hex}")
 
 
-def publish(root: str, data_dir: str, version: int) -> None:
+def publish(
+    root: str, data_dir: str, version: int, commit_ts: float | None = None
+) -> None:
     """Atomically commit ``data_dir`` as the table's current snapshot.
+
+    ``commit_ts`` (epoch seconds; wall clock when omitted) is recorded
+    in the manifest for :func:`read_as_of` — TIMESTAMP AS OF time
+    travel. Explicit values let tests and replayed backfills pin
+    deterministic commit times.
 
     The data must already be fully written (this is the SECOND phase).
     tmp-write + fsync + ``os.replace`` make the pointer swap atomic on
@@ -75,7 +83,11 @@ def publish(root: str, data_dir: str, version: int) -> None:
     form's honest TOCTOU residue: a real deployment does this one step with a
     CAS/conditional-put on the pointer object.
     """
-    body = json.dumps({"version": version, "dir": data_dir})
+    if commit_ts is None:
+        commit_ts = time.time()
+    body = json.dumps(
+        {"version": version, "dir": data_dir, "commit_ts": commit_ts}
+    )
 
     def _write_tmp(target: str) -> str:
         tmp = os.path.join(root, f".{target}.{uuid.uuid4().hex}.tmp")
@@ -140,6 +152,43 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     with open(os.path.join(root, f"{MANIFEST[:-5]}.v{version}.json")) as f:
         manifest = json.load(f)
     return spark.read.parquet(manifest["dir"])
+
+
+def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
+    """TIMESTAMP AS OF time travel: the table as it stood at ``ts``.
+
+    Resolution rule: among retained manifests with ``commit_ts <= ts``,
+    the HIGHEST version wins — version order decides, timestamps only
+    gate eligibility, so a stale straggler's claim (older version,
+    later wall time — the publish() no-regress path) can never shadow
+    the snapshot that was actually live at ``ts``. Manifests from
+    before this field existed carry no ``commit_ts`` and are never
+    eligible (documented migration contract: republish or use
+    :func:`read_version`). Raises ``ValueError`` when ``ts`` predates
+    every commit — the caller asked for a table state that never
+    existed.
+    """
+    import re
+
+    best: tuple[int, str] | None = None
+    for f in os.listdir(root):
+        m = re.fullmatch(rf"{MANIFEST[:-5]}\.v(\d+)\.json", f)
+        if not m:
+            continue
+        with open(os.path.join(root, f)) as fh:
+            mf = json.load(fh)
+        cts = mf.get("commit_ts")
+        if cts is None or cts > ts:
+            continue
+        v = int(m.group(1))
+        if best is None or v > best[0]:
+            best = (v, mf["dir"])
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before ts={ts!r} under {root!r} "
+            "(predates the first commit, or its version was vacuumed)"
+        )
+    return spark.read.parquet(best[1])
 
 
 def committed_version(root: str) -> int | None:

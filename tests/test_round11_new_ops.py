@@ -236,3 +236,61 @@ def test_bpe_encode_matches_trained_table_end_to_end(spark):
     ).collect()[0]
     assert agg["bad"] == 0
     assert agg["merged"] > 0
+
+
+# ---------------------------------------------------------------------------
+# 6. TIMESTAMP AS OF time travel
+# ---------------------------------------------------------------------------
+
+
+def test_read_as_of_version_order_beats_straggler_wall_time(spark, tmp_path):
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        read_as_of,
+        snapshot_dir,
+    )
+
+    root = str(tmp_path)
+    for v in (1, 2):
+        d = snapshot_dir(root)
+        spark.range(v * 10).write.parquet(d)
+        publish(root, d, v, commit_ts=1000.0 * v)
+    # stale straggler: an OLDER version claimed with a LATER wall time
+    # (the publish no-regress path retains its manifest, never swaps)
+    d = snapshot_dir(root)
+    spark.range(5).write.parquet(d)
+    import pytest as _pt
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        ConcurrentPublishError,
+    )
+
+    with _pt.raises(ConcurrentPublishError):
+        publish(root, d, 1, commit_ts=9000.0)  # v1 already claimed
+    # AS OF after everything: the straggler's 9000.0 claim must not
+    # shadow v2 — version order decides among eligible manifests
+    assert read_as_of(spark, root, 10_000.0).count() == 20
+    assert read_as_of(spark, root, 1500.0).count() == 10
+
+
+def test_read_as_of_ignores_legacy_manifests_without_ts(spark, tmp_path):
+    import json
+    import os
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        read_as_of,
+        snapshot_dir,
+    )
+
+    root = str(tmp_path)
+    d1 = snapshot_dir(root)
+    spark.range(7).write.parquet(d1)
+    # hand-write a pre-commit_ts-era versioned manifest (migration case)
+    with open(os.path.join(root, "_manifest.v1.json"), "w") as f:
+        json.dump({"version": 1, "dir": d1}, f)
+    with pytest.raises(ValueError):
+        read_as_of(spark, root, 10_000.0)  # no ELIGIBLE manifest at all
+    d2 = snapshot_dir(root)
+    spark.range(3).write.parquet(d2)
+    publish(root, d2, 2, commit_ts=50.0)
+    assert read_as_of(spark, root, 60.0).count() == 3
