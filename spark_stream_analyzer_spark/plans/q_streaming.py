@@ -2758,3 +2758,158 @@ def q_streaming_table_version_tail(spark: SparkSession, sf_dir: str) -> DataFram
         return lineage_cut(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "streaming_dual_sink_exactly_once",
+    oracle=f"""
+    WITH b AS (SELECT event_id % 3 AS batch_id, user_id, value
+               FROM events WHERE event_id < {EVENT_CAP}),
+    a AS (SELECT batch_id, user_id, COUNT(*) AS n,
+                 SUM(CAST(floor(value) AS BIGINT)) AS vs
+          FROM b GROUP BY batch_id, user_id)
+    SELECT CAST(3 AS INT) AS n_batches,
+           CAST(3 AS INT) AS lake_version,
+           CAST(COUNT(*) AS BIGINT) AS jdbc_rows,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(SUM(vs) AS BIGINT) AS total_value_floor,
+           CAST(1 AS INT) AS cross_consistent,
+           CAST(1 AS INT) AS replay_lake_noop,
+           CAST(1 AS INT) AS replay_jdbc_identical
+    FROM a
+    """,
+    doc="EXT dual-sink exactly-once, LIVE (r11): ONE foreachBatch feeds "
+    "the transactional lake table AND a serving JDBC database "
+    "(sinks.py dual_sink_batch_writer) — each batch publishes lake "
+    "version batch_id+1 (replay no-ops on the committed-version "
+    "guard: manifest byte-identical) and delete-then-inserts its DB "
+    "rows (replay rewrites, never duplicates). Lake-then-DB order "
+    "pinned: the DB may lag the lake by one crashed batch but never "
+    "diverge. The fixture drives 3 micro-batches, then REPLAYS batch "
+    "0's writer (the crash-between-sink-commit-and-offset-commit "
+    "corner) and pins: lake manifest bytes unchanged, JDBC batch-0 "
+    "row multiset unchanged, and every lake version's content equal "
+    "to the DB's rows for its batch (cross-sink consistency). Oracle "
+    "is the closed-form per-batch per-user aggregate",
+)
+def q_streaming_dual_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        committed_version,
+        read_version,
+    )
+    from spark_stream_analyzer_spark.streaming.sinks import dual_sink_batch_writer
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "user_id", "value").collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_dualsink_")
+    indir = f"{workdir}/in"
+    _write_batches(
+        rows,
+        indir,
+        batch_of=lambda r: [r.event_id % 3],
+        fmt=lambda r: f"{r.event_id},{r.user_id},{r.value}",
+    )
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    table, root = "dual_rows", f"{workdir}/lake"
+    os.makedirs(root)
+
+    def _agg(df):
+        parts = F.split("value", ",")
+        return (
+            df.select(
+                parts[1].cast("long").alias("user_id"),
+                parts[2].cast("double").alias("v"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor("v").cast("long")).alias("vs"),
+            )
+        )
+
+    dual = dual_sink_batch_writer(url, table, root)
+
+    def write_batch(batch_df, batch_id):
+        dual(_agg(batch_df), batch_id)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            file_lines_stream(spark, indir)
+            .writeStream.option("checkpointLocation", f"{workdir}/chk")
+            .foreachBatch(write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    lake_version = committed_version(root)
+    # ---- cross-sink consistency: every lake version == its DB batch
+    jdbc = spark.read.jdbc(url, table).select("user_id", "n", "vs", "batch_id")
+    lake_all = None
+    for v in range(1, (lake_version or 0) + 1):
+        part = read_version(spark, root, v).select("user_id", "n", "vs", "batch_id")
+        lake_all = part if lake_all is None else lake_all.unionByName(part)
+    mismatches = (
+        lake_all.join(
+            jdbc.withColumnRenamed("n", "jn").withColumnRenamed("vs", "jvs"),
+            ["user_id", "batch_id"],
+            "full_outer",
+        )
+        .filter(
+            F.col("n").isNull()
+            | F.col("jn").isNull()
+            | (F.col("n") != F.col("jn"))
+            | (F.col("vs") != F.col("jvs"))
+        )
+        .count()
+    )
+    # ---- replay batch 0 (crash between sink commit and offset commit)
+    with open(os.path.join(root, "_manifest.json"), "rb") as f:
+        manifest_before = f.read()
+    jdbc_b0_before = sorted(
+        (r.user_id, r.n, r.vs)
+        for r in jdbc.filter(F.col("batch_id") == 0).collect()
+    )  # bounded: one row per user in one batch
+    write_batch(spark.read.text(f"{indir}/000.txt"), 0)
+    with open(os.path.join(root, "_manifest.json"), "rb") as f:
+        manifest_after = f.read()
+    jdbc_b0_after = sorted(
+        (r.user_id, r.n, r.vs)
+        for r in spark.read.jdbc(url, table)
+        .filter(F.col("batch_id") == 0)
+        .collect()
+    )  # bounded: one row per user in one batch
+    totals = jdbc.agg(
+        F.count("*").alias("rows"),
+        F.sum("n").alias("te"),
+        F.sum("vs").alias("tv"),
+    ).collect()[0]  # one row
+    out = [
+        (
+            3,
+            int(lake_version or 0),
+            int(totals.rows),
+            int(totals.te),
+            int(totals.tv),
+            int(mismatches == 0),
+            int(manifest_before == manifest_after),
+            int(jdbc_b0_before == jdbc_b0_after),
+        )
+    ]
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "n_batches int, lake_version int, jdbc_rows long, total_events long,"
+        " total_value_floor long, cross_consistent int, replay_lake_noop int,"
+        " replay_jdbc_identical int",
+    )

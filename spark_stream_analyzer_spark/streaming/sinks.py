@@ -182,3 +182,49 @@ def to_jdbc_snapshots(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dual_sink_batch_writer(url: str, table: str, root: str, driver: str | None = None):
+    """ONE foreachBatch feeding TWO sinks — the lakehouse table AND a
+    serving database — each exactly-once under replay by its own
+    mechanism (EXT, round 11; no reference counterpart — the reference
+    has a single JPA sink).
+
+    * **Lake** (``sources/txn_publish``): batch ``b`` publishes snapshot
+      version ``b + 1``; a replayed batch sees ``committed_version >=
+      b + 1`` and NO-OPS — the manifest is untouched, the table
+      byte-identical (the streaming_cdc_upsert_publish guard, reused).
+    * **DB** (:func:`jdbc_snapshot_batch_writer`): delete-batch-then-
+      insert — a replay REWRITES the batch's rows, never duplicates.
+
+    Write order is lake-then-DB on purpose: a crash between the two
+    replays the whole batch, the lake no-ops and the DB converges — the
+    DB can LAG the lake by at most one batch but never diverge from it;
+    the reverse order would let the lake lag the DB, the wrong direction
+    when the lake is the source of truth. Both writes are distributed
+    (executor→parquet, executor→DB); only the manifest swap and the
+    metadata-sized DELETE run on the driver.
+    """
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        committed_version,
+        publish,
+        snapshot_dir,
+    )
+
+    jdbc_write = jdbc_snapshot_batch_writer(url, table, driver)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        version = int(batch_id) + 1
+        live = committed_version(root)
+        if live is None or live < version:
+            d = snapshot_dir(root)
+            (
+                batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.parquet(d)
+            )
+            publish(root, d, version)
+        jdbc_write(batch_df, batch_id)
+
+    return write_batch
