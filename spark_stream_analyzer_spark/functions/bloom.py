@@ -104,6 +104,11 @@ def bloom_might_contain(
     """Membership probe column: True for every inserted key (never a
     false negative), True with probability ~FP-rate for absent keys.
 
+    ``num_hashes`` MUST equal the build's — a probe computing more
+    hashes than were inserted would false-negative (the no-FN guarantee
+    holds only for identical position sets). ``num_bits`` needs no
+    mirroring: it is recovered from ``len(words)``.
+
     The word list is a foldable literal array — Catalyst constant-folds
     it, and the probe stays inside whole-stage codegen.
     """

@@ -1856,7 +1856,7 @@ _BPPL_ORACLE = _Q["text_bigram_perplexity"].oracle
                        ELSE 'tail' END AS label,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
-           CAST(SUM(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS sum_ppl,
+           CAST(SUM(CAST(ppl AS DECIMAL(38,6))) AS DOUBLE) AS sum_ppl,
            ROUND(MIN(ppl), 6) AS min_ppl,
            ROUND(MAX(ppl), 6) AS max_ppl
     FROM t GROUP BY bucket
@@ -1882,7 +1882,7 @@ def q_corpus_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
-            F.sum(F.col("ppl").cast("decimal(18,6)")).cast("double").alias("sum_ppl"),
+            F.sum(F.col("ppl").cast("decimal(38,6)")).cast("double").alias("sum_ppl"),
             round6(F.min("ppl")).alias("min_ppl"),
             round6(F.max("ppl")).alias("max_ppl"),
         )
