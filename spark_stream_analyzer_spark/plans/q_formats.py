@@ -881,3 +881,53 @@ def q_source_zorder_multidim_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register(
+    "source_file_provenance",
+    oracle="""
+    SELECT o_orderpriority AS priority_from_path,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="EXT ingest lineage via input_file_name(): orders written "
+    "partitionBy(o_orderpriority) with repartition-aligned writers "
+    "(one file per partition), read back, and the priority is "
+    "recovered FROM THE FILE PATH alone (url_decode of the Hive "
+    "partition segment — '4-NOT SPECIFIED' round-trips through %20), "
+    "never from the column — the per-source-file accounting every "
+    "ingest pipeline needs (which file contributed which rows, file "
+    "counts per partition). input_file_name is a per-row metadata "
+    "expression: zero extra I/O, codegen, and the groupBy collapses "
+    "map-side. Oracle is the plain priority rollup plus the pinned "
+    "one-file-per-partition write geometry",
+)
+def q_source_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    workdir = tempfile.mkdtemp(prefix="ssa_prov_")
+    try:
+        (
+            o.repartition(F.col("o_orderpriority"))
+            .write.partitionBy("o_orderpriority")
+            .parquet(f"{workdir}/t")
+        )
+        back = spark.read.parquet(f"{workdir}/t")
+        prov = back.select(
+            F.url_decode(
+                F.regexp_extract(
+                    F.input_file_name(), r"o_orderpriority=([^/]+)/", 1
+                )
+            ).alias("priority_from_path"),
+            F.input_file_name().alias("path"),
+        )
+        out = prov.groupBy("priority_from_path").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("path").alias("n_files"),
+        )
+        rows = out.collect()  # bounded: one row per priority (5)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

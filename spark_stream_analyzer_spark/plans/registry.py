@@ -105,6 +105,7 @@ _DRIVER_PRIORITY = (
     "orders_time_travel_asof",
     "streaming_dual_sink_exactly_once",
     "similarity_jl_rerank_audit",
+    "source_file_provenance",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
