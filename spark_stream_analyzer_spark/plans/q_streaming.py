@@ -2913,3 +2913,88 @@ def q_streaming_dual_sink_exactly_once(spark: SparkSession, sf_dir: str) -> Data
         " total_value_floor long, cross_consistent int, replay_lake_noop int,"
         " replay_jdbc_identical int",
     )
+
+
+@register(
+    "streaming_phash_dedup",
+    oracle="""
+    WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 5),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id % 4600)
+    SELECT s.doc_id,
+           CAST(3 + s.doc_id % 5 AS BIGINT) AS width,
+           CAST(2 + s.doc_id % 4 AS BIGINT) AS height,
+           ROUND(s.doc_id % 200 + (2 + s.doc_id % 4 - 1) / 2.0, 6) AS mean_pixel
+    FROM surv s
+    """,
+    doc="EXT streaming multimodal dedup, LIVE (r11 — the composition of "
+    "streaming_media_ingest and multimodal_phash_dedup): a live "
+    "binaryFile PNG stream is decoded in-flight (Arrow mapInPandas) "
+    "and deduplicated on a perceptual hash of the DECODED witnesses "
+    "(width/height/pixel stats — for this synthetic family stats "
+    "equality <=> pixel equality; a production pHash swaps in the DCT "
+    "behind the same column). The synthetic image is periodic in "
+    "doc_id mod 4600 within the %23 selection, so sf0.1 carries 18 "
+    "genuinely pixel-identical file PAIRS under different names, "
+    "landing in DIFFERENT micro-batches (mtime-ordered discovery, "
+    "batch size < the 200-position class gap) — cross-batch dedup "
+    "state is really exercised; first arrival (min doc_id) survives. "
+    "dropDuplicates state is unbounded by design here (every survivor "
+    "key lives forever — the keep-everything parity the oracle needs); "
+    "the bounded-state production form is dropDuplicatesWithinWatermark, "
+    "exercised by streaming_dedup_events. Oracle keeps min-id per "
+    "pixel-class; a missed cross-batch duplicate doubles a class's "
+    "rows and flips the row red",
+)
+def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 5)
+        .select("doc_id")
+        .collect()  # ids only (~4% of docs) — fixture harness boundary
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_phashstream_")
+    os.makedirs(f"{workdir}/in", exist_ok=True)
+    for idx, doc_id in enumerate(ids):
+        w, h, v = 3 + doc_id % 5, 2 + doc_id % 4, doc_id % 200
+        pixels = [[(v + r) & 0xFF] * (w * 3) for r in range(h)]
+        path = f"{workdir}/in/doc_{doc_id}.png"
+        with open(path, "wb") as f:
+            f.write(mm.encode_png(pixels, w, h))
+        t = 1_600_000_000 + idx  # arrival order = doc_id order
+        os.utime(path, (t, t))
+
+    binf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.png")
+        # batches strictly smaller than the 200-position collision-class
+        # gap, so pixel-identical files always land in different batches
+        .option("maxFilesPerTrigger", min(max(1, len(ids) // 2), 150))
+        .load(f"{workdir}/in")
+    )
+    parsed = binf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    stats = mm.png_decode_stats(parsed)
+    deduped = stats.withColumn(
+        "phash",
+        F.xxhash64(
+            "width", "height", "n_pixels", "mean_pixel",
+            "top_left", "bottom_left", "n_filters_used",
+        ),
+    ).dropDuplicates(["phash"])
+    out = deduped.select("doc_id", "width", "height", "mean_pixel")
+    name = f"phash_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, spark, "append", workdir=workdir)
+    return spark.table(name)

@@ -106,6 +106,7 @@ _DRIVER_PRIORITY = (
     "streaming_dual_sink_exactly_once",
     "similarity_jl_rerank_audit",
     "source_file_provenance",
+    "streaming_phash_dedup",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
