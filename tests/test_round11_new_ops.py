@@ -294,3 +294,19 @@ def test_read_as_of_ignores_legacy_manifests_without_ts(spark, tmp_path):
     spark.range(3).write.parquet(d2)
     publish(root, d2, 2, commit_ts=50.0)
     assert read_as_of(spark, root, 60.0).count() == 3
+
+
+def test_bloom_semijoin_probe_sits_below_the_fact_exchange(spark):
+    """The whole point of the runtime filter: the bloom probe must
+    filter the fact scan BEFORE its join exchange, so the shuffle
+    carries only probable matches."""
+    df = QUERIES["orders_bloom_semijoin"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # tree prints top-down: on the orders branch the Exchange must appear
+    # BEFORE (above) a Filter carrying the probe's xxhash64 lookups,
+    # which itself sits on the orders parquet scan
+    assert re.search(
+        r"Exchange[\s\S]*?Filter[^\n]*xxhash64[\s\S]*?orders\.parquet", plan
+    ), f"bloom probe not below the fact exchange:\n{plan[:2000]}"
