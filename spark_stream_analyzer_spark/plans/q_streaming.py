@@ -2998,3 +2998,86 @@ def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"phash_{uuid.uuid4().hex[:8]}"
     _run_to_memory(out, name, spark, "append", workdir=workdir)
     return spark.table(name)
+
+
+@register(
+    "streaming_approx_distinct_windows",
+    oracle=f"""
+    WITH {_O_BASE}
+    SELECT sec // 86400 * 86400 AS win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(1 AS INT) AS within_band
+    FROM base WHERE event_id < {EVENT_CAP}
+    GROUP BY 1
+    """,
+    doc="EXT windowed APPROX distinct in streaming, LIVE (r11 — the "
+    "approx family's streaming member beside the batch "
+    "approx_distinct_check): exact COUNT(DISTINCT) is unsupported in "
+    "streaming aggregation (Spark raises — unbounded per-group state); "
+    "approx_count_distinct's HLL++ sketch IS the supported, mergeable, "
+    "bounded-state form, and at 100 TB it is also the batch answer's "
+    "cost model. Tumbling daily windows + watermark, update mode, "
+    "2-batch interleaved replay; HLL registers only grow, so the "
+    "estimate is monotone across updates and the per-window max is the "
+    "final estimate (same reduction as streaming_windowed_counts). "
+    "Verdict per window: |approx − exact| within 3·rsd·exact + 5 (rsd "
+    "0.05 default), exact computed batch-side from the same lines. A "
+    "sketch regression (collapsed registers, wrong merge) blows the "
+    "band and flips the row red",
+)
+def q_streaming_approx_distinct_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    lines = b.select(
+        "event_id",
+        F.concat_ws(",", F.col("sec"), F.col("user_id")).alias("value"),
+    )
+    workdir = tempfile.mkdtemp(prefix="ssa_apdstream_")
+    os.makedirs(f"{workdir}/in")
+    rows = lines.collect()  # test-harness boundary only, NOT an engine path
+    for parity in (0, 1):
+        path = f"{workdir}/in/{parity:03d}.txt"
+        with open(path, "w") as f:
+            for r in rows:
+                if r.event_id % 2 == parity:
+                    f.write(r.value + "\n")
+        _stamp_batch_file(path, parity)
+
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[1].cast("long").alias("user_id"),
+    )
+    name = f"apd_{uuid.uuid4().hex[:8]}"
+    agg = (
+        parsed.withWatermark("ts", "36500 days")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.approx_count_distinct("user_id", 0.05).alias("n_approx"))
+    )
+    _run_to_memory(agg, name, spark, "update", workdir=None)
+    approx = (
+        spark.table(name)
+        .groupBy(F.unix_timestamp(F.col("win.start")).alias("win_start"))
+        .agg(F.max("n_approx").alias("n_approx"))
+    )
+    # exact side re-derived batch-side from the SAME replay lines via the
+    # base table (the lines are a projection of it)
+    exact = b.select(
+        (F.floor(F.col("sec") / 86400) * 86400).cast("long").alias("win_start"),
+        "user_id",
+    ).groupBy("win_start").agg(F.countDistinct("user_id").alias("n_exact"))
+    out = approx.join(exact, "win_start").select(
+        "win_start",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 3 * 0.05 * F.col("n_exact") + 5
+        ).cast("int").alias("within_band"),
+    )
+    import shutil
+
+    rows_out = out.collect()  # bounded: one row per day window
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows_out, out.schema)

@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = (
     "similarity_jl_rerank_audit",
     "source_file_provenance",
     "streaming_phash_dedup",
+    "streaming_approx_distinct_windows",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
