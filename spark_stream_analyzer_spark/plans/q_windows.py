@@ -407,3 +407,94 @@ def q_events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("item0").alias("sum_item0"),
         )
     )
+
+
+@register(
+    "events_cep_chain",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ps
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT DISTINCT user_id, epoch_us(ts) AS cs
+          FROM events WHERE event_type = 'click'),
+    v AS (SELECT DISTINCT user_id, epoch_us(ts) AS vs
+          FROM events WHERE event_type = 'view'),
+    pc AS (SELECT p.*, c.cs FROM p
+           ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cs <= p.ps),
+    pcv AS (SELECT pc.*, v.vs FROM pc
+            ASOF LEFT JOIN v ON pc.user_id = v.user_id AND v.vs <= pc.cs)
+    SELECT purchase_id, user_id,
+           CASE WHEN ps - cs <= 3600000000 THEN ps - cs END AS click_gap_us,
+           CASE WHEN ps - cs <= 3600000000 AND cs - vs <= 3600000000
+                THEN cs - vs END AS view_gap_us,
+           CAST(CASE WHEN ps - cs <= 3600000000 AND cs - vs <= 3600000000
+                THEN 1 ELSE 0 END AS INT) AS matched
+    FROM pcv
+    """,
+    doc="EXT CEP chain qualification (MATCH_RECOGNIZE's most common "
+    "pattern, view→click→purchase, as two chained as-of hops): each "
+    "purchase qualifies iff its LATEST preceding click is within 1 h "
+    "and that click's latest preceding view is within 1 h of the "
+    "click — per-purchase pattern matching (every instance), distinct "
+    "from events_user_funnel's global first-conversion. Each hop is "
+    "one operators/asof.py union+window pass (one shuffle+sort, no "
+    "per-row subquery, no range explosion); hop 2 runs only over "
+    "hop-1-matched rows and the unmatched remainder unions back "
+    "null-extended. All outputs are CASE-guarded on the full chain "
+    "condition, so both engines agree even where DuckDB's ASOF "
+    "matches a NULL left timestamp (measured: it does — treated as "
+    "+inf) while Spark's split skips it. Oracle = DuckDB's native "
+    "ASOF chain — two independent implementations",
+)
+def q_events_cep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("tus")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("tus"))
+        .distinct()
+        .select("user_id", "tus", F.col("tus").alias("cts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", us.alias("tus"))
+        .distinct()
+        .select("user_id", "tus", F.col("tus").alias("vts"))
+    )
+    pc = asof_join_backward(p, c, by="user_id", ts_col="tus", value_col="cts")
+    hit = pc.filter(F.col("cts").isNotNull())
+    miss = pc.filter(F.col("cts").isNull()).withColumn(
+        "vts", F.lit(None).cast("long")
+    )
+    # hop 2 joins on the CLICK's time: re-key the left ts to cts
+    hop2 = asof_join_backward(
+        hit.select("purchase_id", "user_id", F.col("tus").alias("ps"),
+                   F.col("cts").alias("tus")),
+        v,
+        by="user_id",
+        ts_col="tus",
+        value_col="vts",
+    ).select(
+        "purchase_id", "user_id",
+        F.col("ps").alias("tus"), F.col("tus").alias("cts"), "vts",
+    )
+    hour_us = 3600 * 1_000_000
+    full = hop2.unionByName(
+        miss.select("purchase_id", "user_id", "tus", "cts", "vts")
+    )
+    chain_ok = (F.col("tus") - F.col("cts") <= hour_us) & (
+        F.col("cts") - F.col("vts") <= hour_us
+    )
+    return full.select(
+        "purchase_id",
+        "user_id",
+        F.when(
+            F.col("tus") - F.col("cts") <= hour_us, F.col("tus") - F.col("cts")
+        ).alias("click_gap_us"),
+        F.when(chain_ok, F.col("cts") - F.col("vts")).alias("view_gap_us"),
+        F.coalesce(chain_ok.cast("int"), F.lit(0)).alias("matched"),
+    )

@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = (
     "source_file_provenance",
     "streaming_phash_dedup",
     "streaming_approx_distinct_windows",
+    "events_cep_chain",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
