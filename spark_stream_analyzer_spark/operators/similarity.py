@@ -928,3 +928,82 @@ def jl_rerank_recall_audit(
         "n_queries long, k long, m long, out_dim long, recall double,"
         " recall_ok int, recall_in_band int",
     )
+
+
+def top_pc_power_iteration(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component by distributed power iteration — the
+    data-driven dimensionality-reduction primitive beside the JL
+    projection (data-independent) and whitening (diagonal-only).
+
+    Never materializes the D×D covariance: each iteration computes
+    ``s_i = x̃_i·v`` (per-vector dot against the broadcast iterate) and
+    ``w_d = Σ_i x̃_{i,d}·s_i`` (one bounded groupBy(dim) — D combined
+    rows), i.e. two map-side-combinable aggregates over the exploded
+    (vec, dim, value) stream, which is materialized ONCE. Only the
+    D-float iterate crosses the driver per round (the k-means-centroid
+    exchange discipline), re-entering as literals.
+
+    Determinism contract (what makes the DuckDB oracle bit-matchable):
+    the per-dim centering means and the iterate are ROUND6-quantized
+    after every normalization, so both engines run the next iteration
+    with IDENTICAL constants — float drift cannot compound across
+    iterations (same discipline as kmeans_assign's round6 centroids).
+    v0 = 1/√D = 0.125 exactly at D=64.
+    """
+    from spark_stream_analyzer_spark.functions.materialize import materialize
+
+    dim = len(emb.select(vec_col).first()[0])  # bounded: one row, D known
+    means = (
+        emb.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .collect()  # bounded: D rows — the centering constants
+    )
+    mean = [0.0] * dim
+    for r in means:
+        mean[r.dim] = r.m
+    xc = materialize(
+        emb.select(
+            id_col,
+            F.posexplode(vec_col).alias("dim", "raw"),
+        ).select(
+            id_col,
+            "dim",
+            (
+                F.col("raw").cast("double")
+                - F.element_at(
+                    F.array(*[F.lit(m) for m in mean]), F.col("dim") + 1
+                )
+            ).alias("xc"),
+        )
+    )
+    v = [round(1.0 / dim**0.5, 6)] * dim
+    lam = 0.0
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(c) for c in v])
+        s = xc.groupBy(id_col).agg(
+            F.sum(
+                F.col("xc") * F.element_at(vlit, F.col("dim") + 1)
+            ).alias("s")
+        )
+        w_rows = (
+            xc.join(s, id_col)
+            .groupBy("dim")
+            .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
+            .collect()  # bounded: D rows — the next iterate
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r.dim] = r.w
+        lam = sum(x * x for x in w) ** 0.5
+        v = [round(x / lam, 6) for x in w] if lam > 0 else v
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(d, v[d], round(lam, 6)) for d in range(dim)],
+        "dim int, pc double, eigenvalue double",
+    )

@@ -2478,3 +2478,64 @@ def q_similarity_jl_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_queries", "k", "m", "out_dim", "recall_ok", "recall_in_band"
     )
+
+
+def _pca_power_sql(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of similarity.top_pc_power_iteration — one
+    (dot, accumulate, normalize, round6) CTE block per iteration, the
+    same round6-iterate discipline so both engines run every iteration
+    with identical constants."""
+    v0 = round(1.0 / dim**0.5, 6)
+    parts = [
+        f"mu AS (SELECT t.i - 1 AS dim, ROUND(AVG(e.embedding[t.i]::DOUBLE), 6)"
+        f" AS m FROM embeddings e CROSS JOIN generate_series(1, {dim}) AS t(i)"
+        " GROUP BY t.i - 1)",
+        f"xc AS (SELECT e.vec_id, t.i - 1 AS dim,"
+        f" e.embedding[t.i]::DOUBLE - mu.m AS xc"
+        f" FROM embeddings e CROSS JOIN generate_series(1, {dim}) AS t(i)"
+        " JOIN mu ON mu.dim = t.i - 1)",
+        f"v0 AS (SELECT dim, {v0} AS c FROM mu)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"s{r} AS (SELECT xc.vec_id, SUM(xc.xc * v{r-1}.c) AS s"
+            f" FROM xc JOIN v{r-1} USING (dim) GROUP BY xc.vec_id)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT xc.dim, SUM(xc.xc * s{r}.s) AS w"
+            f" FROM xc JOIN s{r} USING (vec_id) GROUP BY xc.dim)"
+        )
+        parts.append(f"n{r} AS (SELECT sqrt(SUM(w * w)) AS n FROM w{r})")
+        parts.append(
+            f"v{r} AS (SELECT dim, ROUND(w / (SELECT n FROM n{r}), 6) AS c"
+            f" FROM w{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(dim AS INT) AS dim, c AS pc,"
+        f" ROUND((SELECT n FROM n{iters}), 6) AS eigenvalue FROM v{iters}"
+    )
+
+
+@register(
+    "embedding_top_pc_power_iteration",
+    oracle=_pca_power_sql(3),
+    doc="EXT top principal component by DISTRIBUTED power iteration — "
+    "the data-driven reduction primitive completing the family beside "
+    "JL (data-independent) and whitening (diagonal-only). Never "
+    "materializes the DxD covariance: per iteration one per-vector dot "
+    "against the broadcast iterate + one bounded groupBy(dim) "
+    "accumulate (two map-side-combinable aggregates over the exploded "
+    "stream, materialized once); only the D-float iterate crosses the "
+    "driver per round (k-means-centroid discipline). Cross-engine "
+    "determinism: centering means and the iterate are ROUND6-quantized "
+    "after every normalization, so both engines run each iteration "
+    "with IDENTICAL constants and float drift cannot compound — the "
+    "whole 3-iteration loop is oracle-checked as unrolled CTE blocks "
+    "(the kmeans/BPE-trainer proof pattern applied to linear algebra)",
+)
+def q_embedding_top_pc_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return similarity.top_pc_power_iteration(_emb(spark, sf_dir), iters=3)

@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = (
     "streaming_phash_dedup",
     "streaming_approx_distinct_windows",
     "events_cep_chain",
+    "embedding_top_pc_power_iteration",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --

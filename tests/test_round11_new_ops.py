@@ -310,3 +310,37 @@ def test_bloom_semijoin_probe_sits_below_the_fact_exchange(spark):
     assert re.search(
         r"Exchange[\s\S]*?Filter[^\n]*xxhash64[\s\S]*?orders\.parquet", plan
     ), f"bloom probe not below the fact exchange:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# 7. PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_respects_spectral_bounds(spark):
+    import numpy as np
+
+    from spark_stream_analyzer_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows3 = top_pc_power_iteration(emb, iters=3).collect()
+    lam3 = rows3[0]["eigenvalue"]
+    lam1 = top_pc_power_iteration(emb, iters=1).collect()[0]["eigenvalue"]
+
+    X = np.array(
+        [np.array(r.embedding, dtype=float) for r in emb.orderBy("vec_id").collect()]
+    )
+    Xc = X - X.mean(0)
+    evals = np.linalg.eigvalsh(Xc.T @ Xc)
+    # ||C v|| of a unit vector can never exceed the top eigenvalue, and
+    # the power-iteration estimate is (quantization aside) non-decreasing
+    assert lam3 <= evals[-1] * (1 + 1e-6)
+    assert lam3 >= lam1 - 1e-3
+    # the estimate must have moved meaningfully off the uniform start
+    # toward the top of the spectrum (flat synthetic spectrum -> partial
+    # convergence at 3 iterations is expected and fine)
+    assert lam3 >= 0.7 * evals[-1]
+    # returned component is unit-norm (round6 grid)
+    assert abs(sum(r["pc"] ** 2 for r in rows3) - 1.0) < 1e-3
