@@ -2735,3 +2735,98 @@ def q_orders_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "orders_gdpr_erasure",
+    oracle=f"""
+    WITH k AS (SELECT COUNT(*) AS n_erased FROM orders WHERE o_custkey % 97 = 0),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+                 ROUND({_msum6_sql("o_totalprice")}, 6) AS survivor_msum6
+          FROM orders WHERE o_custkey % 97 <> 0)
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_before,
+           s.n_after, CAST(k.n_erased AS BIGINT) AS n_erased,
+           s.survivor_msum6,
+           CAST(1 AS INT) AS live_clean,
+           CAST(1 AS INT) AS pre_vacuum_leak,
+           CAST(1 AS INT) AS post_vacuum_gone
+    FROM k, s
+    """,
+    doc="EXT GDPR right-to-be-forgotten over the transactional table — "
+    "the compliance rewrite every lake needs, with its documented "
+    "gotcha PINNED rather than papered over: erasing a subject is a "
+    "filter-rewrite + atomic republish (v2), after which the LIVE "
+    "table is clean (live_clean) — but the subject's rows still exist "
+    "in v1's retained snapshot (pre_vacuum_leak pins the leak IS "
+    "there: time travel reads them back), so erasure is complete only "
+    "after vacuum reclaims pre-erasure versions (post_vacuum_gone "
+    "pins both that v1 time travel now fails closed AND that its data "
+    "dir is physically gone — the manifest-first deletion order means "
+    "a crash mid-vacuum can never leave readable orphaned PII paths "
+    "addressable through a manifest). At 100 TB the rewrite is one "
+    "filter scan + write (partition pruning scopes it when subjects "
+    "are partition-aligned); the erasure audit is the closed-form "
+    "count/sum split the oracle recomputes",
+)
+def q_orders_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_stream_analyzer_spark.sources.txn_publish import (
+        publish,
+        read_committed,
+        read_version,
+        snapshot_dir,
+        vacuum,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssa_gdpr_")
+    try:
+        o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        d1 = snapshot_dir(root)
+        o.write.parquet(d1)
+        publish(root, d1, 1, commit_ts=1000.0)
+        subject = F.col("o_custkey") % 97 == 0
+        n_before = read_committed(spark, root).count()
+        d2 = snapshot_dir(root)
+        read_committed(spark, root).filter(~subject).write.parquet(d2)
+        publish(root, d2, 2, commit_ts=2000.0)
+
+        live = read_committed(spark, root)
+        r = live.agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.round(msum6(F.col("o_totalprice")), 6).alias("m"),
+            F.sum(subject.cast("long")).alias("n_subject_live"),
+        ).collect()[0]  # one row
+        live_clean = int(r.n_subject_live == 0)
+        # the leak: v1's retained snapshot still carries the subject
+        leaked = (
+            read_version(spark, root, 1).filter(subject).count()
+        )
+        pre_vacuum_leak = int(leaked == n_before - r.n_after and leaked > 0)
+        # vacuum closes it: manifest first (travel fails closed), dir second
+        vacuum(root, keep_last=1)
+        try:
+            read_version(spark, root, 1)
+            travel_gone = False
+        except FileNotFoundError:
+            travel_gone = True
+        post_vacuum_gone = int(travel_gone and not os.path.exists(d1))
+        return spark.createDataFrame(
+            [
+                (
+                    n_before,
+                    int(r.n_after),
+                    int(n_before - r.n_after),
+                    float(r.m),
+                    live_clean,
+                    pre_vacuum_leak,
+                    post_vacuum_gone,
+                )
+            ],
+            "n_before long, n_after long, n_erased long, survivor_msum6 double,"
+            " live_clean int, pre_vacuum_leak int, post_vacuum_gone int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

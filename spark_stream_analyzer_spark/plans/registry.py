@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = (
     "streaming_approx_distinct_windows",
     "events_cep_chain",
     "embedding_top_pc_power_iteration",
+    "orders_gdpr_erasure",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
