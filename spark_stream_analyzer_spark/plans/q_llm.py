@@ -2539,3 +2539,113 @@ def q_embedding_top_pc_power_iteration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return similarity.top_pc_power_iteration(_emb(spark, sf_dir), iters=3)
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    WITH w AS ({_W}),
+    prs AS (SELECT unnest(list_transform(
+              generate_series(1, greatest(len(words) - 1, 0)),
+              i -> {{'a': words[i], 'b': words[i + 1]}})) AS p
+            FROM w),
+    half AS (SELECT least(p.a, p.b) AS pa, greatest(p.a, p.b) AS pb,
+                    COUNT(*) AS n
+             FROM prs WHERE p.a <> p.b GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    edges AS (SELECT pa AS src, pb AS dst FROM half
+              UNION ALL SELECT pb, pa FROM half),
+    deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    pr0 AS (SELECT src, degree, ROUND(1.0 / n_nodes, 6) AS pr
+            FROM deg CROSS JOIN nn),
+    c1 AS (SELECT e.dst, SUM(p.pr / p.degree) AS s
+           FROM edges e JOIN pr0 p ON e.src = p.src GROUP BY e.dst),
+    pr1 AS (SELECT d.src, d.degree,
+                   ROUND(0.15 / nn.n_nodes + 0.85 * coalesce(c1.s, 0), 6) AS pr
+            FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.dst = d.src),
+    c2 AS (SELECT e.dst, SUM(p.pr / p.degree) AS s
+           FROM edges e JOIN pr1 p ON e.src = p.src GROUP BY e.dst),
+    pr2 AS (SELECT d.src, d.degree,
+                   ROUND(0.15 / nn.n_nodes + 0.85 * coalesce(c2.s, 0), 6) AS pr
+            FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.dst = d.src)
+    SELECT src AS word, CAST(degree AS BIGINT) AS degree, pr
+    FROM pr2 ORDER BY pr DESC, word LIMIT 20
+    """,
+    doc="EXT TextRank keyword extraction (Mihalcea & Tarau 2004) — the "
+    "graph x text composition: the corpus's adjacent-word "
+    "co-occurrence graph (array-side pair build, min edge count 3), "
+    "ranked by the SAME 2-iteration d=0.85 PageRank discipline as "
+    "part_pagerank (one edge join + one dst aggregation per iteration, "
+    "round6 per iteration so summation drift cannot compound, node "
+    "count on a one-row broadcast), top-20 keywords via "
+    "TakeOrderedAndProject ((pr DESC, word) total order — distributed "
+    "top-k, never a single-reducer sort). At 100 TB the edge list is "
+    "vocab²-bounded-by-cooccurrence and the per-iteration cost is one "
+    "shuffle of it",
+)
+def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.materialize import materialize
+
+    d = _docs(spark, sf_dir)
+    ws = TH.spark_norm_words("text")
+    n = f"greatest(size({ws}) - 1, 0)"
+    pair_expr = (
+        f"zip_with(slice({ws}, 1, {n}), slice({ws}, 2, {n}),"
+        " (a, b) -> struct(a, b))"
+    )
+    prs = d.select(F.explode(F.expr(pair_expr)).alias("p")).filter(
+        F.col("p.a") != F.col("p.b")
+    )
+    half = (
+        prs.select(
+            F.least("p.a", "p.b").alias("pa"),
+            F.greatest("p.a", "p.b").alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    edges = materialize(
+        half.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+            half.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))  # one row
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "src",
+        "degree",
+        "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 6).alias("pr"),
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(
+                pr.select("src", (F.col("pr") / F.col("degree")).alias("c")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                deg["src"],
+                "degree",
+                "n_nodes",
+                F.round(
+                    0.15 / F.col("n_nodes")
+                    + 0.85 * F.coalesce(F.col("s"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("src"))
+        .limit(20)
+        .select(
+            F.col("src").alias("word"),
+            F.col("degree").cast("long").alias("degree"),
+            "pr",
+        )
+    )

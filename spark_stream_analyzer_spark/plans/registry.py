@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = (
     "events_cep_chain",
     "embedding_top_pc_power_iteration",
     "orders_gdpr_erasure",
+    "text_textrank_keywords",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
