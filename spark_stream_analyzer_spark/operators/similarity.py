@@ -62,6 +62,65 @@ def cosine_topk(
     )
 
 
+def hard_triplet_mining(
+    emb: DataFrame,
+    anchor_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXT hard-triplet mining for contrastive / metric-learning data
+    prep: for each anchor, the HARDEST POSITIVE (same label, minimum
+    cosine — the farthest in-class example) and the HARDEST NEGATIVE
+    (different label, maximum cosine — the closest out-of-class
+    example), plus the triplet margin and whether the triplet is
+    violated (negative at least as close as the positive).
+
+    Physical shape: broadcast the anchor set, ONE corpus scan computing
+    fold-dot cosines, then a single map-side-combinable
+    ``groupBy(anchor)`` with struct-ordered min/max — no per-anchor
+    window, no second shuffle. Ties break on neighbor id ascending via
+    the struct's second field (negated for the max side). At 100 TB the
+    anchor count is the broadcast knob and the ANN rows
+    (:func:`lsh_topk`, :func:`ivf_topk`, :func:`jl_rerank_recall_audit`)
+    are the candidate-generation scale path; this exact form is the
+    recall gold standard, same contract as :func:`cosine_topk`.
+    """
+    e = _with_norm(emb, vec_col)
+    q = e.filter(anchor_pred).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    cos = F.expr(TH.spark_dot("qvec", vec_col)) / (F.col("qnorm") * F.col("norm"))
+    same = F.col(label_col) == F.col("anchor_label")
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .withColumn("cos_raw", cos)
+    )
+    # struct-ordered extrema: (cos, id) min → lowest cosine then lowest
+    # id; (cos, -id) max → highest cosine then lowest id.
+    pos = F.when(same, F.struct(F.col("cos_raw").alias("c"), F.col(id_col).alias("i")))
+    neg = F.when(
+        ~same, F.struct(F.col("cos_raw").alias("c"), (-F.col(id_col)).alias("ni"))
+    )
+    agg = cand.groupBy("anchor_id", "anchor_label").agg(
+        F.min(pos).alias("p"), F.max(neg).alias("n")
+    )
+    return agg.select(
+        "anchor_id",
+        F.col("anchor_label").cast("int").alias("anchor_label"),
+        F.col("p.i").alias("pos_id"),
+        F.round("p.c", 6).alias("pos_cos"),
+        (-F.col("n.ni")).cast("long").alias("neg_id"),
+        F.round("n.c", 6).alias("neg_cos"),
+        F.round(F.col("p.c") - F.col("n.c"), 6).alias("margin"),
+        (F.col("n.c") >= F.col("p.c")).cast("int").alias("is_violation"),
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_pred: Column,

@@ -202,6 +202,24 @@ def token_pack_shards(
     Exact same result as the single-reducer window, one range shuffle +
     one tiny agg of cost. ``order_cols`` must be a total order.
     """
+    d = token_start_offsets(df, tokens_col, order_cols, start_col="_start")
+    return d.withColumn(
+        shard_col,
+        F.call_function("div", F.col("_start"), F.lit(int(budget)).cast("long")),
+    ).drop("_start")
+
+
+def token_start_offsets(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    order_cols: list[Column] | None = None,
+    start_col: str = "start",
+) -> DataFrame:
+    """Global first-token offset of each doc when the corpus is
+    concatenated in ``order_cols`` order — the exact two-pass prefix-sum
+    decomposition documented on :func:`token_pack_shards` (range shuffle
+    + local running sum + broadcast per-partition offsets; the only
+    single-partition step is a ≤ num-partitions-row window)."""
     order_cols = order_cols if order_cols is not None else [F.col("doc_id")]
     d = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
     totals = d.groupBy("_pid").agg(F.sum(tokens_col).alias("_t"))
@@ -219,11 +237,57 @@ def token_pack_shards(
     ).cast("long")
     return (
         d.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            shard_col,
-            F.call_function("div", first_token_pos, F.lit(int(budget)).cast("long")),
-        )
+        .withColumn(start_col, first_token_pos)
         .drop("_pid", "_off")
+    )
+
+
+def sequence_pack_stats(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    order_cols: list[Column] | None = None,
+) -> DataFrame:
+    """EXT concat-and-chunk sequence packing (the GPT-style training
+    layout: concatenate every doc's tokens — EOS included in
+    ``tokens_col`` — in ``order_cols`` order, slice the stream into
+    fixed ``seq_len``-token training sequences, docs SPLIT at sequence
+    boundaries). Per-sequence occupancy stats:
+
+    ``seq_id, n_docs`` (docs overlapping the sequence), ``n_doc_starts``
+    (docs whose first token lands here), ``seq_tokens`` (= seq_len
+    except the final partial sequence — packing has zero padding),
+    ``first_doc_id, last_doc_id``.
+
+    Physical shape: one range shuffle for the global prefix sum
+    (:func:`token_start_offsets`), then each doc explodes into only the
+    ceil(len/seq_len)+1 sequences it touches — output scales with
+    corpus tokens / seq_len, never with doc pairs — and one map-side
+    combinable ``groupBy(seq_id)``. Every doc must have ``tokens_col``
+    ≥ 1 (guaranteed when the caller adds the EOS token).
+    """
+    L = F.lit(int(seq_len)).cast("long")
+    d = token_start_offsets(df, tokens_col, order_cols, start_col="_s")
+    d = d.withColumn("_e", F.col("_s") + F.col(tokens_col).cast("long"))
+    first_seq = F.call_function("div", F.col("_s"), L)
+    last_seq = F.call_function("div", F.col("_e") - F.lit(1).cast("long"), L)
+    spans = d.select(
+        F.col(id_col),
+        F.col("_s"),
+        F.col("_e"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("_s"), F.col("seq_id") * L)
+    hi = F.least(F.col("_e"), (F.col("seq_id") + F.lit(1).cast("long")) * L)
+    return spans.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("_s") >= F.col("seq_id") * L).cast("long")).alias(
+            "n_doc_starts"
+        ),
+        F.sum(hi - lo).alias("seq_tokens"),
+        F.min(id_col).alias("first_doc_id"),
+        F.max(id_col).alias("last_doc_id"),
     )
 
 

@@ -506,6 +506,51 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+            embedding AS qvec, norm AS qnorm FROM e WHERE vec_id % 7 = 0),
+    c AS (SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
+          FROM e, q WHERE e.vec_id != q.anchor_id),
+    p AS (SELECT anchor_id, vec_id, cos_raw, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos_raw ASC, vec_id) AS rn
+          FROM c WHERE label = anchor_label),
+    n AS (SELECT anchor_id, vec_id, cos_raw, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos_raw DESC, vec_id) AS rn
+          FROM c WHERE label != anchor_label)
+    SELECT q.anchor_id, CAST(q.anchor_label AS INT) AS anchor_label,
+       p.vec_id AS pos_id, ROUND(p.cos_raw, 6) AS pos_cos,
+       n.vec_id AS neg_id, ROUND(n.cos_raw, 6) AS neg_cos,
+       ROUND(p.cos_raw - n.cos_raw, 6) AS margin,
+       CAST(n.cos_raw >= p.cos_raw AS INT) AS is_violation
+    FROM q
+    LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON p.anchor_id = q.anchor_id
+    LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON n.anchor_id = q.anchor_id
+    """,
+    doc="EXT hard-triplet mining for contrastive training data: per "
+    "anchor (vec_id % 7) the hardest positive (same label, MIN cosine "
+    "— farthest in-class) and hardest negative (different label, MAX "
+    "cosine — closest out-of-class), triplet margin, and the violation "
+    "flag (negative at least as close as the positive — the triplets a "
+    "metric-learning run actually trains on). One broadcast of the "
+    "anchor set, one corpus scan of fold-dot cosines, one map-side "
+    "combinable groupBy(anchor) with struct-ordered extrema — no "
+    "per-anchor window, no second shuffle; ties break on neighbor id. "
+    "The oracle takes the two-ranked-windows road to the same extrema. "
+    "At 100 TB the exact form is the recall gold standard and the ANN "
+    "rows (LSH/IVF/JL-rerank) are the candidate-generation scale path",
+)
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_triplet_mining(
+        _emb(spark, sf_dir), F.col("vec_id") % 7 == 0
+    )
+
+
+@register(
     "similarity_ann_lsh",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket,
@@ -1061,6 +1106,56 @@ def q_corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({TH.spark_norm_words('text')})").cast("long").alias("n_tokens"),
     )
     return splitops.token_pack_shards(d).select("doc_id", "n_tokens", "shard")
+
+
+_SEQ_L = 256
+
+
+@register(
+    "corpus_sequence_pack",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, len({TH.duck_norm_words('text')}) + 1 AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+            CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM w),
+    d AS (SELECT doc_id, cum - n_tokens AS s, cum AS e FROM c),
+    x AS (SELECT doc_id, s, e,
+            unnest(generate_series(s // {_SEQ_L}, (e - 1) // {_SEQ_L})) AS seq_id
+          FROM d)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s >= seq_id * {_SEQ_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_doc_starts,
+       CAST(SUM(LEAST(e, (seq_id + 1) * {_SEQ_L})
+                - GREATEST(s, seq_id * {_SEQ_L})) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+    FROM x GROUP BY seq_id
+    """,
+    doc="EXT concat-and-chunk sequence packing — the GPT-style training "
+    "layout beside corpus_token_shards's whole-doc sharding: every "
+    "doc's tokens (+1 EOS) concatenated in doc_id order and sliced "
+    f"into fixed {_SEQ_L}-token training sequences, docs SPLIT at "
+    "sequence boundaries (zero padding by construction). Per-sequence "
+    "occupancy: overlapping docs, doc starts, fill tokens (= seq_len "
+    "except the final partial), first/last doc. The global offset is "
+    "the same two-pass prefix-sum decomposition as token_pack_shards "
+    "(range shuffle + broadcast per-partition offsets — never a "
+    "single-reducer window; the oracle IS the single-reducer "
+    "definition, proving the decomposition exact); each doc explodes "
+    "into only the ceil(len/L)+1 sequences it touches, so work scales "
+    "with corpus tokens / L, and the final rollup is one map-side "
+    "combinable groupBy(seq_id)",
+)
+def q_corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.expr(f"size({TH.spark_norm_words('text')})") + F.lit(1))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return splitops.sequence_pack_stats(d, seq_len=_SEQ_L)
 
 
 @register(

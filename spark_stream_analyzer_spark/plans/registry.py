@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = (
     "embedding_top_pc_power_iteration",
     "orders_gdpr_erasure",
     "text_textrank_keywords",
+    "corpus_sequence_pack",
+    "similarity_hard_negatives",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --

@@ -344,3 +344,136 @@ def test_power_iteration_respects_spectral_bounds(spark):
     assert lam3 >= 0.7 * evals[-1]
     # returned component is unit-norm (round6 grid)
     assert abs(sum(r["pc"] ** 2 for r in rows3) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# 8. concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_pack_invariants_vs_single_reducer_definition(spark):
+    from pyspark.sql.window import Window
+
+    from spark_stream_analyzer_spark.operators.split import sequence_pack_stats
+
+    L = 64
+    docs = spark.range(0, 137).select(
+        F.col("id").alias("doc_id"),
+        # adversarial lengths: zero-word docs (EOS only), docs shorter
+        # than, equal to, and several times longer than a sequence
+        (
+            F.when(F.col("id") % 11 == 0, F.lit(0))
+            .when(F.col("id") % 7 == 0, F.lit(L * 3 + 5))
+            .when(F.col("id") % 5 == 0, F.lit(L - 1))  # +EOS = exactly L
+            .otherwise(F.col("id") % 40 + 1)
+            + F.lit(1)  # EOS
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    got = {r["seq_id"]: r for r in sequence_pack_stats(docs, seq_len=L).collect()}
+
+    # single-reducer reference: global window cumsum, python expansion
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref_rows = (
+        docs.withColumn("cum", F.sum("n_tokens").over(w))
+        .select("doc_id", "n_tokens", (F.col("cum") - F.col("n_tokens")).alias("s"))
+        .collect()
+    )
+    exp: dict[int, dict] = {}
+    total = 0
+    for r in ref_rows:
+        s, e = r["s"], r["s"] + r["n_tokens"]
+        total += r["n_tokens"]
+        for seq in range(s // L, (e - 1) // L + 1):
+            d = exp.setdefault(
+                seq,
+                {"n_docs": 0, "n_doc_starts": 0, "seq_tokens": 0, "docs": []},
+            )
+            d["n_docs"] += 1
+            d["n_doc_starts"] += int(s >= seq * L)
+            d["seq_tokens"] += min(e, (seq + 1) * L) - max(s, seq * L)
+            d["docs"].append(r["doc_id"])
+
+    assert set(got) == set(exp)
+    for seq, d in exp.items():
+        g = got[seq]
+        assert (
+            g["n_docs"],
+            g["n_doc_starts"],
+            g["seq_tokens"],
+            g["first_doc_id"],
+            g["last_doc_id"],
+        ) == (
+            d["n_docs"],
+            d["n_doc_starts"],
+            d["seq_tokens"],
+            min(d["docs"]),
+            max(d["docs"]),
+        )
+    # packing identities: zero padding (every sequence full except the
+    # last), token conservation, contiguous sequence ids
+    seqs = sorted(got)
+    assert seqs == list(range(len(seqs)))
+    assert all(got[s]["seq_tokens"] == L for s in seqs[:-1])
+    assert sum(got[s]["seq_tokens"] for s in seqs) == total
+    # every doc starts in exactly one sequence
+    assert sum(got[s]["n_doc_starts"] for s in seqs) == 137
+
+
+# ---------------------------------------------------------------------------
+# 9. hard-triplet mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_triplet_mining_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    from spark_stream_analyzer_spark.operators.similarity import hard_triplet_mining
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        r["anchor_id"]: r
+        for r in hard_triplet_mining(emb, F.col("vec_id") % 9 == 0).collect()
+    }
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    X = np.array([np.array(r["embedding"], dtype=float) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+
+    anchors = [i for i, v in enumerate(ids) if v % 9 == 0]
+    assert set(got) == {int(ids[i]) for i in anchors}
+    for i in anchors:
+        g = got[int(ids[i])]
+        same = (labels == labels[i]) & (ids != ids[i])
+        diff = labels != labels[i]
+        # hardest positive: min cosine then min id among same-label
+        pi = min(np.where(same)[0], key=lambda j: (cos[i, j], ids[j]))
+        ni = min(np.where(diff)[0], key=lambda j: (-cos[i, j], ids[j]))
+        assert g["pos_id"] == ids[pi] and g["neg_id"] == ids[ni]
+        assert abs(g["pos_cos"] - cos[i, pi]) < 1e-4
+        assert abs(g["neg_cos"] - cos[i, ni]) < 1e-4
+        assert abs(g["margin"] - (cos[i, pi] - cos[i, ni])) < 1e-4
+        assert g["is_violation"] == int(cos[i, ni] >= cos[i, pi])
+
+
+def test_hard_triplet_mining_null_extends_when_no_same_label_peer(spark):
+    from spark_stream_analyzer_spark.operators.similarity import hard_triplet_mining
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),  # label 7 appears once: no positive exists
+            (1, [0.9, 0.1], 1),
+            (2, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["anchor_id"]: r for r in hard_triplet_mining(emb, F.lit(True)).collect()}
+    assert rows[0]["pos_id"] is None and rows[0]["is_violation"] is None
+    assert rows[0]["neg_id"] == 1  # closest out-of-class by cosine
+    # anchors 1 and 2 have both sides
+    assert rows[1]["pos_id"] == 2 and rows[1]["neg_id"] == 0
+    assert rows[1]["is_violation"] == 1  # vec 0 is nearer vec 1 than vec 2 is
