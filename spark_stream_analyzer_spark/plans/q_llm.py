@@ -512,7 +512,8 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
                FROM embeddings),
     q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
-            embedding AS qvec, norm AS qnorm FROM e WHERE vec_id % 7 = 0),
+            embedding AS qvec, norm AS qnorm
+            FROM e WHERE vec_id % 7 = 0 AND vec_id < 500),
     c AS (SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
             {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cos_raw
           FROM e, q WHERE e.vec_id != q.anchor_id),
@@ -532,7 +533,9 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON n.anchor_id = q.anchor_id
     """,
     doc="EXT hard-triplet mining for contrastive training data: per "
-    "anchor (vec_id % 7) the hardest positive (same label, MIN cosine "
+    "anchor (vec_id % 7, capped at a FIXED 72-anchor set so the "
+    "broadcast side is pinned at every scale) the hardest positive "
+    "(same label, MIN cosine "
     "— farthest in-class) and hardest negative (different label, MAX "
     "cosine — closest out-of-class), triplet margin, and the violation "
     "flag (negative at least as close as the positive — the triplets a "
@@ -546,7 +549,7 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_triplet_mining(
-        _emb(spark, sf_dir), F.col("vec_id") % 7 == 0
+        _emb(spark, sf_dir), (F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 500)
     )
 
 
