@@ -781,6 +781,110 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_robust_zscore",
+    oracle="""
+    WITH s AS (SELECT event_type AS g, value AS v FROM events
+               WHERE value IS NOT NULL),
+    c AS (SELECT g, v,
+            SUM(1) OVER (PARTITION BY g ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            COUNT(*) OVER (PARTITION BY g) AS total FROM s),
+    med AS (SELECT g, MIN(v) AS med FROM c WHERE 2 * cum >= total GROUP BY g),
+    a AS (SELECT s.g, s.v, med.med, abs(s.v - med.med) AS ad
+          FROM s JOIN med USING (g)),
+    c2 AS (SELECT g, ad,
+             SUM(1) OVER (PARTITION BY g ORDER BY ad
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             COUNT(*) OVER (PARTITION BY g) AS total FROM a),
+    mad AS (SELECT g, MIN(ad) AS mad FROM c2 WHERE 2 * cum >= total GROUP BY g)
+    SELECT a.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(a.med), 6) AS median_value,
+       ROUND(MIN(d.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN a.ad * 0.6745::DOUBLE > d.mad * 3.5::DOUBLE
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(a.ad), 6) AS max_absdev
+    FROM a JOIN mad d USING (g) GROUP BY a.g
+    """,
+    doc="EXT robust anomaly profile (median/MAD, the Iglewicz-Hoaglin "
+    "modified z-score at |Mz| > 3.5) — the heavy-tail-safe twin of "
+    "events_anomaly_zscore's mean/stddev: one extreme value moves a "
+    "mean arbitrarily but shifts a median by at most one rank. Both "
+    "statistics are EXACT lower medians computed at fact scale by the "
+    "functions/median.py value-domain bisection (two phases: median of "
+    "value, then median of |v - med| — O(log_B V) map-side-combinable "
+    "scans each, never a per-group buffer; the |types|-row med/mad "
+    "tables broadcast back over the fact). Cross-engine determinism: "
+    "medians are exact values FROM the data, deviations are "
+    "single-IEEE-op doubles, and the outlier test is the "
+    "multiplication form ad*0.6745 > mad*3.5 — no division, so a "
+    "zero MAD (constant group) degenerates to comparing against 0 "
+    "identically on both engines instead of hitting engine-specific "
+    "x/0 semantics. The driver row uses 64-way buckets / "
+    "threshold 256 (one narrowing pass per phase at sf0.01 — deep "
+    "bisection is already forced by lineitem_weighted_median_partkey); "
+    "defaults 4096/4096 are the fact-scale setting",
+)
+def q_events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.materialize import materialize
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_weighted_median,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+        .withColumn("_one", F.lit(1))
+    )
+    # materialize the |types|-row median table: phase 2's bisection
+    # re-evaluates its facts input per pass, and without the cut each
+    # pass would re-run ALL of phase 1
+    med = materialize(
+        grouped_weighted_median(
+            ev,
+            ["event_type"],
+            "value",
+            "_one",
+            buckets=64,
+            finish_threshold=256,
+            max_passes=8,
+            median_col="med",
+        )
+    )
+    a = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = grouped_weighted_median(
+        a,
+        ["event_type"],
+        "ad",
+        "_one",
+        buckets=64,
+        finish_threshold=256,
+        max_passes=8,
+        median_col="mad",
+    )
+    return (
+        a.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("ad") * F.lit(0.6745) > F.col("mad") * F.lit(3.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("ad"), 6).alias("max_absdev"),
+        )
+    )
+
+
+@register(
     "events_salted_type_counts",
     oracle="""
     SELECT event_type,

@@ -1726,6 +1726,84 @@ def q_corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "corpus_source_tv_divergence",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({TH.duck_norm_words('text')}) AS word
+                 FROM documents),
+    csw AS (SELECT source, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    dw AS (SELECT word, SUM(c) AS dw FROM csw GROUP BY 1),
+    ns AS (SELECT source, SUM(c) AS n_s FROM csw GROUP BY 1),
+    m AS (SELECT SUM(c) AS m FROM csw),
+    agg AS (SELECT csw.source,
+              SUM(abs(csw.c * m.m - dw.dw * ns.n_s)) AS sdev,
+              SUM(dw.dw) AS dsum,
+              COUNT(*) AS n_vocab
+            FROM csw JOIN dw USING (word) JOIN ns USING (source)
+            CROSS JOIN m GROUP BY csw.source)
+    SELECT a.source,
+       CAST(ns.n_s AS BIGINT) AS n_tokens,
+       CAST(a.n_vocab AS BIGINT) AS n_vocab,
+       ROUND(CAST(a.sdev + (m.m - a.dsum) * ns.n_s AS DOUBLE)
+             / CAST(2 * ns.n_s * m.m AS DOUBLE), 6) AS tv_distance
+    FROM agg a JOIN ns USING (source) CROSS JOIN m
+    """,
+    doc="EXT distribution-shift detection: total-variation distance "
+    "between each source's unigram distribution and the whole corpus — "
+    "TV = 0.5 * sum_w |p_w - q_w|, the divergence a mixture pipeline "
+    "watches to catch a domain drifting from the blend (chosen over KL "
+    "because TV of count distributions is EXACT RATIONAL arithmetic: "
+    "sum_w |c_w*M - d_w*N_s| over int64, one double division at the "
+    "end — no log-sum float-order drift to quantize away; words absent "
+    "from a source fold into a closed-form missing-mass term "
+    "(M - sum d_w)*N_s instead of a source x vocab dense grid). "
+    "Physical shape: token counts per (source, word) once, word totals "
+    "and source totals DERIVED from that table (no second corpus "
+    "scan), one vocab-sized shuffle join on word, one-row corpus total "
+    "broadcast. int64 products hold to ~3e9 corpus tokens "
+    "(|term| <= N_s*M < 2^63); past that swap the two sums to "
+    "decimal(38,0) — the comparison stays exact, only the final "
+    "double cast rounds",
+)
+def q_corpus_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(F.expr(TH.spark_norm_words("text"))).alias("word")
+    )
+    csw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    dw = csw.groupBy("word").agg(F.sum("c").alias("dw"))
+    ns = csw.groupBy("source").agg(F.sum("c").alias("n_s"))
+    m = csw.agg(F.sum("c").alias("m"))  # one row
+    terms = (
+        csw.join(dw, "word")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(m))
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum(F.abs(F.col("c") * F.col("m") - F.col("dw") * F.col("n_s"))).alias(
+            "sdev"
+        ),
+        F.sum("dw").alias("dsum"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    return (
+        agg.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.round(
+                (
+                    F.col("sdev") + (F.col("m") - F.col("dsum")) * F.col("n_s")
+                ).cast("double")
+                / (F.lit(2) * F.col("n_s") * F.col("m")).cast("double"),
+                6,
+            ).alias("tv_distance"),
+        )
+    )
+
+
+@register(
     "text_langid_confusion",
     oracle=f"""
     WITH w AS ({_W}),

@@ -114,6 +114,8 @@ _DRIVER_PRIORITY = (
     "text_textrank_keywords",
     "corpus_sequence_pack",
     "similarity_hard_negatives",
+    "events_robust_zscore",
+    "corpus_source_tv_divergence",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --

@@ -477,3 +477,129 @@ def test_hard_triplet_mining_null_extends_when_no_same_label_peer(spark):
     # anchors 1 and 2 have both sides
     assert rows[1]["pos_id"] == 2 and rows[1]["neg_id"] == 0
     assert rows[1]["is_violation"] == 1  # vec 0 is nearer vec 1 than vec 2 is
+
+
+# ---------------------------------------------------------------------------
+# 10. robust z-score (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+def test_robust_zscore_stats_match_python_brute_force(spark):
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["events_robust_zscore"].build(spark, SF_DIR).collect()
+    }
+
+    import math
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        if r["value"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        return vals[math.ceil(len(vals) / 2) - 1]
+
+    assert set(rows) == set(by_type)
+    for t, vals in by_type.items():
+        med = lower_median(vals)
+        ads = [abs(v - med) for v in vals]
+        mad = lower_median(ads)
+        out = sum(1 for ad in ads if ad * 0.6745 > mad * 3.5)
+        g = rows[t]
+        assert g["n"] == len(vals)
+        assert abs(g["median_value"] - med) < 1e-9
+        assert abs(g["mad"] - mad) < 1e-9
+        assert g["n_outliers"] == out
+        assert abs(g["max_absdev"] - max(ads)) < 1e-9
+        # heavy-tail sanity: the robust flag fires on this corpus
+        assert g["n_outliers"] > 0
+
+
+def test_robust_zscore_constant_group_degenerates_cleanly(spark):
+    """MAD = 0 (constant group): the multiplication-form test flags every
+    deviating row and no constant row — no division-by-zero semantics in
+    play on either engine."""
+    from spark_stream_analyzer_spark.functions.materialize import materialize
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("const", 5.0)] * 9 + [("const", 9.0)],
+        "event_type string, value double",
+    ).withColumn("_one", F.lit(1))
+    med = materialize(
+        grouped_weighted_median(
+            df, ["event_type"], "value", "_one", median_col="med"
+        )
+    )
+    a = df.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = grouped_weighted_median(
+        a, ["event_type"], "ad", "_one", median_col="mad"
+    )
+    row = (
+        a.join(F.broadcast(mad), "event_type")
+        .agg(
+            F.sum(
+                (F.col("ad") * F.lit(0.6745) > F.col("mad") * F.lit(3.5)).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+        .collect()[0]
+    )
+    assert row["med"] == 5.0 and row["mad"] == 0.0
+    assert row["n_outliers"] == 1  # only the 9.0 row deviates
+
+
+# ---------------------------------------------------------------------------
+# 11. total-variation source divergence
+# ---------------------------------------------------------------------------
+
+
+def test_tv_divergence_matches_python_and_bounds(spark):
+    from collections import Counter
+
+    from spark_stream_analyzer_spark.functions import texthash as TH
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["corpus_source_tv_divergence"].build(spark, SF_DIR).collect()
+    }
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source", F.expr(TH.spark_norm_words("text")).alias("words"))
+        .collect()
+    )
+    per_src: dict[str, Counter] = {}
+    allw: Counter = Counter()
+    for r in docs:
+        c = per_src.setdefault(r["source"], Counter())
+        c.update(r["words"])
+        allw.update(r["words"])
+    M = sum(allw.values())
+    assert set(got) == set(per_src)
+    for src, c in per_src.items():
+        N = sum(c.values())
+        # full TV over the whole vocabulary (including words absent
+        # from this source) — the closed-form missing-mass shortcut in
+        # the operator must equal this direct definition
+        tv = 0.5 * sum(
+            abs(c.get(w, 0) / N - allw[w] / M) for w in allw
+        )
+        g = got[src]
+        assert g["n_tokens"] == N
+        assert g["n_vocab"] == len(c)
+        assert abs(g["tv_distance"] - tv) < 1e-6
+        assert 0.0 <= g["tv_distance"] < 1.0
