@@ -2489,6 +2489,61 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DP_U = (
+    "CAST(concat('0x', substr(md5(concat('dp:{tag}:', event_type)), 1, 15))"
+    " AS BIGINT) / 1152921504606846976.0"
+)
+
+
+def _dp_lap_sql(tag: str, b: float) -> str:
+    u = _DP_U.format(tag=tag)
+    return (
+        f"(-{b!r}) * sign(({u}) - 0.5)"
+        f" * ln(greatest(1e-12, 1.0 - 2.0 * abs(({u}) - 0.5)))"
+    )
+
+
+@register(
+    "events_dp_noisy_release",
+    oracle=f"""
+    WITH g AS (SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 {{msum}} AS s
+               FROM events GROUP BY event_type)
+    SELECT event_type,
+       ROUND(n + {_dp_lap_sql('c', 4.0)}, 6) AS noisy_count,
+       ROUND(s + {_dp_lap_sql('s', 400.0)}, 6) AS noisy_sum,
+       CAST(0.5 AS DOUBLE) AS epsilon,
+       CAST(100.0 AS DOUBLE) AS clip_bound
+    FROM g
+    """.replace(
+        "{msum}",
+        "(CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 1000000"
+        " + 0.5) AS BIGINT) // 1000000) AS DOUBLE)"
+        " + CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 1000000"
+        " + 0.5) AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0)",
+    ),
+    doc="EXT differential-privacy aggregate release: per-type count and "
+    "clipped sum with Laplace noise — the publish-side counterpart of "
+    "the events_k_anonymity audit (that row detects an unsafe release; "
+    "this one is safe BY MECHANISM). Count has sensitivity 1, the "
+    "[0,100]-clipped sum sensitivity 100 under add/remove-one-row "
+    "adjacency; eps 0.25 each, total eps 0.5 by parallel composition "
+    "(types partition the rows). The Laplace draw is the inverse CDF "
+    "over a SEEDED md5-hash uniform (the oracle contract — a "
+    "production release swaps in a CSPRNG behind the same inverse "
+    "CDF); every op is the same IEEE double expression shape on both "
+    "engines, the clipped sum is msum6 (sum-order-exact), and round6 "
+    "absorbs libm ln drift. One map-side-combinable groupBy, noise as "
+    "a per-group projection — nothing changes at 100 TB",
+)
+def q_events_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators.privacy import dp_noisy_release
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_noisy_release(ev, "event_type", "value")
+
+
 @register(
     "embedding_kmeans_bigk_assign",
     oracle=f"""

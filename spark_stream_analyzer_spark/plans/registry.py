@@ -116,6 +116,7 @@ _DRIVER_PRIORITY = (
     "similarity_hard_negatives",
     "events_robust_zscore",
     "corpus_source_tv_divergence",
+    "events_dp_noisy_release",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --

@@ -603,3 +603,52 @@ def test_tv_divergence_matches_python_and_bounds(spark):
         assert g["n_vocab"] == len(c)
         assert abs(g["tv_distance"] - tv) < 1e-6
         assert 0.0 <= g["tv_distance"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# 12. differential-privacy noisy release
+# ---------------------------------------------------------------------------
+
+
+def test_dp_release_matches_python_inverse_cdf_and_clips(spark):
+    import hashlib
+    import math
+
+    from spark_stream_analyzer_spark.operators.privacy import dp_noisy_release
+
+    df = spark.createDataFrame(
+        [("a", 40.25), ("a", 250.0), ("a", -30.0), ("b", 10.5)],
+        "event_type string, value double",
+    )
+    got = {
+        r["event_type"]: r
+        for r in dp_noisy_release(df, "event_type", "value").collect()
+    }
+
+    def u(tag, g):
+        h = hashlib.md5(f"dp:{tag}:{g}".encode()).hexdigest()[:15]
+        return int(h, 16) / float(1 << 60)
+
+    def lap(tag, g, b):
+        t = u(tag, g) - 0.5
+        return -b * math.copysign(1.0, t) * math.log(
+            max(1e-12, 1.0 - 2.0 * abs(t))
+        )
+
+    # clipping: 250 -> 100, -30 -> 0
+    true = {"a": (3, 40.25 + 100.0 + 0.0), "b": (1, 10.5)}
+    for g, (n, s) in true.items():
+        r = got[g]
+        assert abs(r["noisy_count"] - (n + lap("c", g, 4.0))) < 1e-6
+        assert abs(r["noisy_sum"] - (s + lap("s", g, 400.0))) < 1e-6
+        assert r["epsilon"] == 0.5 and r["clip_bound"] == 100.0
+        # the release is actually noised
+        assert r["noisy_count"] != n
+
+    # deterministic: a second run releases identical values
+    again = {
+        r["event_type"]: r
+        for r in dp_noisy_release(df, "event_type", "value").collect()
+    }
+    for g in true:
+        assert again[g] == got[g]
