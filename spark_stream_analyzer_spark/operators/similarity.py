@@ -1066,3 +1066,112 @@ def top_pc_power_iteration(
         [(d, v[d], round(lam, 6)) for d in range(dim)],
         "dim int, pc double, eigenvalue double",
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_pred: Column,
+    m: int = 4,
+    pool: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXT maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity step a retrieval pipeline runs AFTER the ANN
+    candidate fetch: from each query's ``pool``-sized cosine top-k,
+    greedily select ``m`` results maximizing
+    ``lam * cos(q, d) - (1 - lam) * max_{s in S} cos(d, s)``
+    (relevance minus redundancy against the already-selected set S).
+
+    Determinism (the oracle contract): every downstream input is the
+    ROUND6-quantized cosine — query-candidate from :func:`cosine_topk`,
+    candidate-candidate quantized the same way — so both engines run
+    the whole greedy loop on identical 6-decimal constants (the
+    kmeans/BPE round6-iterate discipline applied to re-ranking); ties
+    break on candidate id ascending via struct-ordered argmax.
+
+    Scale shape: the corpus appears ONLY in the top-k scan and one
+    broadcast-semi-join that extracts the candidates' vectors; the
+    greedy loop runs on bounded tables (|queries| * pool candidates,
+    |queries| * pool^2 pairs, both materialized once) with one
+    struct-max aggregation per step — m and pool are the knobs, no
+    driver crossing, no per-query window over the corpus.
+    """
+    from spark_stream_analyzer_spark.functions.materialize import materialize
+
+    cand = materialize(
+        cosine_topk(emb, query_pred, k=pool, id_col=id_col, vec_col=vec_col)
+    )
+    e = _with_norm(emb, vec_col)
+    cvecs = e.join(
+        F.broadcast(cand.select("query_id", "neighbor_id")),
+        e[id_col] == F.col("neighbor_id"),
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    a = cvecs.select(
+        "query_id",
+        F.col("cid").alias("a"),
+        F.col("cvec").alias("avec"),
+        F.col("cnorm").alias("anorm"),
+    )
+    b = cvecs.select(
+        "query_id",
+        F.col("cid").alias("b"),
+        F.col("cvec").alias("bvec"),
+        F.col("cnorm").alias("bnorm"),
+    )
+    pair_cos = F.round(
+        F.expr(TH.spark_dot("avec", "bvec")) / (F.col("anorm") * F.col("bnorm")), 6
+    )
+    pairs = materialize(
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select("query_id", "a", "b", pair_cos.alias("pcos"))
+    )
+
+    def argmax(df: DataFrame, score: Column, idc: str, step: int) -> DataFrame:
+        """Per-query (score desc, id asc) winner via struct-ordered max."""
+        s = df.groupBy("query_id").agg(
+            F.max(F.struct(score.alias("s"), (-F.col(idc)).alias("ni"))).alias(
+                "_m"
+            )
+        )
+        return s.select(
+            "query_id",
+            (-F.col("_m.ni")).cast("long").alias("sel_id"),
+            F.col("_m.s").alias("score"),
+            F.lit(step).alias("mmr_rank"),
+        )
+
+    # step 1: pure relevance
+    sel = argmax(cand, F.col("cosine"), "neighbor_id", 1)
+    for step in range(2, m + 1):
+        rem = cand.join(
+            sel.select("query_id", F.col("sel_id").alias("neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        red = (
+            pairs.join(
+                sel.select("query_id", F.col("sel_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("pcos").alias("maxsim"))
+        )
+        scored = rem.join(red, ["query_id", "neighbor_id"])
+        mmr = F.lit(lam) * F.col("cosine") - F.lit(1.0 - lam) * F.col("maxsim")
+        sel = sel.unionByName(
+            argmax(scored, mmr, "neighbor_id", step)
+        )
+    return sel.select(
+        "query_id",
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        F.col("sel_id").alias("vec_id"),
+        F.round("score", 6).alias("score"),
+    )

@@ -553,6 +553,86 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_sql(m: int = 4, pool: int = 8) -> str:
+    """Unrolled DuckDB twin of similarity.mmr_rerank — one CTE block per
+    greedy step, every input the round6 cosine so both engines run the
+    loop on identical constants (lam = 0.5: both lam and 1-lam are
+    exactly representable, so the score arithmetic cannot split)."""
+    parts = [
+        f"""e AS (SELECT vec_id, embedding,
+            sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+          FROM embeddings)""",
+        """q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm
+          FROM e WHERE vec_id < 4)""",
+        f"""c0 AS (SELECT q.query_id, e.vec_id,
+            {TH.duck_dot('q.qvec', 'e.embedding')} / (q.qnorm * e.norm) AS cr
+          FROM e, q WHERE e.vec_id != q.query_id)""",
+        f"""cand AS (SELECT query_id, vec_id AS cid, ROUND(cr, 6) AS cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cr DESC, vec_id) AS rn FROM c0) WHERE rn <= {pool})""",
+        f"""pr AS (SELECT a.query_id, a.cid AS a, b.cid AS b,
+            ROUND({TH.duck_dot('ea.embedding', 'eb.embedding')}
+                  / (ea.norm * eb.norm), 6) AS pcos
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.cid != b.cid
+          JOIN e ea ON ea.vec_id = a.cid JOIN e eb ON eb.vec_id = b.cid)""",
+        """s1 AS (SELECT query_id, cid AS sel_id, cos AS score, 1 AS mmr_rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cid) AS rn FROM cand) WHERE rn = 1)""",
+    ]
+    prev_union = "SELECT * FROM s1"
+    for k in range(2, m + 1):
+        parts.append(f"sel{k} AS ({prev_union})")
+        parts.append(
+            f"""r{k} AS (SELECT c.query_id, c.cid, c.cos, MAX(p.pcos) AS maxsim
+          FROM cand c
+          JOIN pr p ON p.query_id = c.query_id AND p.a = c.cid
+          JOIN sel{k} s ON s.query_id = p.query_id AND s.sel_id = p.b
+          WHERE NOT EXISTS (SELECT 1 FROM sel{k} x
+                WHERE x.query_id = c.query_id AND x.sel_id = c.cid)
+          GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""s{k} AS (SELECT query_id, cid AS sel_id,
+            0.5 * cos - 0.5 * maxsim AS score, {k} AS mmr_rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY (0.5 * cos - 0.5 * maxsim) DESC, cid) AS rn
+                FROM r{k}) WHERE rn = 1)"""
+        )
+        prev_union += f" UNION ALL SELECT * FROM s{k}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,"
+        f" sel_id AS vec_id, ROUND(score, 6) AS score"
+        f" FROM ({prev_union})"
+    )
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_sql(4, 8),
+    doc="EXT maximal-marginal-relevance re-ranking (Carbonell & "
+    "Goldstein 1998) — the diversity step after the ANN candidate "
+    "fetch: from each query's 8-candidate cosine top-k, greedily "
+    "select 4 maximizing lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s) "
+    "at lam = 0.5 (chosen so both lam and 1-lam are exactly "
+    "representable — the score arithmetic cannot split between "
+    "engines). The whole greedy loop runs on ROUND6-quantized cosines "
+    "(the kmeans/BPE round6-iterate discipline applied to re-ranking), "
+    "oracle-checked as unrolled per-step CTE blocks; ties break on "
+    "candidate id via struct-ordered argmax. The corpus appears only "
+    "in the top-k scan and one broadcast-semi-join pulling candidate "
+    "vectors; the loop touches bounded |queries|*pool tables with one "
+    "struct-max aggregation per step — no driver crossing, no "
+    "per-query corpus window",
+)
+def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mmr_rerank(
+        _emb(spark, sf_dir), F.col("vec_id") < 4, m=4, pool=8, lam=0.5
+    )
+
+
 @register(
     "similarity_ann_lsh",
     oracle=f"""

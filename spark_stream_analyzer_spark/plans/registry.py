@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = (
     "events_robust_zscore",
     "corpus_source_tv_divergence",
     "events_dp_noisy_release",
+    "similarity_mmr_rerank",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --

@@ -652,3 +652,73 @@ def test_dp_release_matches_python_inverse_cdf_and_clips(spark):
     }
     for g in true:
         assert again[g] == got[g]
+
+
+# ---------------------------------------------------------------------------
+# 13. MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    import numpy as np
+
+    from spark_stream_analyzer_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {}
+    for r in mmr_rerank(emb, F.col("vec_id") < 3, m=4, pool=8, lam=0.5).collect():
+        got.setdefault(r["query_id"], {})[r["mmr_rank"]] = r
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([np.array(r["embedding"], dtype=float) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+
+    for qi, q in enumerate(ids):
+        if q >= 3:
+            continue
+        # pool: top-8 by (cos desc, id asc), self excluded, ROUND6 like
+        # the operator
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] != q),
+            key=lambda j: (-cos[qi, j], ids[j]),
+        )[:8]
+        rc = {ids[j]: round(cos[qi, j], 6) for j in order}
+        pc = {
+            (ids[a], ids[b]): round(cos[a, b], 6)
+            for a in order
+            for b in order
+            if a != b
+        }
+        sel: list[tuple[int, float]] = []
+        first = max(rc, key=lambda d: (rc[d], -d))
+        sel.append((first, rc[first]))
+        for _ in range(3):
+            chosen = {d for d, _ in sel}
+            best = max(
+                (d for d in rc if d not in chosen),
+                key=lambda d: (
+                    0.5 * rc[d] - 0.5 * max(pc[(d, s)] for s in chosen),
+                    -d,
+                ),
+            )
+            sel.append(
+                (
+                    best,
+                    0.5 * rc[best] - 0.5 * max(pc[(best, s)] for s in chosen),
+                )
+            )
+        for rank, (d, score) in enumerate(sel, start=1):
+            g = got[q][rank]
+            assert g["vec_id"] == d, (q, rank, g, d)
+            assert abs(g["score"] - score) < 1e-6  # round6 output grid
+    # diversity sanity: MMR must not simply return the relevance top-4
+    # for every query (the corpus has correlated near-neighbors)
+    from spark_stream_analyzer_spark.operators.similarity import cosine_topk
+
+    top4 = {}
+    for r in cosine_topk(emb, F.col("vec_id") < 3, k=4).collect():
+        top4.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    mmr4 = {qid: {r["vec_id"] for r in by.values()} for qid, by in got.items()}
+    assert any(mmr4[q] != top4[q] for q in mmr4)
