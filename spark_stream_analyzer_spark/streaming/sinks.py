@@ -228,3 +228,80 @@ def dual_sink_batch_writer(url: str, table: str, root: str, driver: str | None =
         jdbc_write(batch_df, batch_id)
 
     return write_batch
+
+
+def windowed_topk_batch_writer(
+    url: str,
+    counts_table: str,
+    board_table: str,
+    k: int = 3,
+    driver: str | None = None,
+):
+    """foreachBatch SECOND-STAGE aggregation (r11): maintain a served
+    per-window top-k leaderboard from an update-mode windowed-count
+    stream.  Spark rejects a second streaming aggregation downstream of
+    an update-mode aggregate (chained streaming aggregations are
+    unsupported), so the rank step runs inside foreachBatch as
+    incremental view maintenance:
+
+    1. upsert the batch's changed ``(win_start, event_type, n)`` rows
+       into a compacted counts table (delete-by-key + distributed
+       append — same idempotence contract as
+       :func:`jdbc_snapshot_batch_writer`);
+    2. recompute top-k ONLY for the windows this batch touched, from
+       the counts table read back through ``spark.read.jdbc``, and
+       rewrite exactly those windows' leaderboard rows.
+
+    The read-back is the correctness core: update-mode batch output
+    carries only CHANGED rows, so ranking the batch alone would drop
+    unchanged competitors (the classic second-aggregation mistake —
+    pinned by a test).  Replay-safe: both stages are recompute-and-
+    rewrite by key, so a crash between counts write and board write is
+    healed by the batch's replay.  Cost per batch is bounded by the
+    touched windows' rows, never the stream's history.  Both tables
+    must exist (the fixture creates them — no swallowed DDL races).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    props = {"driver": driver} if driver else {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # bounded: distinct (window, key) pairs CHANGED in one
+        # micro-batch — update-mode output, not stream history
+        changed = batch_df.select("win_start", "event_type").distinct().collect()
+        if not changed:
+            return
+        wins = sorted({r["win_start"] for r in changed})
+        for r in changed:
+            _jdbc_execute(
+                spark,
+                url,
+                f'DELETE FROM {counts_table} WHERE "win_start" = {int(r["win_start"])}'
+                f' AND "event_type" = \'{r["event_type"]}\'',
+                driver,
+            )
+        batch_df.write.jdbc(url, counts_table, mode="append", properties=props)
+
+        win_list = ", ".join(str(int(w)) for w in wins)
+        full = spark.read.jdbc(url, counts_table, properties=props).filter(
+            F.col("win_start").isin(wins)
+        )
+        w = Window.partitionBy("win_start").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        board = (
+            full.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("win_start", "rk", "event_type", "n")
+        )
+        _jdbc_execute(
+            spark,
+            url,
+            f'DELETE FROM {board_table} WHERE "win_start" IN ({win_list})',
+            driver,
+        )
+        board.write.jdbc(url, board_table, mode="append", properties=props)
+
+    return write_batch

@@ -722,3 +722,83 @@ def test_mmr_rerank_matches_python_greedy(spark):
         top4.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     mmr4 = {qid: {r["vec_id"] for r in by.values()} for qid, by in got.items()}
     assert any(mmr4[q] != top4[q] for q in mmr4)
+
+
+# ---------------------------------------------------------------------------
+# 14. foreachBatch second-stage top-k leaderboard
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_topk_board_ranks_from_full_counts_not_batch_rows(
+    spark, tmp_path
+):
+    """Batch 2 changes only the RUNNER-UP's count: its update-mode output
+    holds a single row, so a writer that ranked the batch's rows alone
+    would crown the runner-up. The read-back must keep the unchanged
+    leader on top."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_stream_analyzer_spark.streaming.sinks import (
+        _jdbc_execute,
+        windowed_topk_batch_writer,
+    )
+    from spark_stream_analyzer_spark.streaming.sources import file_lines_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # window [0, 86400): A x5, B x3 in batch 1; B x1 more in batch 2
+    (indir / "000.txt").write_text(
+        "".join(["100,A\n"] * 5 + ["200,B\n"] * 3)
+    )
+    (indir / "001.txt").write_text("300,B\n")
+    anchor = 1_600_000_000
+    os.utime(indir / "000.txt", (anchor, anchor))
+    os.utime(indir / "001.txt", (anchor + 10, anchor + 10))
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    for ddl in (
+        'CREATE TABLE counts ("win_start" BIGINT, "event_type" VARCHAR(32),'
+        ' "n" BIGINT)',
+        'CREATE TABLE board ("win_start" BIGINT, "rk" BIGINT,'
+        ' "event_type" VARCHAR(32), "n" BIGINT)',
+    ):
+        _jdbc_execute(spark, url, ddl)
+
+    raw = file_lines_stream(spark, str(indir))
+    parts = F.split("value", ",")
+    counts = (
+        raw.select(
+            F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+            parts[1].alias("event_type"),
+        )
+        .withWatermark("ts", "36500 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        # file_lines_stream defaults to maxFilesPerTrigger=1, so the two
+        # mtime-ordered files ARE two micro-batches
+        .foreachBatch(windowed_topk_batch_writer(url, "counts", "board", k=2))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    board = sorted(
+        (r["rk"], r["event_type"], r["n"])
+        for r in spark.read.jdbc(url, "board").collect()
+    )
+    # A (5, untouched by batch 2) must still lead B (4)
+    assert board == [(1, "A", 5), (2, "B", 4)]
