@@ -126,10 +126,10 @@ def _grouped_value_at_ranks(
     )
 
     _before = persistent_rdd_ids(spark)
-    bounds = lineage_cut(bounds)
+    bounds = lineage_cut(bounds, chain=0)
     prev_round_ids = persistent_rdd_ids(spark) - _before
 
-    for _ in range(max_passes):
+    for _pass in range(max_passes):
         active = bounds.where(
             ~F.col("_done") & (F.col("_n") > finish_threshold)
         )
@@ -189,7 +189,7 @@ def _grouped_value_at_ranks(
             F.col("_done") | (F.col("_n") <= finish_threshold)
         )
         _b = persistent_rdd_ids(spark)
-        new_bounds = lineage_cut(crossed.unionByName(rest))
+        new_bounds = lineage_cut(crossed.unionByName(rest), chain=_pass + 1)
         this_round_ids = persistent_rdd_ids(spark) - _b
         # free the previous round's lineage-cut blocks (RDD-id diff —
         # Dataset.unpersist does not release localCheckpoint blocks)

@@ -453,7 +453,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         # would still compound analysis time — lineage_cut uses reliable
         # checkpoint() when a checkpoint dir is set (cluster), else
         # localCheckpoint (single-node)
-        updated = lineage_cut(updated)
+        updated = lineage_cut(updated, chain=rnd)
         this_round_ids = persistent_rdd_ids(spark) - _before
         changed = updated.filter("moved").limit(1).count()
         # the new checkpoint is materialized — last round's blocks are dead

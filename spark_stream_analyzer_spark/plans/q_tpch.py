@@ -1398,6 +1398,91 @@ def q_customer_name_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "customer_entity_resolution",
+    oracle="""
+    WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                         WHERE c_nationkey = 3),
+    p AS (SELECT a.c_custkey AS pa, b.c_custkey AS pb
+          FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (SELECT pa AS a, pb AS b FROM p UNION SELECT pb, pa FROM p),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.b AS id, rr.r FROM reach rr JOIN edges e ON e.a = rr.id),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    al AS (SELECT c.c_custkey, c.c_acctbal,
+                  COALESCE(lab.cluster_id, c.c_custkey) AS cluster_id
+           FROM c LEFT JOIN lab ON lab.id = c.c_custkey),
+    canon AS (SELECT cluster_id, c_custkey AS canonical_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY c_acctbal DESC, c_custkey) AS rn FROM al) WHERE rn = 1),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM al GROUP BY cluster_id)
+    SELECT al.c_custkey, al.cluster_id, canon.canonical_id,
+           sizes.cluster_size,
+           CAST(al.c_custkey = canon.canonical_id AS INT) AS is_canonical
+    FROM al JOIN canon USING (cluster_id) JOIN sizes USING (cluster_id)
+    """,
+    doc="EXT entity resolution end-to-end — the MDM pipeline composed "
+    "from the registry's own verified stages: symmetric-delete "
+    "blocking + exact-levenshtein pair verification "
+    "(operators/fuzzy.py, never n²), connected components over the "
+    "match pairs (operators/dedup.py min-label propagation with path "
+    "doubling — the synthetic sequential names make transitive "
+    "closure REAL here: digit-substitution chains merge far-apart "
+    "ids), then survivorship: per cluster the max-acctbal record wins "
+    "(tie → min custkey) — the 'most valuable record' rule, a "
+    "struct-ordered argmax, no per-cluster window over the corpus. "
+    "Unmatched customers stay their own singleton cluster via the "
+    "left join. Scoped to one nation (the within-partition ER shape, "
+    "same rationale as customer_name_fuzzy_pairs_d2); the oracle is "
+    "blocking-independent brute force + recursive-CTE closure",
+)
+def q_customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import dedup
+    from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    pairs = fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+    lab = dedup.duplicate_clusters(pairs, id_a="id_a", id_b="id_b").select(
+        F.col("doc_id").alias("c_custkey"), "cluster_id"
+    )
+    al = c.join(lab, "c_custkey", "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("cluster_id", F.col("c_custkey")).alias("cluster_id"),
+    )
+    per_cluster = al.groupBy("cluster_id").agg(
+        # struct-ordered argmax: highest balance, then lowest custkey
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("b"), (-F.col("c_custkey")).alias("ni")
+            )
+        ).alias("_m"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    canon = per_cluster.select(
+        "cluster_id",
+        (-F.col("_m.ni")).cast("long").alias("canonical_id"),
+        "cluster_size",
+    )
+    return al.join(canon, "cluster_id").select(
+        "c_custkey",
+        "cluster_id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("c_custkey") == F.col("canonical_id")).cast("int").alias(
+            "is_canonical"
+        ),
+    )
+
+
+@register(
     "part_pagerank",
     oracle="""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = (
     "events_dp_noisy_release",
     "similarity_mmr_rerank",
     "streaming_windowed_topk_board",
+    "customer_entity_resolution",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --

@@ -802,3 +802,56 @@ def test_windowed_topk_board_ranks_from_full_counts_not_batch_rows(
     )
     # A (5, untouched by batch 2) must still lead B (4)
     assert board == [(1, "A", 5), (2, "B", 4)]
+
+
+# ---------------------------------------------------------------------------
+# 15. entity resolution (blocking -> CC -> survivorship)
+# ---------------------------------------------------------------------------
+
+
+def test_entity_resolution_survivorship_on_hand_built_graph(spark):
+    """Two chained matches + one singleton: transitive closure must merge
+    the chain (1~2, 2~3 but 1!~3), the max-balance member must win the
+    cluster, and the singleton must survive as its own canonical."""
+    from spark_stream_analyzer_spark.operators import dedup
+    from spark_stream_analyzer_spark.operators.fuzzy import fuzzy_pairs
+
+    c = spark.createDataFrame(
+        [
+            (1, "alpha", 10.0),
+            (2, "alphb", 99.0),  # dist(alpha, alphb)=1; dist(alphb, alpbb)=1
+            (3, "alpbb", 50.0),  # dist(alpha, alpbb)=2 -> chain, not clique
+            (9, "zzzzz", 7.0),
+        ],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    pairs = fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == {(1, 2), (2, 3)}  # 1-3 is distance 2: no direct edge
+
+    lab = dedup.duplicate_clusters(pairs, id_a="id_a", id_b="id_b")
+    labels = {r["doc_id"]: r["cluster_id"] for r in lab.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}  # chain merged transitively
+
+    al = c.join(
+        lab.select(F.col("doc_id").alias("c_custkey"), "cluster_id"),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("cluster_id", F.col("c_custkey")).alias("cluster_id"),
+    )
+    per = al.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("b"), (-F.col("c_custkey")).alias("ni")
+            )
+        ).alias("_m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    canon = {
+        r["cluster_id"]: (-r["_m"]["ni"], r["n"]) for r in per.collect()
+    }
+    assert canon[1] == (2, 3)  # max acctbal 99.0 wins the merged cluster
+    assert canon[9] == (9, 1)  # singleton is its own canonical
