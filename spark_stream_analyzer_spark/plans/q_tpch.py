@@ -1397,6 +1397,72 @@ def q_customer_name_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+import math as _math
+
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v!r}e0" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+               FROM orders),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT digit, n AS n_orders,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed_share,
+       ROUND({_BENFORD_CASE}, 6) AS expected_share,
+       ROUND((CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * ({_BENFORD_CASE}))
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * ({_BENFORD_CASE}))
+             / (CAST(total AS DOUBLE) * ({_BENFORD_CASE})), 6) AS chi2_term
+    FROM g CROSS JOIN t
+    """,
+    doc="EXT Benford first-digit audit over order totals — the "
+    "fraud/fabrication screen a financial ingest gate runs: observed "
+    "first-significant-digit shares vs Benford's law "
+    "(log10(1 + 1/d)), with the per-digit chi-square contribution so "
+    "a drifted digit names itself. The digit comes from the DECIMAL "
+    "STRING of exact integer cents (floor(p*100 + 0.5) — the msum6 "
+    "quantization step), never from float log10, whose ulp at exact "
+    "powers of ten could split the digit between engines; the Benford "
+    "expectations are python-computed double literals embedded in "
+    "BOTH engines' expressions (e-notation so DuckDB parses DOUBLE, "
+    "not DECIMAL). One map-side-combinable groupBy to 9 rows + a "
+    "one-row total broadcast; nothing changes at 100 TB",
+)
+def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        o.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = g.agg(F.sum("n").cast("long").alias("total"))  # one row
+    exp = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, v in _BENFORD.items() for x in (d, v)]
+        ),
+        F.col("digit"),
+    )
+    n_d, tot_d = F.col("n").cast("double"), F.col("total").cast("double")
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").alias("n_orders"),
+        F.round(n_d / tot_d, 6).alias("observed_share"),
+        F.round(exp, 6).alias("expected_share"),
+        F.round(
+            (n_d - tot_d * exp) * (n_d - tot_d * exp) / (tot_d * exp), 6
+        ).alias("chi2_term"),
+    )
+
+
 @register(
     "customer_entity_resolution",
     oracle="""

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = (
     "similarity_mmr_rerank",
     "streaming_windowed_topk_board",
     "customer_entity_resolution",
+    "orders_benford_audit",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
