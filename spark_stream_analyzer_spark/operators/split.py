@@ -264,12 +264,19 @@ def sequence_pack_stats(
     (:func:`token_start_offsets`), then each doc explodes into only the
     ceil(len/seq_len)+1 sequences it touches — output scales with
     corpus tokens / seq_len, never with doc pairs — and one map-side
-    combinable ``groupBy(seq_id)``. Every doc must have ``tokens_col``
-    ≥ 1 (guaranteed when the caller adds the EOS token).
+    combinable ``groupBy(seq_id)``. Zero-token docs occupy no stream
+    positions and are excluded from the span stats (callers that add an
+    EOS token never produce one).
     """
     L = F.lit(int(seq_len)).cast("long")
     d = token_start_offsets(df, tokens_col, order_cols, start_col="_s")
-    d = d.withColumn("_e", F.col("_s") + F.col(tokens_col).cast("long"))
+    # zero-token rows contribute nothing to the stream: keep them in the
+    # prefix sum above (0 tokens shift no offsets) but NOT in the span
+    # explode — sequence(first, last) with last < first would silently
+    # generate a DESCENDING range and corrupt the per-sequence stats
+    d = d.where(F.col(tokens_col) > 0).withColumn(
+        "_e", F.col("_s") + F.col(tokens_col).cast("long")
+    )
     first_seq = F.call_function("div", F.col("_s"), L)
     last_seq = F.call_function("div", F.col("_e") - F.lit(1).cast("long"), L)
     spans = d.select(

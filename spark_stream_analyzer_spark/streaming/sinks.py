@@ -275,11 +275,14 @@ def windowed_topk_batch_writer(
             return
         wins = sorted({r["win_start"] for r in changed})
         for r in changed:
+            # the key value comes from DATA — escape embedded quotes so a
+            # hostile key cannot break (or inject into) the statement
+            key = str(r["event_type"]).replace("'", "''")
             _jdbc_execute(
                 spark,
                 url,
                 f'DELETE FROM {counts_table} WHERE "win_start" = {int(r["win_start"])}'
-                f' AND "event_type" = \'{r["event_type"]}\'',
+                f" AND \"event_type\" = '{key}'",
                 driver,
             )
         batch_df.write.jdbc(url, counts_table, mode="append", properties=props)

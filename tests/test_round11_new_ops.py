@@ -855,3 +855,49 @@ def test_entity_resolution_survivorship_on_hand_built_graph(spark):
     }
     assert canon[1] == (2, 3)  # max acctbal 99.0 wins the merged cluster
     assert canon[9] == (9, 1)  # singleton is its own canonical
+
+
+def test_sequence_pack_skips_zero_token_docs_without_shifting_offsets(spark):
+    from spark_stream_analyzer_spark.operators.split import sequence_pack_stats
+
+    with_zero = spark.createDataFrame(
+        [(0, 10), (1, 0), (2, 10)], "doc_id long, n_tokens long"
+    )
+    without = spark.createDataFrame(
+        [(0, 10), (2, 10)], "doc_id long, n_tokens long"
+    )
+    a = sorted(
+        tuple(r) for r in sequence_pack_stats(with_zero, seq_len=8).collect()
+    )
+    b = sorted(
+        tuple(r) for r in sequence_pack_stats(without, seq_len=8).collect()
+    )
+    assert a == b  # the zero-token doc neither appears nor shifts anyone
+
+
+def test_topk_board_writer_escapes_quoted_keys(spark, tmp_path):
+    from spark_stream_analyzer_spark.streaming.sinks import (
+        _jdbc_execute,
+        windowed_topk_batch_writer,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    for ddl in (
+        'CREATE TABLE counts ("win_start" BIGINT, "event_type" VARCHAR(32),'
+        ' "n" BIGINT)',
+        'CREATE TABLE board ("win_start" BIGINT, "rk" BIGINT,'
+        ' "event_type" VARCHAR(32), "n" BIGINT)',
+    ):
+        _jdbc_execute(spark, url, ddl)
+    batch = spark.createDataFrame(
+        [(0, "o'brien", 3), (0, "plain", 1)],
+        "win_start long, event_type string, n long",
+    )
+    writer = windowed_topk_batch_writer(url, "counts", "board", k=2)
+    writer(batch, 0)
+    writer(batch, 0)  # replay: the quoted key must DELETE, not duplicate
+    rows = sorted(
+        (r["rk"], r["event_type"], r["n"])
+        for r in spark.read.jdbc(url, "board").collect()
+    )
+    assert rows == [(1, "o'brien", 3), (2, "plain", 1)]
