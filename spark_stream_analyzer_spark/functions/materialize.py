@@ -101,12 +101,17 @@ def lineage_cut(
     session).
     """
     sc = df.sparkSession.sparkContext
-    has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    jdir = sc._jsc.sc().getCheckpointDir()
+    cur_dir = jdir.get() if jdir.isDefined() else None
+    has_dir = cur_dir is not None
     # a dir WE provisioned below is storage for periodic deep cuts, not
     # a signal the deployment wants every cut reliable — without this
     # distinction the first deep cut would flip all later hybrid rounds
-    # to the reliable path
-    external_dir = has_dir and not _SELF_PROVISIONED_DIRS.get(id(sc))
+    # to the reliable path.  Compare PATHS, not a session flag: a caller
+    # that sets its own dir AFTER we self-provisioned one has expressed
+    # the deployment intent and gets always-reliable again.
+    self_dir = _SELF_PROVISIONED_DIRS.get(id(sc))
+    external_dir = has_dir and not (self_dir and cur_dir.endswith(self_dir))
     if chain is None:
         reliable = external_dir
     else:

@@ -57,11 +57,19 @@ def test_materialize_rejects_unknown_strategy(spark):
 
 
 def test_lineage_cut_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    from spark_stream_analyzer_spark.functions import materialize as M
+
     sc = spark.sparkContext
-    had = sc._jsc.sc().getCheckpointDir().isDefined()
-    assert not had, "test assumes no checkpoint dir pre-configured"
+    jdir = sc._jsc.sc().getCheckpointDir()
+    # an earlier test's loop may have SELF-provisioned a temp dir on the
+    # shared session — that must behave like "no dir" for one-off cuts
+    if jdir.isDefined():
+        self_dir = M._SELF_PROVISIONED_DIRS.get(id(sc))
+        assert self_dir and jdir.get().endswith(self_dir), (
+            "test assumes no EXTERNAL checkpoint dir pre-configured"
+        )
     df = spark.range(0, 50).select(F.col("id") * 2)
-    # no dir → localCheckpoint fallback (single-node path)
+    # no external dir → localCheckpoint (single-node one-off path)
     local = lineage_cut(df)
     assert local.count() == 50 and not local._jdf.isLocal()
     sc.setCheckpointDir(str(tmp_path / "chk"))
