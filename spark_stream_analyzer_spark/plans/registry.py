@@ -121,6 +121,11 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_topk_board",
     "customer_entity_resolution",
     "orders_benford_audit",
+    # -- round-11 changed-code rows (lineage_cut hybrid deep-cut — the
+    # CC-loop consumers not already in the head above) --
+    "dedup_duplicate_clusters",
+    "dedup_survivors",
+    "corpus_cluster_safe_split",
     # -- round-11 changed-code rows (cont.) --
     "text_bpe_merge_table",  # training loop extracted to bpe_train_merges
     # -- round-10 additions --
@@ -153,10 +158,7 @@ _DRIVER_PRIORITY = (
     # -- round-8 changed-code rows (fresh driver row required) --
     "source_small_file_compaction",  # bound-derived verdict bits (ADVICE)
     "dedup_minhash_lsh_pairs",  # default band_cap path (cold branch)
-    "dedup_duplicate_clusters",  # edge-block release via RDD-id diff
     "dedup_lsh_recall_audit",
-    "dedup_survivors",
-    "corpus_cluster_safe_split",
     "corpus_cross_source_dup_matrix",
     # -- round-7 additions --
     "streaming_rocksdb_windowed_counts",
