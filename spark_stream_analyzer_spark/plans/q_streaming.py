@@ -1052,6 +1052,44 @@ def q_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _write_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture for the watermark-drop rows: three mtime-ordered
+    replay files — batch 0 (days 0+3, advancing the watermark far past
+    every day-0 window), batch 1 (on-time day-6 rows, interposed so the
+    one-batch-behind late filter is deterministic), batch 2 (ONLY the
+    planted day-0 stragglers, event_id % 3 == 0 and % 5 == 0)."""
+    import os
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    rows = b.select("event_id", "sec", "event_type").collect()  # harness boundary
+    workdir = tempfile.mkdtemp(prefix="ssa_latestream_")
+    os.makedirs(f"{workdir}/in")
+
+    def ts_of(r):
+        # synthetic days 0/3/6, every row in its day's last hour: batch
+        # 0's max event time (day 3) minus the 1h delay lands multiple
+        # window-durations past every day-0 window — no boundary cases
+        day = (r.event_id % 3) * 3
+        return day * 86400 + 82800 + (r.event_id * 7919) % 3600
+
+    def batch_of(r):
+        idx = r.event_id % 3
+        if idx == 0 and r.event_id % 5 == 0:
+            return 2  # straggler: own batch, TWO batches after the advance
+        return 0 if idx in (0, 1) else 1
+
+    batches: dict[int, list[str]] = {0: [], 1: [], 2: []}
+    for r in rows:
+        batches[batch_of(r)].append(f"{ts_of(r)},{r.event_id % 3},{r.event_type}")
+    for idx, lines in sorted(batches.items()):
+        path = f"{workdir}/in/{idx:03d}.txt"
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        _stamp_batch_file(path, idx)
+    return workdir
+
+
+
 @register(
     "streaming_late_data_drop",
     oracle=f"""
@@ -1083,35 +1121,7 @@ def q_streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by per-window max in update mode (monotone counts)",
 )
 def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
-    rows = b.select("event_id", "sec", "event_type").collect()  # harness boundary
-    workdir = tempfile.mkdtemp(prefix="ssa_latestream_")
-    os.makedirs(f"{workdir}/in")
-
-    def ts_of(r):
-        # synthetic days 0/3/6, every row in its day's last hour: batch
-        # 0's max event time (day 3) minus the 1h delay lands multiple
-        # window-durations past every day-0 window — no boundary cases
-        day = (r.event_id % 3) * 3
-        return day * 86400 + 82800 + (r.event_id * 7919) % 3600
-
-    def batch_of(r):
-        idx = r.event_id % 3
-        if idx == 0 and r.event_id % 5 == 0:
-            return 2  # straggler: own batch, TWO batches after the advance
-        return 0 if idx in (0, 1) else 1
-
-    batches: dict[int, list[str]] = {0: [], 1: [], 2: []}
-    for r in rows:
-        batches[batch_of(r)].append(f"{ts_of(r)},{r.event_id % 3},{r.event_type}")
-    for idx, lines in sorted(batches.items()):
-        path = f"{workdir}/in/{idx:03d}.txt"
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        _stamp_batch_file(path, idx)
-
+    workdir = _write_late_batches(spark, sf_dir)
     raw = file_lines_stream(spark, f"{workdir}/in")
     parts = F.split("value", ",")
     parsed = raw.select(
@@ -3185,4 +3195,91 @@ def q_streaming_windowed_topk_board(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("rk").cast("long").alias("rk"),
         "event_type",
         F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "streaming_watermark_metrics",
+    oracle=f"""
+    WITH {_O_BASE},
+    x AS (SELECT event_id, event_type FROM base WHERE event_id < {EVENT_CAP})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(COUNT(DISTINCT CASE WHEN event_id % 3 = 0 AND event_id % 5 = 0
+                THEN event_type END) AS BIGINT) AS n_dropped_state_rows,
+       CAST(SUM(CASE WHEN event_id % 3 = 0 AND event_id % 5 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late_events
+    FROM x
+    """,
+    doc="EXT watermark OBSERVABILITY audit, LIVE — the metrics twin of "
+    "streaming_late_data_drop (which pins the drop through the "
+    "RESULT): this row pins it through Spark's own "
+    "StreamingQueryProgress, and it pins the metric's REAL unit, "
+    "which this row's first draft got wrong: "
+    "numRowsDroppedByWatermark counts rows dropped AT THE STATE "
+    "OPERATOR — i.e. post-shuffle, post-map-side-combine aggregate "
+    "rows, ONE PER LATE (window, key) GROUP — not input events "
+    "(measured: 667 planted straggler EVENTS surface as exactly 5 "
+    "dropped state rows, one per event_type sharing the one late "
+    "day-0 window). A production monitor alerting on this metric "
+    "UNDERCOUNTS dropped events by the pre-aggregation fan-in; the "
+    "event-level number needs observe()/numInputRows accounting like "
+    "events_observed_quality. The oracle derives both ground truths "
+    "from the data: total input events and the distinct late "
+    "(window, key) group count; n_late_events documents the fan-in. "
+    "recentProgress is bounded by the fixture's 3 micro-batches",
+)
+def q_streaming_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    workdir = _write_late_batches(spark, sf_dir)
+    raw = file_lines_stream(spark, f"{workdir}/in")
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        F.timestamp_seconds(parts[0].cast("long")).alias("ts"),
+        parts[2].alias("event_type"),
+    )
+    counted = (
+        parsed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_part"))
+    )
+    name = f"wmmet_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # bounded: one progress dict per micro-batch (3 replay files)
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    n_input = sum(int(p["numInputRows"]) for p in progresses)
+    n_dropped = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in progresses
+        for so in p.get("stateOperators", [])
+    )
+    # the straggler batch replays exactly the planted late events; the
+    # sink table holds everything admitted — late events = input minus
+    # rows that reached any window's count (monotone per-window max)
+    admitted = (
+        spark.table(name)
+        .groupBy("w", "event_type")
+        .agg(F.max("n_part").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]  # bounded: one aggregate row
+    )
+    return spark.createDataFrame(
+        [(n_input, n_dropped, n_input - int(admitted))],
+        "n_input long, n_dropped_state_rows long, n_late_events long",
     )

@@ -121,6 +121,8 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_topk_board",
     "customer_entity_resolution",
     "orders_benford_audit",
+    "streaming_watermark_metrics",
+    "streaming_late_data_drop",  # batch construction extracted to shared helper
     # -- round-11 changed-code rows (lineage_cut hybrid deep-cut — the
     # CC-loop consumers not already in the head above) --
     "dedup_duplicate_clusters",
