@@ -67,9 +67,12 @@ def materialize(
 
 _DEEP_CUT_EVERY = 5
 
-#: sc-id → temp checkpoint dir lineage_cut provisioned itself (distinct
-#: from a deployment-configured dir — see the strategy note below)
-_SELF_PROVISIONED_DIRS: dict = {}
+#: temp checkpoint dirs lineage_cut provisioned itself (distinct from a
+#: deployment-configured dir — see the strategy note below).  Keyed by
+#: PATH, process-global: python SparkContext wrapper identity is not
+#: stable across SparkSession wrappers, and the paths are unique
+#: tempdirs anyway
+_SELF_PROVISIONED_DIRS: set = set()
 
 
 def lineage_cut(
@@ -110,8 +113,9 @@ def lineage_cut(
     # to the reliable path.  Compare PATHS, not a session flag: a caller
     # that sets its own dir AFTER we self-provisioned one has expressed
     # the deployment intent and gets always-reliable again.
-    self_dir = _SELF_PROVISIONED_DIRS.get(id(sc))
-    external_dir = has_dir and not (self_dir and cur_dir.endswith(self_dir))
+    external_dir = has_dir and not any(
+        cur_dir.endswith(d) for d in _SELF_PROVISIONED_DIRS
+    )
     if chain is None:
         reliable = external_dir
     else:
@@ -127,7 +131,7 @@ def lineage_cut(
 
         d = tempfile.mkdtemp(prefix="ssa_ckpt_")
         sc.setCheckpointDir(d)
-        _SELF_PROVISIONED_DIRS[id(sc)] = d
+        _SELF_PROVISIONED_DIRS.add(d)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     # persist before reliable checkpoint: without it Spark computes
     # the plan twice — once for the action and again when the
