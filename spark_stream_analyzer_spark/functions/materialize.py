@@ -113,8 +113,10 @@ def lineage_cut(
     # to the reliable path.  Compare PATHS, not a session flag: a caller
     # that sets its own dir AFTER we self-provisioned one has expressed
     # the deployment intent and gets always-reliable again.
+    # SparkContext.setCheckpointDir stores <dir>/<random-uuid>, so
+    # match by containment of the path we created, not equality/suffix
     external_dir = has_dir and not any(
-        cur_dir.endswith(d) for d in _SELF_PROVISIONED_DIRS
+        d in cur_dir for d in _SELF_PROVISIONED_DIRS
     )
     if chain is None:
         reliable = external_dir

@@ -64,8 +64,8 @@ def test_lineage_cut_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
     # an earlier test's loop may have SELF-provisioned a temp dir on the
     # shared session — that must behave like "no dir" for one-off cuts
     if jdir.isDefined():
-        cur = jdir.get()
-        assert any(cur.endswith(d) for d in M._SELF_PROVISIONED_DIRS), (
+        cur = jdir.get()  # qualified <dir>/<uuid> form
+        assert any(d in cur for d in M._SELF_PROVISIONED_DIRS), (
             "test assumes no EXTERNAL checkpoint dir pre-configured"
         )
     df = spark.range(0, 50).select(F.col("id") * 2)
@@ -104,3 +104,36 @@ def test_iterative_cc_runs_under_reliable_checkpoint(spark, tmp_path):
         assert rel == expected
     finally:
         _unset_checkpoint_dir(spark)
+
+
+def test_hybrid_stays_local_after_self_provisioned_deep_cut(spark):
+    """After a deep cut self-provisions the temp dir (stored by Spark as
+    <dir>/<uuid>), subsequent non-deep rounds must STILL take the local
+    path — the uuid suffix must not make the dir look external."""
+    from spark_stream_analyzer_spark.functions import materialize as M
+
+    df = spark.range(0, 10).select(F.col("id"))
+    out = lineage_cut(df, chain=M._DEEP_CUT_EVERY - 1)  # deep cut
+    assert out.count() == 10
+    sc = spark.sparkContext
+    jdir = sc._jsc.sc().getCheckpointDir()
+    assert jdir.isDefined()
+    if not any(d in jdir.get() for d in M._SELF_PROVISIONED_DIRS):
+        # an external dir was configured by the environment: the hybrid
+        # correctly defers to always-reliable there — nothing to pin
+        return
+    calls = []
+    cls = type(df)  # Spark 4: the classic subclass overrides the method
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(True)
+        return orig(self, eager)
+
+    cls.localCheckpoint = spy
+    try:
+        out2 = lineage_cut(df, chain=0)  # non-deep round
+        assert out2.count() == 10
+        assert calls, "non-deep round took the reliable path after provision"
+    finally:
+        cls.localCheckpoint = orig
