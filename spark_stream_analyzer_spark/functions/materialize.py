@@ -127,6 +127,16 @@ def lineage_cut(
     if not reliable:
         return df.localCheckpoint(eager=eager)
     if not has_dir:
+        if not sc.master.startswith("local"):
+            # a driver-local tempdir is NOT a valid checkpoint dir on a
+            # multi-node cluster (executors would write part files to
+            # their own machines and the read-back fails) — and a
+            # cluster deployment that wants reliable cuts must point
+            # setCheckpointDir at shared storage anyway.  Deep cuts
+            # degrade to local checkpoints here; the chained-local leak
+            # is a single-JVM observation and the cluster-correct
+            # alternative does not exist without a configured dir.
+            return df.localCheckpoint(eager=eager)
         import atexit
         import shutil
         import tempfile

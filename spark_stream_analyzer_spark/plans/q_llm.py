@@ -1810,10 +1810,10 @@ def q_corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=f"""
     WITH tok AS (SELECT source, unnest({TH.duck_norm_words('text')}) AS word
                  FROM documents),
-    csw AS (SELECT source, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-    dw AS (SELECT word, SUM(c) AS dw FROM csw GROUP BY 1),
-    ns AS (SELECT source, SUM(c) AS n_s FROM csw GROUP BY 1),
-    m AS (SELECT SUM(c) AS m FROM csw),
+    csw AS (SELECT source, word, COUNT(*)::HUGEINT AS c FROM tok GROUP BY 1, 2),
+    dw AS (SELECT word, SUM(c)::HUGEINT AS dw FROM csw GROUP BY 1),
+    ns AS (SELECT source, SUM(c)::HUGEINT AS n_s FROM csw GROUP BY 1),
+    m AS (SELECT SUM(c)::HUGEINT AS m FROM csw),
     agg AS (SELECT csw.source,
               SUM(abs(csw.c * m.m - dw.dw * ns.n_s)) AS sdev,
               SUM(dw.dw) AS dsum,
@@ -1839,20 +1839,29 @@ def q_corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFra
     "Physical shape: token counts per (source, word) once, word totals "
     "and source totals DERIVED from that table (no second corpus "
     "scan), one vocab-sized shuffle join on word, one-row corpus total "
-    "broadcast. int64 products hold to ~3e9 corpus tokens "
-    "(|term| <= N_s*M < 2^63); past that swap the two sums to "
-    "decimal(38,0) — the comparison stays exact, only the final "
-    "double cast rounds",
+    "broadcast. All integer arithmetic runs in decimal(18,0) operands "
+    "/ decimal(38,0) sums on Spark and HUGEINT on DuckDB — exact to "
+    "~1e18 corpus tokens (the first review draft summed in int64, "
+    "which wraps SILENTLY on Spark once the numerator's total "
+    "2*N_s*M crosses 2^63 — ~2e9 tokens for a dominant source, while "
+    "DuckDB raises: a silent cross-engine split inside the old "
+    "documented-safe range); only the final double cast rounds",
 )
 def q_corpus_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = d.select(
         "source", F.explode(F.expr(TH.spark_norm_words("text"))).alias("word")
     )
-    csw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
-    dw = csw.groupBy("word").agg(F.sum("c").alias("dw"))
-    ns = csw.groupBy("source").agg(F.sum("c").alias("n_s"))
-    m = csw.agg(F.sum("c").alias("m"))  # one row
+    # decimal(18,0) operands: products are decimal(37,0), sums
+    # decimal(38,0) — exact far past int64 (which wraps silently on
+    # Spark; DuckDB HUGEINT mirrors the exact-integer semantics)
+    dec = "decimal(18,0)"
+    csw = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast(dec).alias("c")
+    )
+    dw = csw.groupBy("word").agg(F.sum("c").cast(dec).alias("dw"))
+    ns = csw.groupBy("source").agg(F.sum("c").cast(dec).alias("n_s"))
+    m = csw.agg(F.sum("c").cast(dec).alias("m"))  # one row
     terms = (
         csw.join(dw, "word")
         .join(F.broadcast(ns), "source")
@@ -1876,7 +1885,9 @@ def q_corpus_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame
                 (
                     F.col("sdev") + (F.col("m") - F.col("dsum")) * F.col("n_s")
                 ).cast("double")
-                / (F.lit(2) * F.col("n_s") * F.col("m")).cast("double"),
+                / (F.lit(2).cast("decimal(18,0)") * F.col("n_s") * F.col("m")).cast(
+                    "double"
+                ),
                 6,
             ).alias("tv_distance"),
         )
@@ -2569,9 +2580,12 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the uniform is the shared 60-bit md5 hash (texthash.duck_hash60 — do
+# not inline its SQL: a change to the hash convention must reach every
+# oracle through the one helper) scaled by 2^-60
 _DP_U = (
-    "CAST(concat('0x', substr(md5(concat('dp:{tag}:', event_type)), 1, 15))"
-    " AS BIGINT) / 1152921504606846976.0"
+    TH.duck_hash60("concat('dp:{tag}:', event_type)")
+    + " / 1152921504606846976.0"
 )
 
 

@@ -3187,14 +3187,19 @@ def q_streaming_windowed_topk_board(spark: SparkSession, sf_dir: str) -> DataFra
             q.processAllAvailable()
         finally:
             q.stop()
+        # bounded: k rows per window (the serving table) — collect so
+        # the Derby workdir (db + replay files + checkpoint) can be
+        # reclaimed instead of leaking one tempdir per invocation
+        board = spark.read.jdbc(url, "board").collect()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
 
-    return spark.read.jdbc(url, "board").select(
-        "win_start",
-        F.col("rk").cast("long").alias("rk"),
-        "event_type",
-        F.col("n").cast("long").alias("n"),
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(int(r["win_start"]), int(r["rk"]), r["event_type"], int(r["n"])) for r in board],
+        "win_start long, rk long, event_type string, n long",
     )
 
 

@@ -255,7 +255,13 @@ def windowed_topk_batch_writer(
     The read-back is the correctness core: update-mode batch output
     carries only CHANGED rows, so ranking the batch alone would drop
     unchanged competitors (the classic second-aggregation mistake —
-    pinned by a test).  Replay-safe: both stages are recompute-and-
+    pinned by a test).  NULL keys: the delete predicate handles them
+    (IS NULL branch — an equality match would orphan the row and a
+    replay would duplicate it), but whether the APPEND can carry a
+    NULL string is dialect-dependent — Spark's Derby dialect maps
+    StringType to CLOB and rejects setNull, so Derby deployments must
+    pre-normalize NULL keys; Postgres/MySQL dialects pass them
+    through.  Replay-safe: both stages are recompute-and-
     rewrite by key, so a crash between counts write and board write is
     healed by the batch's replay.  Cost per batch is bounded by the
     touched windows' rows, never the stream's history.  Both tables
@@ -269,23 +275,47 @@ def windowed_topk_batch_writer(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # bounded: distinct (window, key) pairs CHANGED in one
-        # micro-batch — update-mode output, not stream history
-        changed = batch_df.select("win_start", "event_type").distinct().collect()
+        # micro-batch — update-mode output, not stream history.
+        # Rows with a NULL window are unaddressable (no window to
+        # rewrite) and cannot arise from window() over a non-null
+        # event time — drop them rather than crash the int() below.
+        changed = (
+            batch_df.where(F.col("win_start").isNotNull())
+            .select("win_start", "event_type")
+            .distinct()
+            .collect()
+        )
         if not changed:
             return
         wins = sorted({r["win_start"] for r in changed})
+        # ONE delete per touched window (not per (window, key) pair —
+        # the serial driver round-trips dominated batch latency): the
+        # key list is escaped (quotes doubled) so a hostile key cannot
+        # break or inject into the statement, and NULL keys get the
+        # IS NULL branch an equality predicate would never match
+        # (str(None) = 'None' would orphan the NULL row and a replay
+        # would append a duplicate, voiding idempotence).
+        by_win: dict = {}
         for r in changed:
-            # the key value comes from DATA — escape embedded quotes so a
-            # hostile key cannot break (or inject into) the statement
-            key = str(r["event_type"]).replace("'", "''")
+            by_win.setdefault(r["win_start"], []).append(r["event_type"])
+        for w, keys in by_win.items():
+            nonnull = [k for k in keys if k is not None]
+            preds = []
+            if nonnull:
+                lst = ", ".join("'" + str(k).replace("'", "''") + "'" for k in nonnull)
+                preds.append(f'"event_type" IN ({lst})')
+            if len(nonnull) != len(keys):
+                preds.append('"event_type" IS NULL')
             _jdbc_execute(
                 spark,
                 url,
-                f'DELETE FROM {counts_table} WHERE "win_start" = {int(r["win_start"])}'
-                f" AND \"event_type\" = '{key}'",
+                f'DELETE FROM {counts_table} WHERE "win_start" = {int(w)}'
+                f" AND ({' OR '.join(preds)})",
                 driver,
             )
-        batch_df.write.jdbc(url, counts_table, mode="append", properties=props)
+        batch_df.where(F.col("win_start").isNotNull()).write.jdbc(
+            url, counts_table, mode="append", properties=props
+        )
 
         win_list = ", ".join(str(int(w)) for w in wins)
         full = spark.read.jdbc(url, counts_table, properties=props).filter(

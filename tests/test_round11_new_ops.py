@@ -889,11 +889,16 @@ def test_topk_board_writer_escapes_quoted_keys(spark, tmp_path):
         ' "event_type" VARCHAR(32), "n" BIGINT)',
     ):
         _jdbc_execute(spark, url, ddl)
+    # a NULL-key row already in the serving store, in a window the batch
+    # does NOT touch (written by a DB whose dialect accepts NULL strings
+    # — Spark's Derby dialect maps StringType to CLOB and rejects
+    # setNull, so plant it via SQL and keep it out of the board rewrite)
+    _jdbc_execute(spark, url, "INSERT INTO counts VALUES (86400, NULL, 2)")
     batch = spark.createDataFrame(
         [(0, "o'brien", 3), (0, "plain", 1)],
         "win_start long, event_type string, n long",
     )
-    writer = windowed_topk_batch_writer(url, "counts", "board", k=2)
+    writer = windowed_topk_batch_writer(url, "counts", "board", k=3)
     writer(batch, 0)
     writer(batch, 0)  # replay: the quoted key must DELETE, not duplicate
     rows = sorted(
@@ -901,3 +906,8 @@ def test_topk_board_writer_escapes_quoted_keys(spark, tmp_path):
         for r in spark.read.jdbc(url, "board").collect()
     )
     assert rows == [(1, "o'brien", 3), (2, "plain", 1)]
+    # the untouched NULL-key row must SURVIVE the upsert (the delete
+    # targets only the batch's changed keys)
+    counts = spark.read.jdbc(url, "counts").collect()
+    assert len(counts) == 3
+    assert any(r["event_type"] is None and r["n"] == 2 for r in counts)
