@@ -1399,6 +1399,28 @@ def q_customer_name_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFram
 
 import math as _math
 
+_BOOT_R = 16
+#: Poisson(1) CDF cutpoints, python-computed once and embedded as the
+#: SAME double literals in both engines (tail mass beyond k=8 ~ 1.1e-6
+#: is clamped into the last bucket — a deterministic, documented bias
+#: far below the bootstrap's own resolution)
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(0, 9):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(_acc)
+
+
+def _pois_case(u_expr: str) -> str:
+    """Inverse-CDF Poisson(1) draw as a CASE chain over a [0,1) uniform
+    — identical SQL text on both engines (e-notation keeps DuckDB in
+    DOUBLE, never DECIMAL)."""
+    branches = " ".join(
+        f"WHEN ({u_expr}) < {c!r}e0 THEN {k}" for k, c in enumerate(_POIS_CDF[:-1])
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
 _BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
 _BENFORD_CASE = "CASE digit " + " ".join(
     f"WHEN {d} THEN {v!r}e0" for d, v in _BENFORD.items()
@@ -1460,6 +1482,68 @@ def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (n_d - tot_d * exp) * (n_d - tot_d * exp) / (tot_d * exp), 6
         ).alias("chi2_term"),
+    )
+
+
+_BOOT_U_DUCK = (
+    "CAST(concat('0x', substr(md5(concat('boot:', o_orderkey, ':', rep)),"
+    " 1, 15)) AS BIGINT) / 1152921504606846976.0"
+)
+_BOOT_U_SPARK = (
+    "cast(conv(substr(md5(concat('boot:', o_orderkey, ':', rep)), 1, 15),"
+    " 16, 10) as bigint) / 1152921504606846976.0"
+)
+
+
+@register(
+    "orders_bootstrap_replicates",
+    oracle=f"""
+    WITH r AS (SELECT o_orderkey, o_totalprice,
+                 unnest(generate_series(0, {_BOOT_R - 1})) AS rep
+               FROM orders),
+    w AS (SELECT rep, {_pois_case(_BOOT_U_DUCK)} AS w, o_totalprice
+          FROM r)
+    SELECT CAST(rep AS BIGINT) AS replicate,
+       CAST(SUM(w) AS BIGINT) AS n_drawn,
+       ROUND({{msum}}, 6) AS boot_total
+    FROM w GROUP BY rep
+    """.replace("{{msum}}", "{msum}").format(msum=_msum6_sql("w * o_totalprice")),
+    doc="EXT Poisson(1) bootstrap replicates over total revenue — "
+    f"uncertainty quantification at scale: {_BOOT_R} resamples where "
+    "each row's multiplicity in replicate j is an independent "
+    "Poisson(1) draw (the streaming-safe bootstrap: multinomial "
+    "resampling needs the global row count per draw; Poissonization "
+    "decouples rows, so the whole thing is ONE scan x R with NO "
+    "coordination — the standard scale-out form). The draw is the "
+    "inverse CDF over the seeded md5-60 uniform per (row, replicate) "
+    "with python-computed CDF cutpoints embedded as identical double "
+    "literals in both engines (tail clamped at k=8, ~1.1e-6 mass — "
+    "documented bias far below bootstrap resolution); replicate "
+    "totals are msum6 (sum-order-exact), so the output is "
+    "bit-deterministic. The row emits the R replicate totals "
+    "themselves rather than a second-stage mean/stddev — a 16-value "
+    "float variance would reintroduce the very summation-order drift "
+    "the rest of the pipeline engineers away; consumers derive CIs "
+    "from the replicates. R is the cost knob: work is input x R, "
+    "output is R rows",
+)
+def q_orders_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.expr(f"sequence(0, {_BOOT_R - 1})")).alias("rep"),
+    )
+    w = F.expr(_pois_case(_BOOT_U_SPARK))
+    return (
+        r.withColumn("w", w)
+        .groupBy(F.col("rep").cast("long").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_drawn"),
+            F.round(msum6(F.col("w") * F.col("o_totalprice")), 6).alias(
+                "boot_total"
+            ),
+        )
     )
 
 

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = (
     "customer_entity_resolution",
     "orders_benford_audit",
     "streaming_watermark_metrics",
+    "orders_bootstrap_replicates",
     "streaming_late_data_drop",  # batch construction extracted to shared helper
     # -- round-11 changed-code rows (lineage_cut hybrid deep-cut — the
     # CC-loop consumers not already in the head above) --

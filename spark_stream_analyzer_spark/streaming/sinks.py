@@ -283,6 +283,7 @@ def windowed_topk_batch_writer(
             batch_df.where(F.col("win_start").isNotNull())
             .select("win_start", "event_type")
             .distinct()
+            # bounded: distinct changed (window, key) pairs of ONE batch
             .collect()
         )
         if not changed:

@@ -911,3 +911,36 @@ def test_topk_board_writer_escapes_quoted_keys(spark, tmp_path):
     counts = spark.read.jdbc(url, "counts").collect()
     assert len(counts) == 3
     assert any(r["event_type"] is None and r["n"] == 2 for r in counts)
+
+
+# ---------------------------------------------------------------------------
+# 16. Poisson bootstrap replicates
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_replicates_are_sound(spark):
+    import math
+
+    from spark_stream_analyzer_spark.plans.registry import QUERIES
+
+    rows = (
+        QUERIES["orders_bootstrap_replicates"]
+        .build(spark, SF_DIR)
+        .collect()
+    )
+    assert len(rows) == 16
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = o.count()
+    true_total = sum(r["o_totalprice"] for r in o.collect())
+    # each replicate draws ~Poisson(1) per row: n_drawn ~ Binomial-ish
+    # around n with sd ~ sqrt(n); 6 sigma band
+    for r in rows:
+        assert abs(r["n_drawn"] - n) < 6 * math.sqrt(n) + 10
+        # replicate totals concentrate around the true total
+        assert abs(r["boot_total"] - true_total) / true_total < 0.5
+    # replicates must differ from each other (a broken seed would
+    # collapse them all to the same resample)
+    assert len({r["boot_total"] for r in rows}) > 1
+    # bootstrap sd of the total ~ sqrt(sum(value^2)); sanity: nonzero
+    totals = [r["boot_total"] for r in rows]
+    assert max(totals) > min(totals)
