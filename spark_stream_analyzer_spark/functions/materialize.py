@@ -75,6 +75,32 @@ _DEEP_CUT_EVERY = 5
 _SELF_PROVISIONED_DIRS: set = set()
 
 
+def is_external_checkpoint_dir(sc) -> bool:
+    """True iff the session's checkpoint dir was configured by the
+    DEPLOYMENT (``sc.setCheckpointDir`` to fault-tolerant storage), not
+    self-provisioned by :func:`lineage_cut`'s deep-cut path.
+
+    ``lineage_cut`` mutates global session state when it provisions a
+    temp dir for periodic deep cuts, so any call-site keying off
+    ``getCheckpointDir().isDefined()`` (user code, a future
+    ``df.checkpoint()``) would otherwise mistake that temp dir for
+    deployment-configured reliable storage (ADVICE r11).  This helper
+    makes the same self-provisioned-vs-deployment distinction
+    ``lineage_cut`` applies internally available to other call-sites.
+
+    Compares PATHS, not a session flag: a caller that sets its own dir
+    AFTER a self-provisioned one has expressed the deployment intent and
+    counts as external again.  ``SparkContext.setCheckpointDir`` stores
+    ``<dir>/<random-uuid>``, so match by containment of the path we
+    created, not equality/suffix.
+    """
+    jdir = sc._jsc.sc().getCheckpointDir()
+    cur_dir = jdir.get() if jdir.isDefined() else None
+    if cur_dir is None:
+        return False
+    return not any(d in cur_dir for d in _SELF_PROVISIONED_DIRS)
+
+
 def lineage_cut(
     df: DataFrame, eager: bool = True, chain: int | None = None
 ) -> DataFrame:
@@ -99,25 +125,22 @@ def lineage_cut(
     keep the original rule: reliable when the deployment configured a
     checkpoint dir itself (``sc.setCheckpointDir`` to fault-tolerant
     storage — the cluster deployment step; a dir this function
-    self-provisioned does not count), local otherwise.  A reliable cut with no dir configured self-provisions
-    a session-lifetime temp dir (covers the grading driver's vanilla
-    session).
+    self-provisioned does not count), local otherwise.  A reliable cut
+    with no dir configured self-provisions a session-lifetime temp dir
+    (covers the grading driver's vanilla session).  NOTE: that
+    provisioning mutates GLOBAL session state (``sc.setCheckpointDir``);
+    call-sites that need to know whether the configured dir reflects
+    deployment intent must use :func:`is_external_checkpoint_dir`
+    instead of ``getCheckpointDir().isDefined()``.
     """
     sc = df.sparkSession.sparkContext
-    jdir = sc._jsc.sc().getCheckpointDir()
-    cur_dir = jdir.get() if jdir.isDefined() else None
-    has_dir = cur_dir is not None
+    has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
     # a dir WE provisioned below is storage for periodic deep cuts, not
     # a signal the deployment wants every cut reliable — without this
     # distinction the first deep cut would flip all later hybrid rounds
-    # to the reliable path.  Compare PATHS, not a session flag: a caller
-    # that sets its own dir AFTER we self-provisioned one has expressed
-    # the deployment intent and gets always-reliable again.
-    # SparkContext.setCheckpointDir stores <dir>/<random-uuid>, so
-    # match by containment of the path we created, not equality/suffix
-    external_dir = has_dir and not any(
-        d in cur_dir for d in _SELF_PROVISIONED_DIRS
-    )
+    # to the reliable path.  The distinction is public as
+    # is_external_checkpoint_dir so other call-sites can apply it too.
+    external_dir = is_external_checkpoint_dir(sc)
     if chain is None:
         reliable = external_dir
     else:

@@ -450,9 +450,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         )
         _before = persistent_rdd_ids(spark)
         # cut lineage growth: the plan deepens per round, so a persist
-        # would still compound analysis time — lineage_cut uses reliable
-        # checkpoint() when a checkpoint dir is set (cluster), else
-        # localCheckpoint (single-node)
+        # would still compound analysis time — chain=rnd selects the
+        # hybrid strategy: fast localCheckpoint most rounds, a reliable
+        # deep cut() every _DEEP_CUT_EVERY rounds (always reliable when
+        # the deployment configured an external checkpoint dir)
         updated = lineage_cut(updated, chain=rnd)
         this_round_ids = persistent_rdd_ids(spark) - _before
         changed = updated.filter("moved").limit(1).count()

@@ -109,6 +109,13 @@ def hard_triplet_mining(
     agg = cand.groupBy("anchor_id", "anchor_label").agg(
         F.min(pos).alias("p"), F.max(neg).alias("n")
     )
+    # left-join the extrema back onto the anchor set: an anchor with no
+    # candidate at all (single-row corpus) must still surface as an
+    # all-NULL row, mirroring the oracle's LEFT JOIN from q (ADVICE r11).
+    # The join is broadcast-tiny (the anchor set is the broadcast knob).
+    agg = F.broadcast(q.select("anchor_id", "anchor_label")).join(
+        agg, ["anchor_id", "anchor_label"], "left"
+    )
     return agg.select(
         "anchor_id",
         F.col("anchor_label").cast("int").alias("anchor_label"),

@@ -1399,6 +1399,8 @@ def q_customer_name_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFram
 
 import math as _math
 
+from spark_stream_analyzer_spark.functions import texthash as _TH
+
 _BOOT_R = 16
 #: Poisson(1) CDF cutpoints, python-computed once and embedded as the
 #: SAME double literals in both engines (tail mass beyond k=8 ~ 1.1e-6
@@ -1485,14 +1487,13 @@ def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_U_DUCK = (
-    "CAST(concat('0x', substr(md5(concat('boot:', o_orderkey, ':', rep)),"
-    " 1, 15)) AS BIGINT) / 1152921504606846976.0"
-)
-_BOOT_U_SPARK = (
-    "cast(conv(substr(md5(concat('boot:', o_orderkey, ':', rep)), 1, 15),"
-    " 16, 10) as bigint) / 1152921504606846976.0"
-)
+# The seeded per-(row, replicate) uniform.  Built from the ONE hash60
+# helper pair (never inlined — same discipline as q_llm's _DP_U): a
+# change to the hash convention must reach every oracle through
+# texthash, or the two engines silently split (ADVICE r11).
+_BOOT_SEED = "concat('boot:', o_orderkey, ':', rep)"
+_BOOT_U_DUCK = f"{_TH.duck_hash60(_BOOT_SEED)} / 1152921504606846976.0"
+_BOOT_U_SPARK = f"{_TH.spark_hash60(_BOOT_SEED)} / 1152921504606846976.0"
 
 
 @register(

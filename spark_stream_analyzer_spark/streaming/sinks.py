@@ -81,6 +81,30 @@ def _jdbc_execute(spark, url: str, sql: str, driver: str | None = None) -> None:
         conn.close()
 
 
+def _jdbc_execute_str_params(
+    spark, url: str, sql: str, params: list[str], driver: str | None = None
+) -> None:
+    """Run one control statement with ``?`` string parameters bound via
+    ``PreparedStatement`` — the key values never enter the SQL text, so
+    no dialect-specific escaping (quote doubling, MySQL backslash modes)
+    can break or inject into the statement (ADVICE r11).
+    """
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.prepareStatement(sql)
+        try:
+            for i, v in enumerate(params):
+                st.setString(i + 1, v)
+            st.executeUpdate()
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 #: SQLStates that denote "table does not exist" across the engines this
 #: sink targets: Derby 42X05, ODBC/MySQL 42S02, Postgres 42P01, HSQLDB
 #: S0002.  Anything else is NOT classified as missing-table.
@@ -291,27 +315,30 @@ def windowed_topk_batch_writer(
         wins = sorted({r["win_start"] for r in changed})
         # ONE delete per touched window (not per (window, key) pair —
         # the serial driver round-trips dominated batch latency): the
-        # key list is escaped (quotes doubled) so a hostile key cannot
-        # break or inject into the statement, and NULL keys get the
-        # IS NULL branch an equality predicate would never match
-        # (str(None) = 'None' would orphan the NULL row and a replay
-        # would append a duplicate, voiding idempotence).
+        # key list is bound as PreparedStatement ``?`` parameters, never
+        # interpolated into the SQL text, so a hostile key cannot break
+        # or inject into the statement on ANY dialect's escape rules
+        # (quote doubling alone mishandles MySQL backslash mode — ADVICE
+        # r11); NULL keys get the IS NULL branch an equality predicate
+        # would never match (str(None) = 'None' would orphan the NULL
+        # row and a replay would append a duplicate, voiding idempotence).
         by_win: dict = {}
         for r in changed:
             by_win.setdefault(r["win_start"], []).append(r["event_type"])
         for w, keys in by_win.items():
-            nonnull = [k for k in keys if k is not None]
+            nonnull = [str(k) for k in keys if k is not None]
             preds = []
             if nonnull:
-                lst = ", ".join("'" + str(k).replace("'", "''") + "'" for k in nonnull)
-                preds.append(f'"event_type" IN ({lst})')
+                marks = ", ".join("?" for _ in nonnull)
+                preds.append(f'"event_type" IN ({marks})')
             if len(nonnull) != len(keys):
                 preds.append('"event_type" IS NULL')
-            _jdbc_execute(
+            _jdbc_execute_str_params(
                 spark,
                 url,
                 f'DELETE FROM {counts_table} WHERE "win_start" = {int(w)}'
                 f" AND ({' OR '.join(preds)})",
+                nonnull,
                 driver,
             )
         batch_df.where(F.col("win_start").isNotNull()).write.jdbc(

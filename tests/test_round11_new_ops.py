@@ -479,6 +479,25 @@ def test_hard_triplet_mining_null_extends_when_no_same_label_peer(spark):
     assert rows[1]["is_violation"] == 1  # vec 0 is nearer vec 1 than vec 2 is
 
 
+def test_hard_triplet_mining_anchor_without_any_candidate_surfaces(spark):
+    """Single-row corpus: the lone anchor has no candidate at all, yet it
+    must come back as one all-NULL row — mirroring the oracle's LEFT JOIN
+    from the anchor set (ADVICE r11: the pre-fix groupBy over the filtered
+    cross join silently dropped such anchors)."""
+    from spark_stream_analyzer_spark.operators.similarity import hard_triplet_mining
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7)], "vec_id long, embedding array<float>, label int"
+    )
+    rows = hard_triplet_mining(emb, F.lit(True)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["anchor_id"] == 0 and r["anchor_label"] == 7
+    assert r["pos_id"] is None and r["neg_id"] is None
+    assert r["pos_cos"] is None and r["neg_cos"] is None
+    assert r["margin"] is None and r["is_violation"] is None
+
+
 # ---------------------------------------------------------------------------
 # 10. robust z-score (median / MAD)
 # ---------------------------------------------------------------------------
