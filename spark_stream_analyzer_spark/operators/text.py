@@ -501,6 +501,94 @@ def bpe_train_merges(
     return out_rows
 
 
+#: merge-count gate: at or above this, ``bpe_encode_stats`` swaps the
+#: literal replace-chain (one Catalyst ``replace`` node per merge — fine
+#: for oracle-scale tables, pathological plan size at production vocabs)
+#: for the dictionary-driven Arrow-batched encoder.  64 keeps the
+#: oracle-checked 3-merge row on the pure-expression path while every
+#: production-vocab caller gets the scalable form automatically.
+_BPE_TRIE_MIN_MERGES = 64
+
+
+def _bpe_encode_chain(df: DataFrame, merges: list[str], text_col: str) -> DataFrame:
+    """Literal replace-chain encode: zero Python, zero shuffle."""
+    chain = (
+        "concat(' ', array_join(transform(sequence(1, length(wd)),"
+        " i -> substring(wd, i, 1)), ' '), ' ')"
+    )
+    for pair in merges:
+        merged = pair.replace(" ", "")
+        chain = f"replace({chain}, ' {pair} ', ' {merged} ')"
+    return with_words(df, text_col).select(
+        "doc_id", F.expr(f"transform(words, wd -> trim({chain}))").alias("enc"),
+        "words",
+    )
+
+
+def _bpe_encode_word_py(wd: str, pair_rank: dict, pair_by_rank: dict) -> str:
+    """One word through the merge table with EXACTLY the chain's
+    semantics: for each merge rank in ascending order, one single-pass
+    non-overlapping left-to-right scan.  Ranks whose pair is absent are
+    skipped (the chain's ``replace`` is a no-op there), so per-word cost
+    scales with the word's own merge activity, not the vocab size — the
+    production win over 10k literal replaces.
+
+    The ``blocked`` flag reproduces the string form's boundary-space
+    consumption: ``' a a a a a '.replace(' a a ', ' aa ')`` yields
+    ``' aa a aa '`` — after a merge, the trailing delimiter of the match
+    is consumed, so the immediately following symbol can never START the
+    next match (verified against Spark's ``replace`` and Python's
+    ``str.replace``, which share this semantics)."""
+    syms = list(wd)
+    last = 0
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = pair_rank.get((syms[i], syms[i + 1]))
+            if r is not None and r > last and (best is None or r < best):
+                best = r
+        if best is None:
+            return " ".join(syms)
+        a, b = pair_by_rank[best]
+        out: list[str] = []
+        i, n, blocked = 0, len(syms), False
+        while i < n:
+            if not blocked and i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+                blocked = True
+            else:
+                out.append(syms[i])
+                i += 1
+                blocked = False
+        syms = out
+        last = best
+
+
+def _bpe_encode_trie(df: DataFrame, merges: list[str], text_col: str) -> DataFrame:
+    """Dictionary-driven encode for production vocabs: the merge table
+    rides the serialized UDF closure to every executor ONCE (broadcast
+    semantics — a 10k-merge table is ~100 KB), and each Arrow batch of
+    words is encoded in vectorized Python.  Chain-parity is guaranteed
+    by :func:`_bpe_encode_word_py` and pinned by
+    ``tests/test_llm_ops.py::test_bpe_trie_encoder_parity*``."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    pair_rank = {tuple(p.split(" ")): r for r, p in enumerate(merges, start=1)}
+    pair_by_rank = {r: tuple(p.split(" ")) for r, p in enumerate(merges, start=1)}
+
+    def _encode_series(words):
+        return words.map(
+            lambda ws: [_bpe_encode_word_py(w, pair_rank, pair_by_rank) for w in ws]
+        )
+
+    _encode = F.pandas_udf(_encode_series, ArrayType(StringType()))
+
+    return with_words(df, text_col).select(
+        "doc_id", _encode("words").alias("enc"), "words"
+    )
+
+
 def bpe_encode_stats(
     df: DataFrame, merges: list[str], text_col: str = "text"
 ) -> DataFrame:
@@ -516,25 +604,20 @@ def bpe_encode_stats(
     the position-ordered encoded stream — the fingerprint pins the
     exact token geometry, not just counts.
 
-    Scale shape: the merge table is ``len(merges)`` LITERALS in a
-    per-row expression chain over the words array (``transform`` keeps
-    word order — no explode, no shuffle, no Python); the whole encode
-    is a scan-bound map, embarrassingly parallel at any SF. A
-    production encoder with 10k+ merges would swap the literal chain
-    for a broadcast trie in a pandas UDF; the plumbing (per-doc stats +
-    stream fingerprint) is identical.
+    Scale shape — AUTO-SELECTED by merge count (r11 verdict task):
+    below ``_BPE_TRIE_MIN_MERGES`` the merge table is inlined as
+    LITERALS in a per-row expression chain over the words array
+    (``transform`` keeps word order — no explode, no shuffle, no
+    Python); at production vocabs the chain would be thousands of
+    nested Catalyst nodes, so the encoder swaps to a broadcast merge
+    dictionary applied in an Arrow-batched pandas UDF with identical
+    semantics (parity-tested).  Both forms are scan-bound maps,
+    embarrassingly parallel at any SF.
     """
-    chain = (
-        "concat(' ', array_join(transform(sequence(1, length(wd)),"
-        " i -> substring(wd, i, 1)), ' '), ' ')"
-    )
-    for pair in merges:
-        merged = pair.replace(" ", "")
-        chain = f"replace({chain}, ' {pair} ', ' {merged} ')"
-    enc = with_words(df, text_col).select(
-        "doc_id", F.expr(f"transform(words, wd -> trim({chain}))").alias("enc"),
-        "words",
-    )
+    if len(merges) >= _BPE_TRIE_MIN_MERGES:
+        enc = _bpe_encode_trie(df, merges, text_col)
+    else:
+        enc = _bpe_encode_chain(df, merges, text_col)
     return enc.select(
         "doc_id",
         F.expr(

@@ -848,6 +848,109 @@ def test_bpe_merge_table_applies_merges_between_rounds(spark):
     assert got == [(1, "a n", 4), (2, "a n", 2), (3, "an a", 2)]
 
 
+def test_bpe_trie_encoder_parity_with_chain_on_adversarial_runs(spark):
+    """The production (>=64-merge) dictionary encoder must reproduce the
+    literal replace-chain EXACTLY — including the boundary-space
+    consumption of single-pass non-overlapping replace, where
+    ' a a a a a ' -> ' aa a aa ' (NOT the fixpoint's 'aa aa a').  Runs,
+    overlapping-pair chains, and merge-created pairs are the adversarial
+    cases; both forms run on the same frame and must hash-agree row for
+    row."""
+    from pyspark.sql import Row
+
+    from spark_stream_analyzer_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="aaaaa aaaa aaa aa a"),         # pure runs
+            Row(doc_id=1, text="ababab abab ab ba"),           # alternations
+            Row(doc_id=2, text="banana banana split"),         # the trainer fixture
+            Row(doc_id=3, text="abc abcabc cba"),              # merge-created pairs
+            Row(doc_id=4, text=""),                            # empty doc
+            Row(doc_id=5, text="zzz qqq aabb bbaa abba"),
+        ]
+    )
+    # a merge table >= the gate, in a deliberately tricky order: early
+    # merges create symbols later merges consume, and ranks that never
+    # fire pad the table to production size
+    merges = ["a a", "aa a", "a b", "ab ab", "b a", "ba ba", "b b", "a ba"]
+    merges += [f"q{i} q{i}" for i in range(T._BPE_TRIE_MIN_MERGES)]  # no-ops
+    assert len(merges) >= T._BPE_TRIE_MIN_MERGES
+
+    chain = {
+        r["doc_id"]: tuple(r["enc"])
+        for r in T._bpe_encode_chain(docs, merges, "text").collect()
+    }
+    trie = {
+        r["doc_id"]: tuple(r["enc"])
+        for r in T._bpe_encode_trie(docs, merges, "text").collect()
+    }
+    assert chain == trie
+    # the boundary-space subtlety actually fired (guards test vacuity)
+    assert chain[0][0] == "aaa aa"  # 'aaaaa': a a a a a -> aa a aa -> aaa aa
+
+
+def test_bpe_encode_stats_auto_selects_trie_at_gate(spark):
+    """bpe_encode_stats must route >= _BPE_TRIE_MIN_MERGES tables through
+    the pandas encoder (ArrowEvalPython in the plan) and smaller tables
+    through the pure expression chain (no Python in the plan), with
+    identical output either side of the gate for the same table."""
+    from pyspark.sql import Row
+
+    from spark_stream_analyzer_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="banana banana split"), Row(doc_id=1, text="aaaa")]
+    )
+    small = ["a n", "an a", "b an"]
+    big = small + [f"q{i} q{i}" for i in range(T._BPE_TRIE_MIN_MERGES)]
+
+    plan_small = T.bpe_encode_stats(docs, small)._jdf.queryExecution().executedPlan().toString()
+    plan_big = T.bpe_encode_stats(docs, big)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_small and "BatchEvalPython" not in plan_small
+    assert "ArrowEvalPython" in plan_big
+
+    # padding the table with never-firing merges cannot change the result
+    got_small = sorted(map(tuple, T.bpe_encode_stats(docs, small).collect()))
+    got_big = sorted(map(tuple, T.bpe_encode_stats(docs, big).collect()))
+    assert got_small == got_big
+
+
+def test_bpe_trie_parity_on_trained_table_from_real_docs(spark):
+    """End-to-end parity at the registry's own fixture: train 3 merges on
+    the sf0.001 documents, then force BOTH encoder forms over the same
+    table and require identical (n_tokens, n_merged_tokens, n_chars,
+    stream_hash) per doc — the stream hash pins exact token geometry."""
+    from spark_stream_analyzer_spark.operators import text as T
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    merges = [p for _, p, _ in T.bpe_train_merges(docs, rounds=3)]
+    assert len(merges) == 3
+
+    def stats(enc_df):
+        return {r["doc_id"]: tuple(r)[1:] for r in _bpe_tail(enc_df).collect()}
+
+    def _bpe_tail(enc):
+        import pyspark.sql.functions as F
+
+        from spark_stream_analyzer_spark.functions import texthash as TH
+
+        return enc.select(
+            "doc_id",
+            F.expr(
+                "aggregate(enc, CAST(0 AS BIGINT),"
+                " (a, e) -> a + size(split(e, ' ')))"
+            ).alias("n_tokens"),
+            F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
+        )
+
+    chain = stats(T._bpe_encode_chain(docs, merges, "text"))
+    trie = stats(T._bpe_encode_trie(docs, merges, "text"))
+    assert chain == trie
+
+
 def test_duplicated_spans_geometry_and_overlap_merge(spark):
     """Planted corpus with known shared substrings (r9).
 

@@ -207,3 +207,145 @@ def test_streaming_soak_bounded_state_stable_latency(spark, tmp_path, n_rounds):
         assert (got.n_events, got.total) == (3, 7)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+CHAOS_SEED = 0xC4A05  # deterministic crash schedule (r11 verdict task 6)
+
+
+def _latest_per_user(df):
+    """user_id → (n_events, total, evicted) at that user's newest batch —
+    the run's observable end state, independent of batch numbering
+    (restarts shift batch ids, totals must not care)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    rows = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("user_id", "n_events", "total", "evicted")
+        .collect()
+    )
+    return {r.user_id: (r.n_events, r.total, r.evicted) for r in rows}
+
+
+@pytest.mark.parametrize(
+    "n_rounds,n_crashes",
+    [
+        pytest.param(
+            30,
+            3,
+            id="mini",
+            marks=pytest.mark.skipif(
+                bool(os.environ.get("SPARK_GRAFT_SOAK")),
+                reason="full soak requested; mini is redundant",
+            ),
+        ),
+        pytest.param(
+            200,
+            5,
+            id="full",
+            marks=pytest.mark.skipif(
+                not os.environ.get("SPARK_GRAFT_SOAK"),
+                reason="soak: set SPARK_GRAFT_SOAK=1 (numbers in SCALING.md)",
+            ),
+        ),
+    ],
+)
+def test_streaming_soak_midrun_crash_restart_equals_no_crash(
+    spark, tmp_path, n_rounds, n_crashes
+):
+    """Soak × crash matrix (r11 verdict task 6): the SAME input replayed
+    through (A) an uninterrupted control run and (B) a chaos run that is
+    killed and restarted from checkpoint at ``n_crashes`` deterministic
+    mid-soak rounds.  Each kill also TRUNCATES the newest entry of the
+    checkpoint commit log — the crash-after-sink-write-before-commit
+    point of the connector crash matrix — so the restart REPLAYS that
+    micro-batch into the JDBC sink and the delete-batch-then-insert
+    idempotence is exercised under state-store recovery, not just in
+    isolation.  End-state totals must be identical and the sink must
+    hold no duplicated (user_id, batch_id) row."""
+    import glob
+    import random
+
+    rng = random.Random(CHAOS_SEED)
+    crash_after = sorted(rng.sample(range(3, n_rounds - 2), k=n_crashes))
+
+    kdir, ddir = str(tmp_path / "kills"), str(tmp_path / "dmg")
+    os.makedirs(kdir)
+    os.makedirs(ddir)
+    for rnd in range(n_rounds):
+        _write_round(kdir, ddir, rnd)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # ---- run A: control, straight through (files pre-written, so
+        # the file source may batch several rounds together — fine: the
+        # comparison is on end-state totals, not batch boundaries)
+        url_a = f"jdbc:derby:{tmp_path}/db_a;create=true"
+        q = _start(spark, kdir, ddir, url_a, str(tmp_path / "ckpt_a"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        control = _latest_per_user(spark.read.jdbc(url_a, "soak_snapshots"))
+
+        # ---- run B: chaos. maxFilesPerTrigger-free file source drains
+        # everything available per processAllAvailable call, so the
+        # crash schedule is driven by STAGED input visibility: stage
+        # rounds up to each crash point, drain, kill, truncate the
+        # commit log, restart.
+        url_b = f"jdbc:derby:{tmp_path}/db_b;create=true"
+        ckpt_b = str(tmp_path / "ckpt_b")
+        kb, db = str(tmp_path / "kills_b"), str(tmp_path / "dmg_b")
+        os.makedirs(kb)
+        os.makedirs(db)
+        staged = 0
+
+        def stage_until(rnd_excl: int) -> None:
+            nonlocal staged
+            while staged < rnd_excl:
+                _write_round(kb, db, staged)
+                staged += 1
+
+        q = _start(spark, kb, db, url_b, ckpt_b)
+        n_replays = 0
+        try:
+            for cp in crash_after:
+                stage_until(cp)
+                q.processAllAvailable()
+                q.stop()
+                q.awaitTermination()  # release the checkpoint before the
+                # truncation + restart (stop() returns async)
+                commits = sorted(glob.glob(f"{ckpt_b}/commits/[0-9]*"))
+                if commits:  # crash before the commit record landed:
+                    os.remove(commits[-1])  # the batch WILL replay
+                    crc = (  # the local ChecksumFs sidecar must go too,
+                        # or the replay's commit rewrite fails its rename
+                        f"{os.path.dirname(commits[-1])}/."
+                        f"{os.path.basename(commits[-1])}.crc"
+                    )
+                    if os.path.exists(crc):
+                        os.remove(crc)
+                    n_replays += 1
+                q = _start(spark, kb, db, url_b, ckpt_b)
+            stage_until(n_rounds)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert n_replays == n_crashes  # every crash point forced a replay
+
+        sink_b = spark.read.jdbc(url_b, "soak_snapshots")
+        # exactly-once under replay: no duplicated (user, batch) row
+        assert (
+            sink_b.count()
+            == sink_b.select("user_id", "batch_id").distinct().count()
+        )
+        chaos = _latest_per_user(sink_b)
+        assert chaos == control, (
+            "end-state totals diverged between the crash-restart run and "
+            "the uninterrupted control: "
+            f"{ {k: (control.get(k), chaos.get(k)) for k in set(control) | set(chaos) if control.get(k) != chaos.get(k)} }"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
