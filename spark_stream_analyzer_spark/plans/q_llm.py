@@ -2764,6 +2764,33 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode_stats(_docs(spark, sf_dir), merges)
 
 
+@register(
+    "text_bpe_encode_bigvocab",
+    oracle=_bpe_encode_sql(3),
+    doc="EXT BPE ENCODE at production vocab size — the r11 verdict's ask "
+    "made a DRIVER-CHECKED row: the same trained 3-merge table padded "
+    "past the _BPE_TRIE_MIN_MERGES gate with structurally-no-op merges "
+    "(pairs over two-char symbols like 'q7' that no earlier merge can "
+    "create, so they can never fire — the pad changes the PLAN, never "
+    "the output), forcing bpe_encode_stats onto the broadcast "
+    "merge-dictionary Arrow encoder. Because the pad is provably inert, "
+    "the unrolled 3-merge chain oracle remains exact — so the pandas "
+    "path's single-pass-replace parity (incl. the boundary-space "
+    "consumption where ' a a a a a ' -> ' aa a aa ') is hash-checked "
+    "cross-engine every driver round, not just unit-tested. The merge "
+    "dict rides the serialized UDF closure to executors once (~100 KB "
+    "at 10k merges); per-word cost scales with the word's own merge "
+    "activity, not vocab size — the production win over 10k literal "
+    "Catalyst replace nodes",
+)
+def q_text_bpe_encode_bigvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [
+        p for _, p, _ in text.bpe_train_merges(_docs(spark, sf_dir), rounds=3)
+    ]
+    pad = [f"q{i} q{i}" for i in range(text._BPE_TRIE_MIN_MERGES)]
+    return text.bpe_encode_stats(_docs(spark, sf_dir), merges + pad)
+
+
 #: measured JL→rerank recall@5 per corpus (m=32, out_dim=8, 32 queries;
 #: deterministic end-to-end) — the audit band centers here. Random-
 #: candidate baseline is m/N: 0.064 / 0.0064 / 0.00064 — the measured

@@ -43,6 +43,12 @@ ARROW_PYTHON_OK = {
     # to pin the extension-API class against the codegen explode twin
     # (test_round8_ops pins the twin's plan has NO Python stage)
     "doc_chunk_windows_udtf",
+    # round-12: the production-vocab BPE encoder's Python boundary IS its
+    # subject — the row exists to drive the >=64-merge Arrow path against
+    # the unrolled chain oracle (the <64 chain form stays Python-free;
+    # test_llm_ops::test_bpe_encode_stats_auto_selects_trie_at_gate pins
+    # both plan shapes)
+    "text_bpe_encode_bigvocab",
 }
 
 # r9: the grouped-agg pandas UDAF class (AggregateInPandas) — allowed

@@ -156,6 +156,32 @@ PROBE_QUERIES = [
     # with the micro-batch scheduling floor unchanged (2 versions either
     # way), like streaming_cdc_upsert_publish
     "streaming_table_version_tail",
+    # round-12 (r11 verdict task 3): the remaining top-cost BENCH_r11 rows.
+    # bpe trainer: each argmax round is one 100× pair-count scan — multi-
+    # scan but log-free, expected to track the scan with the 1-row driver
+    # crossings unchanged. bpe encode: train + a pure per-row expression
+    # map, expected ~scan-bound. pagerank: l_orderkey-offset clones keep
+    # the SAME partkeys, so co-occurrence SUPPORT multiplies and the edge
+    # set densifies toward the >=3 threshold — row counts are recorded to
+    # separate that output growth from per-iteration join/agg scaling
+    # (same reading as part_triangle_count). ER rows: tag-prefixed name
+    # bijection guarantees zero cross-copy candidates; output is 100
+    # disjoint per-copy resolutions, candidates linear by blocking.
+    # NOT probed, documented instead: streaming_windowed_topk_board and
+    # the state-reader rows are EVENT_CAP-bounded fixtures (input does
+    # not scale with the corpus — a probe would measure the scheduling
+    # floor); dedup_semantic_keep_list's within-cluster pairwise cost is
+    # the published SemDeDup model (k must scale with the corpus), kept
+    # as the sweep's EXPLAINED entry.
+    "text_bpe_merge_table",
+    "text_bpe_encode",
+    "part_pagerank",
+    "customer_entity_resolution",
+    "customer_entity_resolution_full",
+    # round-12: the production-vocab Arrow BPE encoder (pad-gated twin of
+    # text_bpe_encode) — expected to track the chain form's scan-bound
+    # scaling with a constant Arrow-boundary overhead
+    "text_bpe_encode_bigvocab",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
@@ -206,11 +232,22 @@ def build_corpora(spark, sf_dir: str, base: str, factor: int = 10) -> None:
     digits = "0123456789"
     cust_copies = [customer]
     for k in range(1, factor):
-        rot = digits[k:] + digits[:k]
+        rot = digits[k % 10 :] + digits[: k % 10]
+        # beyond 10 copies the digit rotation repeats (k and k+10 share a
+        # bijection — copies 0 and 10 would carry IDENTICAL names and
+        # poison the ER/fuzzy probes with cross-copy cliques), so every
+        # copy also gets a triple-char tag prefix: any two distinct tags
+        # differ in >= 3 positions, guaranteeing cross-copy levenshtein
+        # >= 3 (> both fuzzy distances) at ANY factor, while a shared
+        # prefix leaves within-copy distances exactly unchanged.
+        tag = chr(97 + k // 26) * 3 + chr(97 + k % 26) * 3
         cust_copies.append(
             customer.withColumn(
                 "c_custkey", F.col("c_custkey") + F.lit(k * 1_000_000_000)
-            ).withColumn("c_name", F.translate(F.col("c_name"), digits, rot))
+            ).withColumn(
+                "c_name",
+                F.concat(F.lit(tag), F.translate(F.col("c_name"), digits, rot)),
+            )
         )
     big_cust = cust_copies[0]
     for c in cust_copies[1:]:
