@@ -112,9 +112,11 @@ def hard_triplet_mining(
     # left-join the extrema back onto the anchor set: an anchor with no
     # candidate at all (single-row corpus) must still surface as an
     # all-NULL row, mirroring the oracle's LEFT JOIN from q (ADVICE r11).
-    # The join is broadcast-tiny (the anchor set is the broadcast knob).
-    agg = F.broadcast(q.select("anchor_id", "anchor_label")).join(
-        agg, ["anchor_id", "anchor_label"], "left"
+    # The hint rides the RIGHT side — a left-outer join can only build
+    # (broadcast) its right side; agg is anchor-bounded (≤ one row per
+    # anchor), so it is the legal tiny side.
+    agg = q.select("anchor_id", "anchor_label").join(
+        F.broadcast(agg), ["anchor_id", "anchor_label"], "left"
     )
     return agg.select(
         "anchor_id",

@@ -337,11 +337,16 @@ def test_streaming_soak_midrun_crash_restart_equals_no_crash(
 
         sink_b = spark.read.jdbc(url_b, "soak_snapshots")
         # exactly-once under replay: no duplicated (user, batch) row
+        n_sink = sink_b.count()
         assert (
-            sink_b.count()
+            n_sink
             == sink_b.select("user_id", "batch_id").distinct().count()
         )
         chaos = _latest_per_user(sink_b)
+        print(
+            f"\nSOAK-CHAOS n_rounds={n_rounds} crash_points={crash_after} "
+            f"replays={n_replays} sink_rows={n_sink} users={len(chaos)}"
+        )
         assert chaos == control, (
             "end-state totals diverged between the crash-restart run and "
             "the uninterrupted control: "
