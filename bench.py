@@ -229,12 +229,24 @@ def main() -> None:
 
     # machine-speed calibration: a fixed CPU-bound Spark job, reported in
     # the output JSON so totals are comparable across containers of
-    # different speeds (round 1 vs round 2 hosts differed by ~1.7x)
-    t0 = time.perf_counter()
-    # double-typed product: an int64 sum(id*id) overflows at this range
-    # and ANSI mode (Spark 4 default) turns that into a hard error
-    spark.range(200_000_000).selectExpr("sum(id * 1.0d * id) as s").collect()
-    calib = round(time.perf_counter() - t0, 3)
+    # different speeds (round 1 vs round 2 hosts differed by ~1.7x).
+    # MEDIAN-OF-3 (r12): the probe ran single-shot through r11 and one
+    # transient burst landing on it skewed EVERY per-query expectation —
+    # an r12 run measured 0.471 s (ratio 2.75) while the run's own
+    # per-query median vs baseline sat at 1.58. Median across 3 samples
+    # is robust to one burst while staying closest to the single-sample
+    # convention the recorded baseline calib_sec was measured under
+    # (min-of-3 was tried and UNDERSTATES: the probe's steady-state after
+    # JIT is ~4x faster than its first post-warm-up sample, a regime the
+    # baseline never measured).
+    _calib_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # double-typed product: an int64 sum(id*id) overflows at this
+        # range and ANSI mode (Spark 4 default) turns that into an error
+        spark.range(200_000_000).selectExpr("sum(id * 1.0d * id) as s").collect()
+        _calib_samples.append(time.perf_counter() - t0)
+    calib = round(sorted(_calib_samples)[1], 3)
 
     # streaming calibration (round-8, r7 verdict task 3): the CPU probe
     # above cannot see micro-batch TRIGGER-SCHEDULING latency, which is
