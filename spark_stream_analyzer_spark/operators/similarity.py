@@ -1077,6 +1077,98 @@ def top_pc_power_iteration(
     )
 
 
+def logistic_regression_gd(
+    emb: DataFrame,
+    iters: int = 3,
+    lr: float = 10.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXT distributed binary logistic regression by full-batch gradient
+    descent — the supervised-learning loop completing the iterative
+    family beside k-means (assignment), power-iteration PCA
+    (eigenvector), and PageRank (fixpoint): a quality-classifier /
+    domain-tagger trainer in pure DataFrame ops.
+
+    y = label % 2.  Never materializes anything D×D: per step one
+    per-vector dot against the broadcast weight vector (``z_i = x_i·w``),
+    a per-row sigmoid, and one bounded ``groupBy(dim)`` gradient
+    accumulate (``g_d = Σ_i (p_i − y_i)·x_{i,d} / n``) — two map-side-
+    combinable aggregates over the exploded (vec, dim, value) stream,
+    materialized ONCE.  Only the D-float weight vector crosses the
+    driver per step (the k-means-centroid exchange discipline).
+
+    Determinism contract (the PCA row's round6-iterate discipline
+    applied to training): the sigmoid is ROUND6-quantized per row
+    (absorbs libm exp drift) and the weights are round6-quantized per
+    step, so both engines run every step with IDENTICAL constants; the
+    whole loop is oracle-checked as unrolled CTE blocks.  w0 = 0
+    exactly, so step 1's probabilities are exactly 0.5 on both engines.
+    Returns one row per dim: final weight, plus the training accuracy
+    under the final weights (z round6-quantized before the ≥ 0
+    decision) repeated per row — the PCA eigenvalue convention.
+    """
+    from spark_stream_analyzer_spark.functions.materialize import materialize
+
+    dim = len(emb.select(vec_col).first()[0])  # bounded: one row, D known
+    n = emb.count()
+    x = materialize(
+        emb.select(
+            id_col,
+            (F.col(label_col) % 2).cast("double").alias("y"),
+            F.posexplode(vec_col).alias("dim", "raw"),
+        ).select(id_col, "y", "dim", F.col("raw").cast("double").alias("x"))
+    )
+    w = [0.0] * dim
+    for _ in range(iters):
+        wlit = F.array(*[F.lit(c) for c in w])
+        p = x.groupBy(id_col, "y").agg(
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -F.sum(F.col("x") * F.element_at(wlit, F.col("dim") + 1))
+                    )
+                ),
+                6,
+            ).alias("p")
+        )
+        g_rows = (
+            x.join(p.select(id_col, "p", F.col("y").alias("_py")), id_col)
+            .groupBy("dim")
+            .agg((F.sum((F.col("p") - F.col("_py")) * F.col("x")) / n).alias("g"))
+            .collect()  # bounded: D rows — the next weight vector
+        )
+        g = [0.0] * dim
+        for r in g_rows:
+            g[r.dim] = r.g
+        w = [round(w[d] - lr * g[d], 6) for d in range(dim)]
+    # training accuracy under the FINAL weights, z quantized pre-decision
+    wlit = F.array(*[F.lit(c) for c in w])
+    acc_row = (
+        x.groupBy(id_col, "y")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.element_at(wlit, F.col("dim") + 1)), 6
+            ).alias("z6")
+        )
+        .select(
+            ((F.col("z6") >= 0).cast("double") == F.col("y"))
+            .cast("long")
+            .alias("ok")
+        )
+        .agg(F.round(F.avg("ok"), 6).alias("acc"))
+        .collect()[0]
+    )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(d, w[d], acc_row.acc) for d in range(dim)],
+        "dim int, weight double, train_acc double",
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_pred: Column,

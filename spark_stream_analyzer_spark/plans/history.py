@@ -18,10 +18,12 @@ two public inputs:
    green driver check.
 
 Priority order = tier 0 (never green: new rows, never-sampled rows, and
-rows whose last sample was red) by name, then tier 1 (stale after edit)
-oldest-green-first, then tier 2 (fresh) oldest-green-first.  Everything
-degrades gracefully: no artifacts → registration order is kept; no git
-(driver env without a checkout, shallow clone) → tiers 0+2 only.
+rows whose LATEST sample was red — an old green never outranks a newer
+red) by name, then the stale-after-edit tier — rows edited THIS round
+first, then earlier-edited rows — oldest green first within each, then
+the fresh tier oldest-green-first.  Everything degrades gracefully: no
+artifacts → registration order is kept; no git (driver env without a
+checkout, shallow clone) → rotation without the staleness signal.
 
 Excluded from the staleness file map: this module and ``registry.py``
 itself — every plan module imports the registry, so counting the
@@ -71,10 +73,12 @@ def _is_green(rec: dict) -> bool:
 
 
 @lru_cache(maxsize=None)
-def last_green_round(root: str | None = None) -> dict:
-    """name → latest round with a green driver row (absent = never green)."""
+def _sample_history(root: str | None = None) -> tuple:
+    """(last_green, last_sampled): name → latest green round / latest
+    sampled-at-all round, from every CORRECTNESS artifact."""
     root = root or repo_root()
-    out: dict[str, int] = {}
+    greens: dict[str, int] = {}
+    sampled: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r0*(\d+)\.json$", f)
         if not m:
@@ -85,9 +89,25 @@ def last_green_round(root: str | None = None) -> dict:
         except (OSError, ValueError):
             continue
         for name, rec in recs.items():
-            if isinstance(rec, dict) and _is_green(rec):
-                out[name] = max(out.get(name, 0), rnd)
-    return out
+            if not isinstance(rec, dict):
+                continue
+            sampled[name] = max(sampled.get(name, 0), rnd)
+            if _is_green(rec):
+                greens[name] = max(greens.get(name, 0), rnd)
+    return greens, sampled
+
+
+def last_green_round(root: str | None = None) -> dict:
+    """name → latest round with a green driver row (absent = never green).
+
+    A row whose LATEST sample was red (an older green exists but the most
+    recent driver check failed) is dropped from the map entirely: it must
+    re-enter tier 0 with the never-green rows, not ride its stale green
+    through the rotation queue."""
+    greens, sampled = _sample_history(root)
+    return {
+        name: rnd for name, rnd in greens.items() if sampled.get(name, 0) <= rnd
+    }
 
 
 def _git(root: str, *args: str) -> str | None:

@@ -2003,3 +2003,125 @@ def q_corpus_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ppl",
         )
     )
+
+
+@register(
+    "events_chi2_independence",
+    oracle="""
+    WITH o AS (SELECT event_type,
+                 CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_observed
+               FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(SUM(n_observed) AS BIGINT) AS rt
+           FROM o GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(n_observed) AS BIGINT) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS nt FROM o)
+    SELECT o.event_type, o.dow, o.n_observed,
+       ROUND((CAST(rt.rt AS DOUBLE) * ct.ct) / nt, 6) AS expected,
+       ROUND((CAST(o.n_observed AS DOUBLE) - (CAST(rt.rt AS DOUBLE) * ct.ct) / nt)
+             * (CAST(o.n_observed AS DOUBLE) - (CAST(rt.rt AS DOUBLE) * ct.ct) / nt)
+             / ((CAST(rt.rt AS DOUBLE) * ct.ct) / nt), 6) AS chi2_term
+    FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t
+    """,
+    doc="EXT chi-square independence screen: is event type independent "
+    "of day-of-week? The contingency-table test a pipeline health "
+    "monitor runs on arrival patterns (a type whose traffic "
+    "concentrates on one weekday names itself through its chi2_term, "
+    "same per-cell-attribution discipline as the Benford audit). "
+    "Day-of-week from EPOCH ARITHMETIC ((epoch_day + 3) % 7, 0 = "
+    "Monday), never calendar functions — dayofweek() renders in the "
+    "session timezone (the r10 TZ-sweep landmine). One map-side "
+    "combinable scan builds the |types| x 7 table; marginals and the "
+    "grand total are re-aggregates of those bounded cells riding "
+    "broadcast joins — the fact table is touched ONCE. Expected-count "
+    "and chi-square arithmetic use expression-shape-identical doubles "
+    "on both engines (one multiply order, round6 at the edge)",
+)
+def q_events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) + 3) % 7).cast(
+        "long"
+    )
+    o = (
+        ev.select("event_type", dow.alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_observed"))
+    )
+    o = materialize(o)  # |types| x 7 cells feed four consumers below
+    rt = o.groupBy("event_type").agg(F.sum("n_observed").cast("long").alias("rt"))
+    ct = o.groupBy("dow").agg(F.sum("n_observed").cast("long").alias("ct"))
+    t = o.agg(F.sum("n_observed").cast("long").alias("nt"))  # one row
+    e = (F.col("rt").cast("double") * F.col("ct")) / F.col("nt")
+    d = F.col("n_observed").cast("double") - e
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "dow",
+            "n_observed",
+            F.round(e, 6).alias("expected"),
+            F.round(d * d / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+#: temperature / alpha for the multilingual-style mixture plan: p_s ∝
+#: n_s^alpha with alpha < 1 flattens the source distribution (upsamples
+#: low-resource sources) — the published XLM-R / mT5 sampling rule.
+_MIX_ALPHA = 0.3
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+                 CAST(SUM(CAST(ROUND(pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}), 6)
+                          AS DECIMAL(38, 6))) AS DOUBLE) AS pow_total
+          FROM c)
+    SELECT c.source, c.n_docs,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.nt, 6) AS raw_share,
+       ROUND(ROUND(pow(CAST(c.n_docs AS DOUBLE), {_MIX_ALPHA}), 6)
+             / t.pow_total, 6) AS temp_share,
+       ROUND((ROUND(pow(CAST(c.n_docs AS DOUBLE), {_MIX_ALPHA}), 6) / t.pow_total)
+             / (CAST(c.n_docs AS DOUBLE) / t.nt), 6) AS boost,
+       CAST(floor((ROUND(pow(CAST(c.n_docs AS DOUBLE), {_MIX_ALPHA}), 6)
+                   / t.pow_total) * t.nt) AS BIGINT) AS expected_quota
+    FROM c CROSS JOIN t
+    """,
+    doc="EXT temperature-based mixture PLAN — the published XLM-R/mT5 "
+    "alpha-sampling rule (p_s proportional to n_s^alpha, alpha = 0.3) "
+    "that flattens a skewed source distribution, upsampling the "
+    "low-resource tail: per source the raw share, temperature share, "
+    "boost factor (the up/down-sampling rate a sampler applies), and "
+    "the expected quota at corpus size. Complements "
+    "corpus_mixture_sample (which SELECTS docs for FIXED weights) with "
+    "the step that derives the weights from the data. One map-side "
+    "combinable scan to |sources| cells; the pow() outputs are round6- "
+    "quantized BEFORE entering shares and the denominator is a "
+    "decimal-exact sum of those quantized values, so cross-engine libm "
+    "pow drift is absorbed at the only place it enters (the DP row's "
+    "ln discipline applied to pow)",
+)
+def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    c = materialize(c)  # |sources| cells feed the total and the projection
+    pow6 = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)), 6)
+    t = c.agg(
+        F.sum("n_docs").cast("long").alias("nt"),
+        F.sum(pow6.cast("decimal(38,6)")).cast("double").alias("pow_total"),
+    )  # one row
+    raw = F.col("n_docs").cast("double") / F.col("nt")
+    temp = pow6 / F.col("pow_total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("boost"),
+        F.floor(temp * F.col("nt")).cast("long").alias("expected_quota"),
+    )

@@ -2870,6 +2870,75 @@ def _pca_power_sql(iters: int = 3, dim: int = 64) -> str:
     )
 
 
+def _logreg_sql(iters: int = 3, dim: int = 64, lr: float = 10.0) -> str:
+    """Unrolled DuckDB twin of similarity.logistic_regression_gd — one
+    (dot, sigmoid-round6, gradient, weight-round6) CTE block per step,
+    the same round6 discipline so both engines run every step with
+    identical constants."""
+    parts = [
+        f"x AS (SELECT e.vec_id, CAST(e.label % 2 AS DOUBLE) AS y,"
+        f" t.i - 1 AS dim, e.embedding[t.i]::DOUBLE AS x"
+        f" FROM embeddings e CROSS JOIN generate_series(1, {dim}) AS t(i))",
+        "nn AS (SELECT COUNT(*) AS n FROM embeddings)",
+        f"w0 AS (SELECT t.i - 1 AS dim, 0.0 AS c"
+        f" FROM generate_series(1, {dim}) AS t(i))",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"p{r} AS (SELECT x.vec_id, x.y,"
+            f" ROUND(1.0 / (1.0 + exp(-SUM(x.x * w{r-1}.c))), 6) AS p"
+            f" FROM x JOIN w{r-1} USING (dim) GROUP BY x.vec_id, x.y)"
+        )
+        parts.append(
+            f"g{r} AS (SELECT x.dim,"
+            f" SUM((p{r}.p - p{r}.y) * x.x) / (SELECT n FROM nn) AS g"
+            f" FROM x JOIN p{r} USING (vec_id) GROUP BY x.dim)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT dim, ROUND(w{r-1}.c - {lr!r} * g{r}.g, 6) AS c"
+            f" FROM w{r-1} JOIN g{r} USING (dim))"
+        )
+    parts.append(
+        f"zf AS (SELECT x.vec_id, x.y, ROUND(SUM(x.x * w{iters}.c), 6) AS z6"
+        f" FROM x JOIN w{iters} USING (dim) GROUP BY x.vec_id, x.y)"
+    )
+    parts.append(
+        "acc AS (SELECT ROUND(AVG(CAST("
+        "CAST(CAST(z6 >= 0 AS INT) AS DOUBLE) = y AS INT)), 6) AS a FROM zf)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(dim AS INT) AS dim, c AS weight,"
+        f" (SELECT a FROM acc) AS train_acc FROM w{iters}"
+    )
+
+
+@register(
+    "embedding_logreg_gd",
+    oracle=_logreg_sql(3),
+    doc="EXT distributed binary logistic regression by full-batch "
+    "gradient descent — the SUPERVISED-learning loop completing the "
+    "iterative family beside k-means (assignment), power-iteration PCA "
+    "(eigenvector) and PageRank (fixpoint); the quality-classifier / "
+    "domain-tagger trainer shape in pure DataFrame ops. y = label % 2. "
+    "Per step: one per-vector dot against the broadcast weight vector, "
+    "a per-row sigmoid, one bounded groupBy(dim) gradient accumulate — "
+    "two map-side-combinable aggregates over the exploded stream "
+    "(materialized once); only the D-float weight vector crosses the "
+    "driver per step (k-means-centroid discipline). Determinism: the "
+    "sigmoid is round6-quantized per row (absorbs libm exp drift) and "
+    "the weights per step, so both engines run every step on identical "
+    "constants — the whole 3-step loop is oracle-checked as unrolled "
+    "CTE blocks (the PCA proof pattern applied to training); w0 = 0 "
+    "exactly, so step 1's probabilities are exactly 0.5 on both "
+    "engines. Emits final weights + training accuracy (z round6- "
+    "quantized before the >= 0 decision)",
+)
+def q_embedding_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.logistic_regression_gd(_emb(spark, sf_dir), iters=3)
+
+
 @register(
     "embedding_top_pc_power_iteration",
     oracle=_pca_power_sql(3),

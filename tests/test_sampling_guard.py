@@ -166,6 +166,24 @@ def test_head_violation_checker_catches_planted_exclusion():
     )
 
 
+def test_red_after_green_drops_row_from_the_green_map(tmp_path):
+    """A row green in r5 but RED in its latest (r9) sample must come back
+    as never-green (tier 0) — an old green never outranks a newer red."""
+    import json
+
+    ok = {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"err": None, "rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"rowA": ok, "rowB": ok})
+    )
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"rowA": red, "rowB": ok})
+    )
+    greens = H.last_green_round(str(tmp_path))
+    assert "rowA" not in greens  # red at its latest sample → tier 0
+    assert greens["rowB"] == 9
+
+
 def test_priority_order_pure_fixture_tiers():
     """Tier semantics on a synthetic fixture: never-green < recent-stale
     < old-stale < fresh; oldest green first within each stale/fresh tier."""

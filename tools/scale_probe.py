@@ -182,6 +182,13 @@ PROBE_QUERIES = [
     # text_bpe_encode) — expected to track the chain form's scan-bound
     # scaling with a constant Arrow-boundary overhead
     "text_bpe_encode_bigvocab",
+    # round-12 batch 2: GD logistic regression (per-step scan + bounded
+    # groupBy(dim), D-float driver crossings — the PCA cost shape),
+    # chi-square independence (one scan to |types| x 7 cells), and the
+    # temperature mixture plan (one scan to |sources| cells)
+    "embedding_logreg_gd",
+    "events_chi2_independence",
+    "corpus_temperature_mixture",
 ]
 
 # distinct single-char rotations per copy; copy 0 is the original corpus
