@@ -1160,7 +1160,7 @@ def logistic_regression_gd(
             .alias("ok")
         )
         .agg(F.round(F.avg("ok"), 6).alias("acc"))
-        .collect()[0]
+        .collect()[0]  # bounded: ONE row — the scalar training accuracy
     )
     spark = emb.sparkSession
     return spark.createDataFrame(
