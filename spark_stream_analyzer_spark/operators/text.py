@@ -525,7 +525,7 @@ def _bpe_encode_chain(df: DataFrame, merges: list[str], text_col: str) -> DataFr
     )
 
 
-def _bpe_encode_word_py(wd: str, pair_rank: dict, pair_by_rank: dict) -> str:
+def _bpe_encode_word_py(wd: str, pair_ranks: dict, pair_by_rank: dict) -> str:
     """One word through the merge table with EXACTLY the chain's
     semantics: for each merge rank in ascending order, one single-pass
     non-overlapping left-to-right scan.  Ranks whose pair is absent are
@@ -533,20 +533,33 @@ def _bpe_encode_word_py(wd: str, pair_rank: dict, pair_by_rank: dict) -> str:
     scales with the word's own merge activity, not the vocab size — the
     production win over 10k literal replaces.
 
+    ``pair_ranks`` maps each pair to its SORTED LIST of ranks — a trained
+    table can contain the SAME pair at several ranks (the trainer's
+    single-pass replace leaves unmerged occurrences behind, so a pair can
+    win the argmax again next round — the r11 'banana' fixture does), and
+    each occurrence in the table is its own chain pass (caught by the
+    hypothesis parity test; a last-rank-wins dict silently dropped the
+    earlier passes).
+
     The ``blocked`` flag reproduces the string form's boundary-space
     consumption: ``' a a a a a '.replace(' a a ', ' aa ')`` yields
     ``' aa a aa '`` — after a merge, the trailing delimiter of the match
     is consumed, so the immediately following symbol can never START the
     next match (verified against Spark's ``replace`` and Python's
     ``str.replace``, which share this semantics)."""
+    from bisect import bisect_right
+
     syms = list(wd)
     last = 0
     while True:
         best = None
         for i in range(len(syms) - 1):
-            r = pair_rank.get((syms[i], syms[i + 1]))
-            if r is not None and r > last and (best is None or r < best):
-                best = r
+            rs = pair_ranks.get((syms[i], syms[i + 1]))
+            if not rs:
+                continue
+            j = bisect_right(rs, last)
+            if j < len(rs) and (best is None or rs[j] < best):
+                best = rs[j]
         if best is None:
             return " ".join(syms)
         a, b = pair_by_rank[best]
@@ -574,12 +587,14 @@ def _bpe_encode_trie(df: DataFrame, merges: list[str], text_col: str) -> DataFra
     ``tests/test_llm_ops.py::test_bpe_trie_encoder_parity*``."""
     from pyspark.sql.types import ArrayType, StringType
 
-    pair_rank = {tuple(p.split(" ")): r for r, p in enumerate(merges, start=1)}
+    pair_ranks: dict = {}
+    for r, p in enumerate(merges, start=1):
+        pair_ranks.setdefault(tuple(p.split(" ")), []).append(r)
     pair_by_rank = {r: tuple(p.split(" ")) for r, p in enumerate(merges, start=1)}
 
     def _encode_series(words):
         return words.map(
-            lambda ws: [_bpe_encode_word_py(w, pair_rank, pair_by_rank) for w in ws]
+            lambda ws: [_bpe_encode_word_py(w, pair_ranks, pair_by_rank) for w in ws]
         )
 
     _encode = F.pandas_udf(_encode_series, ArrayType(StringType()))

@@ -873,7 +873,11 @@ def test_bpe_trie_encoder_parity_with_chain_on_adversarial_runs(spark):
     # a merge table >= the gate, in a deliberately tricky order: early
     # merges create symbols later merges consume, and ranks that never
     # fire pad the table to production size
-    merges = ["a a", "aa a", "a b", "ab ab", "b a", "ba ba", "b b", "a ba"]
+    # "a b" appears TWICE: trained tables really do repeat a pair (the
+    # r11 banana fixture merges 'a n' in rounds 1 AND 2) and each
+    # occurrence is its own chain pass — the duplicated-pair regression
+    # the hypothesis parity test first caught
+    merges = ["a a", "aa a", "a b", "ab ab", "a b", "b a", "ba ba", "b b", "a ba"]
     merges += [f"q{i} q{i}" for i in range(T._BPE_TRIE_MIN_MERGES)]  # no-ops
     assert len(merges) >= T._BPE_TRIE_MIN_MERGES
 

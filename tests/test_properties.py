@@ -777,3 +777,39 @@ def test_kmeans_join_form_matches_literal_form(spark):
         for r in kmeans_assign_join(emb, k=8, iters=2).collect()
     }
     assert jn == lit
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=0, max_size=14),
+    merge_idx=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=8),
+)
+def test_bpe_word_encoder_matches_string_replace_chain(word, merge_idx):
+    """_bpe_encode_word_py must equal the literal chain semantics — a
+    sequential single-pass non-overlapping ``str.replace`` per merge on
+    the space-delimited symbol string (verified identical to Spark's
+    ``replace``) — on RANDOM words over a tiny alphabet with RANDOM merge
+    tables drawn from the pairs that actually arise there. The 2-letter
+    alphabet maximizes runs and merge-created-symbol collisions, the
+    regime where the boundary-space consumption subtlety bites
+    (' a a a a a ' -> ' aa a aa ', not the fixpoint's 'aa aa a')."""
+    from spark_stream_analyzer_spark.operators.text import _bpe_encode_word_py
+
+    # candidate merge pool over symbols reachable in <= 2 merges
+    pool = ["a a", "a b", "b a", "b b", "aa a", "ab b", "ba a", "aabb aabb"]
+    merges = []
+    for i in merge_idx:  # duplicates allowed — a repeated pair is a no-op
+        merges.append(pool[i])
+
+    # reference: the chain exactly as the Spark expression applies it
+    s = " " + " ".join(word) + " " if word else "  "
+    for pair in merges:
+        s = s.replace(f" {pair} ", f" {pair.replace(' ', '')} ")
+    expect = s.strip()
+
+    pair_ranks = {}
+    for r, p in enumerate(merges, start=1):
+        pair_ranks.setdefault(tuple(p.split(" ")), []).append(r)
+    pair_by_rank = {r: tuple(p.split(" ")) for r, p in enumerate(merges, start=1)}
+    got = _bpe_encode_word_py(word, pair_ranks, pair_by_rank)
+    assert got == expect, (word, merges)
