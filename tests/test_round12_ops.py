@@ -102,3 +102,59 @@ def test_temperature_mixture_flattens_shares(spark):
     boosts = {r.source: r.boost for r in rows}
     if spread_raw > 1e-6:
         assert boosts[smallest] > 1.0 > boosts[largest]
+
+
+def test_er_resolve_matches_python_union_find_on_random_graphs(spark):
+    """_er_resolve (CC + max-balance survivorship + singleton fill) must
+    agree with a sequential union-find + argmax on random match graphs —
+    including chain merges, isolated nodes, and balance ties (min custkey
+    wins)."""
+    import random
+
+    from spark_stream_analyzer_spark.plans.q_tpch import _er_resolve
+
+    rng = random.Random(0xE12)
+    for trial in range(4):
+        n = rng.randint(6, 24)
+        # deliberately tie-heavy balances (3 distinct values)
+        bal = {i: float(rng.choice([100.0, 200.0, 300.0])) for i in range(n)}
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(0, n))
+            }
+        )
+
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        expect = {}
+        for members in comp.values():
+            cid = min(members)
+            canon = max(members, key=lambda i: (bal[i], -i))
+            for i in members:
+                expect[i] = (cid, canon, len(members), int(i == canon))
+
+        c = spark.createDataFrame(
+            [(i, bal[i]) for i in range(n)], "c_custkey long, c_acctbal double"
+        )
+        p = spark.createDataFrame(
+            pairs or [(None, None)], "id_a long, id_b long"
+        )
+        if not pairs:
+            p = p.filter("id_a IS NOT NULL")
+        got = {
+            r.c_custkey: (r.cluster_id, r.canonical_id, r.cluster_size, r.is_canonical)
+            for r in _er_resolve(c, p).collect()
+        }
+        assert got == expect, (trial, pairs, bal)

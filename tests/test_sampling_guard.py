@@ -198,3 +198,38 @@ def test_priority_order_pure_fixture_tiers():
         stale={"recent11", "stale2", "stale3"}, recent={"recent11"},
     )
     assert order == ("new", "recent11", "stale2", "stale3", "fresh2", "fresh9")
+
+
+def test_priority_order_properties_on_random_histories():
+    """Hypothesis-style sweep without Spark: random green/stale/recent
+    assignments must always yield a permutation whose tiers are ordered
+    (never-green < recent-stale < old-stale < fresh) and whose last-green
+    rounds are monotone within each tier."""
+    import random
+
+    def fn():
+        return None
+
+    rng = random.Random(0xD12)
+    for _ in range(200):
+        names = [f"q{i}" for i in range(rng.randint(1, 40))]
+        greens = {n: rng.randint(1, 11) for n in names if rng.random() < 0.8}
+        stale = {n for n in greens if rng.random() < 0.5}
+        recent = {n for n in stale if rng.random() < 0.5}
+        order = H.priority_order(
+            {n: fn for n in names}, ROOT, greens=greens, stale=stale, recent=recent
+        )
+        assert sorted(order) == sorted(names)
+
+        def tier(n):
+            if n not in greens:
+                return 0
+            if n in stale:
+                return 1 if n in recent else 2
+            return 3
+
+        tiers = [tier(n) for n in order]
+        assert tiers == sorted(tiers), (order, tiers)
+        for t in (1, 2, 3):
+            rounds = [greens[n] for n in order if tier(n) == t]
+            assert rounds == sorted(rounds)
