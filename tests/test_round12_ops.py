@@ -158,3 +158,16 @@ def test_er_resolve_matches_python_union_find_on_random_graphs(spark):
             for r in _er_resolve(c, p).collect()
         }
         assert got == expect, (trial, pairs, bal)
+
+
+def test_er_resolve_all_singletons_on_empty_pairs(spark):
+    """Zero match pairs: every customer is its own singleton cluster and
+    its own canonical record (the left-join fill path alone)."""
+    from spark_stream_analyzer_spark.plans.q_tpch import _er_resolve
+
+    c = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "c_custkey long, c_acctbal double"
+    )
+    p = spark.createDataFrame([], "id_a long, id_b long")
+    rows = sorted(map(tuple, _er_resolve(c, p).collect()))
+    assert rows == [(1, 1, 1, 1, 1), (2, 2, 2, 1, 1)]
