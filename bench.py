@@ -248,6 +248,27 @@ def main() -> None:
         _calib_samples.append(time.perf_counter() - t0)
     calib = round(sorted(_calib_samples)[1], 3)
 
+    # PARALLEL calibration probe (r13, verdict r12 task 1): the probe
+    # above spreads 200M rows over the default parallelism and finishes
+    # in ~0.1s — each task is ~6M rows, far too light to feel SUSTAINED
+    # multi-core co-tenant pressure, so r12's bench read calib 1.0 while
+    # every query's median sat ~1.6x over baseline.  This probe runs the
+    # same double-product sum with one HEAVY task pinned per core
+    # (cores x 200M rows, ~1.1s/sample quiet — long enough that a
+    # co-tenant burst lands IN the sample, not between samples) at the
+    # bench's own parallelism, so its wall-clock moves with exactly the
+    # core contention the per-query medians feel.  median-of-3, same
+    # convention as the single-thread probe.
+    _ncores = spark.sparkContext.defaultParallelism
+    _par_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, _ncores * 200_000_000, 1, _ncores).selectExpr(
+            "sum(id * 1.0d * id) as s"
+        ).collect()
+        _par_samples.append(time.perf_counter() - t0)
+    par_calib = round(sorted(_par_samples)[1], 3)
+
     # streaming calibration (round-8, r7 verdict task 3): the CPU probe
     # above cannot see micro-batch TRIGGER-SCHEDULING latency, which is
     # what the 9 live-streaming rows are bound by — under host load those
@@ -342,6 +363,7 @@ def main() -> None:
     baseline_q: dict[str, float] = {}
     calib_ratio = 1.0
     stream_calib_ratio = 1.0
+    par_calib_ratio = 1.0
     if sf == 0.1:
         base_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
@@ -356,6 +378,19 @@ def main() -> None:
             # the bench after the suite already ran
             _base_calib = _base.get("calib_sec") or calib or 1.0
             calib_ratio = max(1.0, calib / _base_calib)
+            # contention-aware ratio (r13): judge per-query expectations
+            # against whichever probe reads the host as slower — the
+            # single-thread probe sees frequency/steal, the parallel one
+            # sees multi-core contention invisible to it.  A baseline
+            # recorded before the parallel probe existed contributes no
+            # ratio (stays 1.0 — same behavior as before).
+            # NOT folded into calib_ratio itself: the merge tool
+            # normalizes times by the single-thread ratio (its divisor
+            # must never inflate from contention), while the suspicion
+            # threshold below judges against max(single, parallel).
+            _base_pcalib = _base.get("par_calib_sec")
+            if _base_pcalib:
+                par_calib_ratio = max(1.0, par_calib / _base_pcalib)
             # streaming rows get their own ratio from the micro-batch
             # probe (falls back to the CPU ratio when the baseline file
             # predates the probe)
@@ -396,12 +431,17 @@ def main() -> None:
                             stream_tp[_side] >= _exp / STREAM_TP_BAND
                         )
 
+    def _eff_ratio(name: str) -> float:
+        """Contention-aware suspicion divisor: whichever probe reads the
+        host as slower.  Streaming rows keep their micro-batch probe
+        (scheduling-bound) but also honor the parallel CPU probe —
+        their Python state workers compete for the same cores."""
+        base = stream_calib_ratio if name.startswith("streaming_") else calib_ratio
+        return max(base, par_calib_ratio)
+
     def _suspicious(name: str) -> bool:
         b = baseline_q.get(name)
-        ratio = (
-            stream_calib_ratio if name.startswith("streaming_") else calib_ratio
-        )
-        return b is not None and timings[name] > 2.0 * ratio * max(b, 0.2)
+        return b is not None and timings[name] > 2.0 * _eff_ratio(name) * max(b, 0.2)
 
     retry = sorted(
         (k for k, v in timings.items() if v >= 0),
@@ -469,10 +509,8 @@ def main() -> None:
         k: {
             "samples": samples.get(k, []),
             "baseline_best": baseline_q.get(k),
-            "calib_ratio": round(
-                stream_calib_ratio if k.startswith("streaming_") else calib_ratio,
-                3,
-            ),
+            "calib_ratio": round(_eff_ratio(k), 3),
+            "par_calib_ratio": round(par_calib_ratio, 3),
         }
         for k in timings
         if timings[k] >= 0 and _suspicious(k)
@@ -497,6 +535,8 @@ def main() -> None:
                 "n_failed": n_failed,
                 "calib_sec": calib,
                 "calib_ratio_vs_baseline": round(calib_ratio, 3),
+                "par_calib_sec": par_calib,
+                "par_calib_ratio_vs_baseline": round(par_calib_ratio, 3),
                 "stream_calib_sec": stream_calib,
                 "stream_calib_ratio_vs_baseline": round(stream_calib_ratio, 3),
                 "queries": timings,
@@ -521,6 +561,8 @@ def main() -> None:
                 "n_failed": n_failed,
                 "calib_sec": calib,
                 "calib_ratio": round(calib_ratio, 3),
+                "par_calib_sec": par_calib,
+                "par_calib_ratio": round(par_calib_ratio, 3),
                 "sf": sf,
                 "stream_tp": {
                     k: stream_tp.get(k)

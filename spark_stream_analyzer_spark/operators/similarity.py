@@ -1105,13 +1105,28 @@ def logistic_regression_gd(
     step, so both engines run every step with IDENTICAL constants; the
     whole loop is oracle-checked as unrolled CTE blocks.  w0 = 0
     exactly, so step 1's probabilities are exactly 0.5 on both engines.
+    ACCEPTED RESIDUAL RISK (same class the PCA row documents, ADVICE
+    r12): the per-row ``z = Σ x·w`` and the gradient SUM cross engines
+    UNQUANTIZED — summation-order drift is absorbed by the round6
+    quantization only while the value is not within ~1 ulp of a .5e-6
+    boundary, and one early-step boundary flip would propagate.  The
+    parity test therefore holds weights to abs=2e-6 rather than exact;
+    the driver's hash-exact check has been green because D=64 fold sums
+    land well clear of boundaries on this corpus — if it ever flips,
+    this note is the diagnosis, not a new bug.
     Returns one row per dim: final weight, plus the training accuracy
     under the final weights (z round6-quantized before the ≥ 0
     decision) repeated per row — the PCA eigenvalue convention.
     """
     from spark_stream_analyzer_spark.functions.materialize import materialize
 
-    dim = len(emb.select(vec_col).first()[0])  # bounded: one row, D known
+    head = emb.select(vec_col).first()  # bounded: one row, D known
+    if head is None or head[0] is None:
+        raise ValueError(
+            "logistic_regression_gd: empty embeddings input — no dimension "
+            "to train over (guard added per ADVICE r12)"
+        )
+    dim = len(head[0])
     n = emb.count()
     x = materialize(
         emb.select(

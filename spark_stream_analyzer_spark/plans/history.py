@@ -287,6 +287,23 @@ def recent_stale_rows(
     return out
 
 
+def degradation_path(root: str | None = None) -> str:
+    """Which inputs the computed order actually had (ADVICE r12): the
+    locally-certified order is only guaranteed to match the grading
+    driver's when both see the same artifacts + git history.  Snapshot
+    this beside the order (tools/snapshot_sampling_order.py →
+    SAMPLING_ORDER.json, committed each round) so a divergent driver
+    environment (shallow clone truncating 'round N: verdict' commits,
+    missing artifacts) is detectable from the artifact diff instead of
+    silently reordering the head."""
+    root = root or repo_root()
+    if not last_green_round(root):
+        return "no-artifacts"
+    if not round_commits(root):
+        return "no-git"
+    return "full"
+
+
 def priority_order(
     builders: dict,
     root: str | None = None,

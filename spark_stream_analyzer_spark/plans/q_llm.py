@@ -2787,7 +2787,16 @@ def q_text_bpe_encode_bigvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         p for _, p, _ in text.bpe_train_merges(_docs(spark, sf_dir), rounds=3)
     ]
-    pad = [f"q{i} q{i}" for i in range(text._BPE_TRIE_MIN_MERGES)]
+    # Pad inertness is PROVABLE, not data-dependent (ADVICE r12): the
+    # symbol stream is built from lower()ed [a-z0-9] words, so no chain
+    # of trained merges can ever produce a symbol containing an
+    # UPPERCASE character — 'Q{i}' pads can never fire on any corpus
+    # (the earlier 'q{i}' pads were only inert while no 'q <digit>'
+    # merge happened to train).  Belt-and-braces build-time assert:
+    pad = [f"Q{i} Q{i}" for i in range(text._BPE_TRIE_MIN_MERGES)]
+    assert not any("Q" in m for m in merges), (
+        "pad symbols collide with a trained merge — inertness proof void"
+    )
     return text.bpe_encode_stats(_docs(spark, sf_dir), merges + pad)
 
 

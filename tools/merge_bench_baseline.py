@@ -9,6 +9,22 @@ touched here — it must be re-recorded atomically as a pair by
 tools/refresh_tp_baseline.py (r11 finding: a mixed-run pair over- or
 under-expects).
 
+RATCHET GUARDS (ADVICE r12 + verdict r12 task 1): normalizing by a
+calib ratio that OVERSTATES host slowness divides every time down and
+the min keeps it forever, permanently inflating later runs' regression
+flags.  Three guards close that vector:
+
+1. **Existing rows are lowered only when the run's parallel-calibration
+   ratio is ≈ 1** (the host demonstrably matches the baseline host
+   under the bench's own parallelism — so the divisor is ~1 and cannot
+   manufacture a speedup).  Runs recorded before the parallel probe
+   existed fall back to the single-thread ratio for the same gate.
+2. **A minimum improvement margin** (>5%) before an existing row is
+   lowered — sub-margin wiggle is measurement noise, not a new best.
+3. **Back-fill normalization is clamped**: a brand-new row recorded on
+   a slow host is divided by at most MAX_BACKFILL_RATIO so one noisy
+   first recording cannot set an unreachably low floor.
+
 Usage: python tools/merge_bench_baseline.py [BENCH_DETAIL.json]
 """
 
@@ -19,6 +35,13 @@ import os
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: parallel-calib parity gate for lowering existing rows (guard 1)
+PARITY_MAX_RATIO = 1.05
+#: minimum relative improvement before an existing row is lowered (guard 2)
+MIN_IMPROVEMENT = 0.05
+#: normalization clamp for back-filled rows (guard 3)
+MAX_BACKFILL_RATIO = 1.5
 
 
 def main() -> None:
@@ -31,26 +54,38 @@ def main() -> None:
 
     calib_ratio = run.get("calib_ratio_vs_baseline") or 1.0
     stream_ratio = run.get("stream_calib_ratio_vs_baseline") or calib_ratio
+    par_ratio = run.get("par_calib_ratio_vs_baseline") or calib_ratio
+    at_parity = par_ratio <= PARITY_MAX_RATIO
     merged = dict(base["queries"])
-    lowered = backfilled = 0
+    lowered = backfilled = held = 0
     for name, t in run["queries"].items():
         if t < 0:
             continue  # failed row: never pollute the baseline
         ratio = stream_ratio if name.startswith("streaming_") else calib_ratio
-        norm = round(t / ratio, 3)
         if name not in merged:
-            merged[name] = norm
+            merged[name] = round(t / min(ratio, MAX_BACKFILL_RATIO), 3)
             backfilled += 1
-        elif norm < merged[name]:
-            merged[name] = norm
-            lowered += 1
+            continue
+        norm = round(t / ratio, 3)
+        if norm < merged[name] * (1.0 - MIN_IMPROVEMENT):
+            if at_parity:
+                merged[name] = norm
+                lowered += 1
+            else:
+                held += 1  # would lower, but the host isn't at parity
     base["queries"] = dict(sorted(merged.items()))
+    # anchor the parallel-calib unit on first contact: the first run that
+    # carries a parallel probe defines the baseline host's par_calib_sec
+    # (later runs compare against it; it is never min-ratcheted)
+    if "par_calib_sec" not in base and run.get("par_calib_sec"):
+        base["par_calib_sec"] = run["par_calib_sec"]
     with open(base_path, "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)
     print(
         f"merged {len(run['queries'])} run rows into {len(merged)} baseline rows: "
-        f"{backfilled} back-filled, {lowered} lowered "
-        f"(calib_ratio {calib_ratio}, stream {stream_ratio})"
+        f"{backfilled} back-filled, {lowered} lowered, {held} held (no parity) "
+        f"(calib_ratio {calib_ratio}, stream {stream_ratio}, par {par_ratio}, "
+        f"parity={at_parity})"
     )
 
 
