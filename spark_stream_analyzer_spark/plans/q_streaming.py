@@ -3288,3 +3288,157 @@ def q_streaming_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
         [(n_input, n_dropped, n_input - int(admitted))],
         "n_input long, n_dropped_state_rows long, n_late_events long",
     )
+
+
+# --------------------------------------------- round-13: trigger SLA metrics
+
+
+@register(
+    "streaming_trigger_sla_metrics",
+    oracle=f"""
+    WITH {_O_BASE},
+    x AS (SELECT event_id FROM base WHERE event_id < {EVENT_CAP})
+    SELECT CAST(6 AS BIGINT) AS n_batches,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(1000 AS BIGINT) AS sla_envelope_ms,
+       1::INT AS latency_metrics_present,
+       1::INT AS p95_le_run_total,
+       1::INT AS backlog_zero
+    FROM x
+    """,
+    doc="EXT per-batch trigger-latency SLA observability, LIVE (r12 "
+    "verdict task 6) — the metrics twin of the soak: the reference's "
+    "implicit envelope is a sustained 1 s trigger "
+    "(SparkStreamingService.java:259), and a production deployment "
+    "watches it through StreamingQueryProgress, not through results. "
+    "This row replays 6 deterministic micro-batches "
+    "(maxFilesPerTrigger=1) through an update-mode keyed count and "
+    "derives the SLA dashboard from the query's OWN progress stream: "
+    "per-batch durationMs.triggerExecution p50/p95 (computed and "
+    "sanity-pinned in-row: metrics must exist for every batch, p95 "
+    "cannot exceed the measured end-to-end run — pinning the METRIC "
+    "UNIT as milliseconds-per-trigger, the watermark_metrics "
+    "discipline), plus end-of-run backlog from the file source's "
+    "latestOffset==endOffset (batches-behind must be 0 after "
+    "processAllAvailable). Wall-clock latencies are inherently "
+    "host-dependent, so the ORACLE-CHECKED columns are the "
+    "deterministic invariants (batch count, input rows, envelope "
+    "constant, metric-presence/unit/backlog bits); the raw p50/p95 "
+    "distribution is asserted and printed by "
+    "tests/test_streaming.py::test_trigger_sla_progress_distribution. "
+    "The row RAISES if any invariant fails, so a driver-green row "
+    "proves the progress metrics were present, unit-sane, and drained",
+)
+def q_streaming_trigger_sla_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import time as _time
+
+    workdir = tempfile.mkdtemp(prefix="ssa_sla_")
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    # bounded: EVENT_CAP rows by construction (the streamed-slice cap
+    # every live fixture shares) — replay-file writing is harness work
+    rows = b.select("event_id", "event_type").collect()
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 6],
+        fmt=lambda r: f"{r.event_id},{r.event_type}",
+    )
+    parts = F.split("value", ",")
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[1].alias("event_type")
+    )
+    counted = parsed.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"sla_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        t0 = _time.perf_counter()
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            run_total_ms = (_time.perf_counter() - t0) * 1000.0
+            # bounded: one progress dict per micro-batch (6 replay files)
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+
+    p50, p95, per_batch = trigger_latency_quantiles(progresses)
+    n_input = sum(int(p["numInputRows"]) for p in progresses)
+    metrics_present = all(
+        "triggerExecution" in (p.get("durationMs") or {}) for p in progresses
+    )
+    last_src = (progresses[-1].get("sources") or [{}])[0]
+
+    def _off(v):
+        try:
+            return _json.loads(v.replace("'", '"')) if isinstance(v, str) else v
+        except ValueError:
+            return None
+
+    # the FileStreamSource reports latestOffset as the string 'None'
+    # (measured — it has no notion of "latest" beyond what it listed),
+    # so batches-behind is derived from the committed end offset: after
+    # processAllAvailable the log offset must equal n_files - 1, i.e.
+    # every staged replay file was consumed (backlog == 0)
+    end_off = _off(last_src.get("endOffset")) or {}
+    backlog_zero = end_off.get("logOffset") == 5
+    # invariant gate: a green driver row must mean the metrics existed
+    # and read in coherent units — fail loudly, never emit a lying 1
+    if not (progresses and metrics_present and p95 <= run_total_ms):
+        raise RuntimeError(
+            f"trigger SLA invariants violated: n_batches={len(progresses)} "
+            f"metrics_present={metrics_present} p95={p95} "
+            f"run_total_ms={run_total_ms:.0f} per_batch={per_batch}"
+        )
+    if not backlog_zero:
+        raise RuntimeError(
+            f"file source not drained after processAllAvailable: "
+            f"{last_src.get('latestOffset')!r} != {last_src.get('endOffset')!r}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                len(progresses),
+                n_input,
+                1000,
+                int(metrics_present),
+                int(p95 <= run_total_ms),
+                int(backlog_zero),
+            )
+        ],
+        "n_batches long, n_input long, sla_envelope_ms long,"
+        " latency_metrics_present int, p95_le_run_total int, backlog_zero int",
+    )
+
+
+def trigger_latency_quantiles(progresses) -> tuple[float, float, list[int]]:
+    """(p50, p95, per-batch ms) of ``durationMs.triggerExecution`` from a
+    list of StreamingQueryProgress dicts — nearest-rank quantiles over
+    the (bounded, one-per-micro-batch) progress history.  Shared by the
+    SLA row and its distribution test so both read the metric the same
+    way."""
+    lat = sorted(
+        int((p.get("durationMs") or {}).get("triggerExecution", 0))
+        for p in progresses
+    )
+    if not lat:
+        return 0.0, 0.0, []
+
+    def _q(f: float) -> float:
+        # nearest-rank: ceil(f*n), 1-indexed (round() would banker's-round
+        # 2.5 -> 2 and report p50 of 5 samples as the 2nd, not the 3rd)
+        return float(lat[min(len(lat) - 1, max(0, math.ceil(f * len(lat)) - 1))])
+
+    return _q(0.50), _q(0.95), lat

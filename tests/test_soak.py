@@ -354,3 +354,182 @@ def test_streaming_soak_midrun_crash_restart_equals_no_crash(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.mark.parametrize(
+    "n_rounds,n_crashes",
+    [
+        pytest.param(
+            30,
+            3,
+            id="mini",
+            marks=pytest.mark.skipif(
+                bool(os.environ.get("SPARK_GRAFT_SOAK")),
+                reason="full soak requested; mini is redundant",
+            ),
+        ),
+        pytest.param(
+            200,
+            5,
+            id="full",
+            marks=pytest.mark.skipif(
+                not os.environ.get("SPARK_GRAFT_SOAK"),
+                reason="soak: set SPARK_GRAFT_SOAK=1 (numbers in SCALING.md)",
+            ),
+        ),
+    ],
+)
+def test_streaming_soak_crash_restart_rocksdb_changelog(
+    spark, tmp_path, n_rounds, n_crashes
+):
+    """Chaos matrix × RocksDB CHANGELOG path (r12 verdict task 7): the
+    crash-restart-equals-control contract re-proven under
+    ``RocksDBStateStoreProvider`` with changelog checkpointing — the
+    production state backend whose recovery path (load last snapshot,
+    re-apply changelogs, replay the uncommitted batch) is entirely
+    different code from the default HDFS-backed store the test above
+    exercises.  Each kill truncates BOTH the newest commit-log entry
+    AND that version's RocksDB ``.changelog`` files — the
+    crash-DURING-changelog-commit point: the store must recover from
+    the prior version and rewrite the changelog on replay.  End-state
+    totals must equal an uninterrupted RocksDB control run and the
+    JDBC sink must stay exactly-once."""
+    import glob
+    import random
+
+    rng = random.Random(CHAOS_SEED ^ 0xD0C5)  # distinct schedule from the
+    # default-provider matrix — same seed would re-test the same rounds
+    crash_after = sorted(rng.sample(range(3, n_rounds - 2), k=n_crashes))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_changelog = spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        None,
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        # ---- run A: RocksDB control, straight through
+        kdir, ddir = str(tmp_path / "kills"), str(tmp_path / "dmg")
+        os.makedirs(kdir)
+        os.makedirs(ddir)
+        for rnd in range(n_rounds):
+            _write_round(kdir, ddir, rnd)
+        url_a = f"jdbc:derby:{tmp_path}/db_a;create=true"
+        q = _start(spark, kdir, ddir, url_a, str(tmp_path / "ckpt_a"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        control = _latest_per_user(spark.read.jdbc(url_a, "soak_snapshots"))
+
+        # ---- run B: chaos under staged input visibility (see the
+        # default-provider matrix above for the mechanism)
+        url_b = f"jdbc:derby:{tmp_path}/db_b;create=true"
+        ckpt_b = str(tmp_path / "ckpt_b")
+        kb, db = str(tmp_path / "kills_b"), str(tmp_path / "dmg_b")
+        os.makedirs(kb)
+        os.makedirs(db)
+        staged = 0
+
+        def stage_until(rnd_excl: int) -> None:
+            nonlocal staged
+            while staged < rnd_excl:
+                _write_round(kb, db, staged)
+                staged += 1
+
+        q = _start(spark, kb, db, url_b, ckpt_b)
+        n_replays = n_changelog_cuts = 0
+        try:
+            for cp in crash_after:
+                stage_until(cp)
+                q.processAllAvailable()
+                q.stop()
+                q.awaitTermination()
+                commits = sorted(glob.glob(f"{ckpt_b}/commits/[0-9]*"))
+                if commits:
+                    batch_id = os.path.basename(commits[-1])
+                    os.remove(commits[-1])
+                    crc = (
+                        f"{os.path.dirname(commits[-1])}/."
+                        f"{os.path.basename(commits[-1])}.crc"
+                    )
+                    if os.path.exists(crc):
+                        os.remove(crc)
+                    n_replays += 1
+                    # crash DURING changelog commit: the state version a
+                    # batch writes is batch_id + 1 — tear out that
+                    # version's changelog files so recovery must rebuild
+                    # from the prior version, not ride a half-written
+                    # changelog that "happens" to be complete
+                    ver = int(batch_id) + 1
+                    for cl in glob.glob(
+                        f"{ckpt_b}/state/*/*/{ver}.changelog"
+                    ) + glob.glob(f"{ckpt_b}/state/*/*/.{ver}.changelog.crc"):
+                        os.remove(cl)
+                        n_changelog_cuts += 1
+                q = _start(spark, kb, db, url_b, ckpt_b)
+            stage_until(n_rounds)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert n_replays == n_crashes
+        # the fixture really ran on the changelog path: every crash point
+        # had changelog files to cut (8 shuffle partitions → up to 8 per
+        # version; at least one must have existed per crash)
+        assert n_changelog_cuts >= n_crashes, (
+            f"no RocksDB changelog files found to cut "
+            f"({n_changelog_cuts} cuts over {n_crashes} crashes) — is "
+            f"changelog checkpointing actually on?"
+        )
+
+        sink_b = spark.read.jdbc(url_b, "soak_snapshots")
+        n_sink = sink_b.count()
+        assert (
+            n_sink
+            == sink_b.select("user_id", "batch_id").distinct().count()
+        )
+        chaos = _latest_per_user(sink_b)
+        print(
+            f"\nSOAK-CHAOS-ROCKSDB n_rounds={n_rounds} "
+            f"crash_points={crash_after} replays={n_replays} "
+            f"changelog_cuts={n_changelog_cuts} sink_rows={n_sink}"
+        )
+        assert chaos == control, (
+            "end-state totals diverged between the RocksDB-changelog "
+            "crash-restart run and the uninterrupted control: "
+            f"{ {k: (control.get(k), chaos.get(k)) for k in set(control) | set(chaos) if control.get(k) != chaos.get(k)} }"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        if prev_changelog is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                prev_changelog,
+            )

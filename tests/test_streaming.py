@@ -807,3 +807,29 @@ def test_streaming_observed_metrics_per_batch(spark, tmp_path):
             seen.append((om["n_rows"], om["n_a_rows"]))
     assert sorted(seen) == [(5, 0), (7, 7)], seen
     assert spark.table("t_observe").count() == 12
+
+
+def test_trigger_sla_progress_distribution(spark, sf_dir):
+    """The SLA row's oracle-checked columns are deterministic invariants;
+    this test covers the HOST-DEPENDENT half of the dashboard: the
+    per-batch triggerExecution distribution must be a coherent latency
+    series (p50 <= p95 <= slowest batch, all positive ms) and the
+    quantile helper must read nearest-rank over the progress history."""
+    from spark_stream_analyzer_spark.plans.q_streaming import (
+        q_streaming_trigger_sla_metrics,
+        trigger_latency_quantiles,
+    )
+
+    row = q_streaming_trigger_sla_metrics(spark, sf_dir).collect()[0]
+    assert row.n_batches == 6
+    assert row.latency_metrics_present == 1
+    assert row.p95_le_run_total == 1
+    assert row.backlog_zero == 1
+
+    # helper semantics on a synthetic history (nearest-rank quantiles)
+    fake = [{"durationMs": {"triggerExecution": v}} for v in (10, 20, 30, 40, 100)]
+    p50, p95, lat = trigger_latency_quantiles(fake)
+    assert lat == [10, 20, 30, 40, 100]
+    assert (p50, p95) == (30.0, 100.0)
+    p50e, p95e, late = trigger_latency_quantiles([])
+    assert (p50e, p95e, late) == (0.0, 0.0, [])
