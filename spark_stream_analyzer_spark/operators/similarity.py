@@ -1291,3 +1291,74 @@ def mmr_rerank(
         F.col("sel_id").alias("vec_id"),
         F.round("score", 6).alias("score"),
     )
+
+
+def lsh_corpus_join_topk(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TWO-SIDED corpus×corpus ANN join (r12 verdict task 5) — dataset
+    alignment / cross-corpus retrieval: for every vector of corpus A,
+    its top-k cosine neighbors in corpus B, candidates restricted to
+    the SHARED sign-LSH bucket.
+
+    This is the one ANN shape :func:`lsh_topk` cannot serve: there the
+    query side is small and broadcast; here BOTH sides are fact-scale,
+    so the physical form is a plain equality SHUFFLE join on the bucket
+    key — each side is hash-partitioned by bucket once, co-located
+    bucket pairs meet on the reducers, and no executor ever sees more
+    than its buckets' rows.  Never all-pairs, never a broadcast of a
+    corpus, never a cartesian (plan-pinned by
+    tests/test_plan_shapes.py::test_corpus_join_is_shuffle_equijoin).
+    At 100 TB the bucket count (2^n_planes) is the skew knob — raise
+    n_planes (or band like the MinHash path) until the hottest bucket
+    fits a reducer; the within-bucket top-k window is per (query, rank),
+    bounded by the bucket join's own output.
+
+    Ties break on neighbor id ascending, same contract as every other
+    top-k row.
+    """
+    planes = TH.hyperplanes(n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {TH.spark_dot_lit(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    a = (
+        _with_norm(emb_a, vec_col)
+        .withColumn("bucket", F.expr(bucket))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col("bucket"),
+        )
+    )
+    b = (
+        _with_norm(emb_b, vec_col)
+        .withColumn("bucket", F.expr(bucket))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            F.col("norm").alias("nnorm"),
+            F.col("bucket"),
+        )
+    )
+    cos = F.expr(TH.spark_dot("qvec", "nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        a.join(b, "bucket")
+        .withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -648,3 +648,317 @@ def bpe_encode_stats(
         ).alias("n_chars"),
         F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
     )
+
+
+# ------------------------------------------------- unigram-LM tokenizer (r13)
+
+#: words longer than this are excluded from unigram-LM training AND
+#: encode on BOTH engines — the oracle's Viterbi DP is unrolled to this
+#: many positions (corpus max is 8; real corpora cap rare mega-tokens
+#: the same way — SentencePiece's own default trainer cap is 16 bytes).
+_UNI_MAX_WORD = 16
+#: candidate piece lengths considered by the DP (seed vocab max length)
+_UNI_MAX_PIECE = 3
+#: seed vocab: all single chars + top-96 multi-char substrings
+_UNI_SEED_CAP = 96
+_UNI_SEED_MIN_CNT = 2
+#: vocab-size gate (the ``_BPE_TRIE_MIN_MERGES`` discipline): below it
+#: the encode rides the expression DP + broadcast seg-join; at or above
+#: it the probs dict ships in an Arrow pandas-UDF closure instead —
+#: a production unigram vocab (32k pieces) as a map LITERAL would be
+#: thousands of Catalyst nodes re-analyzed per query.
+_UNI_TRIE_MIN_VOCAB = 512
+
+
+def _uni_cand(j: int, wd: str, m: str) -> str:
+    """Score of ending position ``i`` with a ``j``-char piece (SQL text,
+    evaluated inside the DP lambda): dp[i-j] * p(piece), or -1 when the
+    position can't fit the piece.  Out-of-vocab pieces score 0 and are
+    never chosen: every single char of every word is in the vocab with
+    a Laplace-positive probability, so some candidate is always > 0."""
+    return (
+        f"IF(i >= {j}, element_at(acc, i - {j} + 1).s * "
+        f"coalesce(try_element_at({m}, substring({wd}, i - {j} + 1, {j})), "
+        f"CAST(0.0 AS DOUBLE)), CAST(-1.0 AS DOUBLE))"
+    )
+
+
+def _spark_viterbi_dp(wd: str, m: str) -> str:
+    """Product-space Viterbi forward pass as ONE ``aggregate`` HOF:
+    acc[k] = (best score, best piece length) for position k-1; the
+    lambda is a single O(1)-size expression reused for every position,
+    so plan size is constant in word length (an unrolled lateral-alias
+    chain would blow up 3^W under alias inlining — measured on BOTH
+    engines; the DuckDB oracle's linear form is a recursive CTE over
+    positions instead).
+
+    DETERMINISM: scores are PRODUCTS of exactly-representable
+    count-ratio doubles — no ln/exp anywhere, so the DP is bit-identical
+    across Spark, DuckDB, and the Python Arrow twin (IEEE multiply +
+    compare in the same order); ties prefer the LONGER piece via the
+    shared CASE order (c3 >= c2 >= c1)."""
+    c1, c2, c3 = (_uni_cand(j, wd, m) for j in (1, 2, 3))
+    best = (
+        f"CASE WHEN {c3} >= {c2} AND {c3} >= {c1} "
+        f"THEN named_struct('s', {c3}, 'b', 3) "
+        f"WHEN {c2} >= {c1} THEN named_struct('s', {c2}, 'b', 2) "
+        f"ELSE named_struct('s', {c1}, 'b', 1) END"
+    )
+    return (
+        f"aggregate(sequence(1, length({wd})), "
+        f"array(named_struct('s', CAST(1.0 AS DOUBLE), 'b', 0)), "
+        f"(acc, i) -> concat(acc, array({best})))"
+    )
+
+
+def _spark_viterbi_backtrack(wd: str, bp: str) -> str:
+    """Walk the backpointer array from the word's end, PREPENDING each
+    piece — at most ``length(wd)`` steps, expressed as a second
+    ``aggregate`` whose accumulator carries (position, pieces)."""
+    take = f"element_at({bp}, acc.q)"
+    return (
+        f"aggregate(sequence(1, length({wd})), "
+        f"named_struct('q', length({wd}), 'ps', CAST(array() AS ARRAY<STRING>)), "
+        f"(acc, x) -> IF(acc.q > 0, named_struct('q', acc.q - {take}, "
+        f"'ps', concat(array(substring({wd}, acc.q - {take} + 1, {take})), acc.ps)), "
+        f"acc), acc -> acc.ps)"
+    )
+
+
+def _prob_map_col(probs: dict):
+    """Bounded vocab → one map column of exact double literals (sorted
+    keys so the plan is deterministic)."""
+    items = sorted(probs.items())
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in items]),
+        F.array(*[F.lit(float(v)) for _, v in items]),
+    )
+
+
+def segment_words(wdf: DataFrame, probs: dict, wd_col: str = "wd") -> DataFrame:
+    """Viterbi-segment a DISTINCT-word frame under a piece-probability
+    model: adds ``ps array<string>``.  The DP runs distributed over the
+    word table (bounded by corpus vocabulary — at 100 TB still millions
+    of rows, never driver-side); the model rides as a map literal
+    (vocab-bounded, the caller gates size via ``_UNI_TRIE_MIN_VOCAB``)."""
+    return (
+        wdf.withColumn("_m", _prob_map_col(probs))
+        .withColumn("_dp", F.expr(_spark_viterbi_dp(wd_col, "_m")))
+        .withColumn("_bp", F.expr("transform(slice(_dp, 2, size(_dp) - 1), d -> d.b)"))
+        .withColumn("ps", F.expr(_spark_viterbi_backtrack(wd_col, "_bp")))
+        .drop("_m", "_dp", "_bp")
+    )
+
+
+def _unigram_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """(wd, f): corpus-wide frequency of each normalized word within the
+    trainable length cap.  ONE map-side-combinable groupBy; the result
+    is vocabulary-bounded and materialized once (every EM pass re-reads
+    it from blocks — the BPE symbol-table discipline)."""
+    return materialize(
+        with_words(df, text_col)
+        .select(F.explode("words").alias("wd"))
+        .filter(F.length("wd") <= _UNI_MAX_WORD)
+        .groupBy("wd")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+def _unigram_seed_rows(wf: DataFrame) -> list[tuple[str, int]]:
+    """Seed vocab [(piece, weighted count)]: every single character plus
+    the top ``_UNI_SEED_CAP`` substrings of length 2..3 with count >=
+    ``_UNI_SEED_MIN_CNT`` (count desc, piece asc — deterministic).
+    Substring counting is a per-row array transform + one bounded-key
+    groupBy; ONLY the capped vocab crosses the driver."""
+    subs = "concat(" + ", ".join(
+        f"IF(length(wd) >= {L}, transform(sequence(1, length(wd) - {L} + 1),"
+        f" i -> substring(wd, i, {L})), CAST(array() AS ARRAY<STRING>))"
+        for L in range(1, _UNI_MAX_PIECE + 1)
+    ) + ")"
+    scnt = (
+        wf.select("f", F.explode(F.expr(subs)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    chars = scnt.filter(F.length("piece") == 1)
+    multi = (
+        scnt.filter((F.length("piece") >= 2) & (F.col("cnt") >= _UNI_SEED_MIN_CNT))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_UNI_SEED_CAP)
+    )
+    rows = chars.unionAll(multi).collect()  # bounded: capped vocab
+    return sorted((r["piece"], int(r["cnt"])) for r in rows)
+
+
+def unigram_train(
+    df: DataFrame, text_col: str = "text", iters: int = 2
+) -> tuple[list[str], dict, dict]:
+    """Hard-EM (Viterbi-EM) unigram-LM tokenizer training — the
+    SentencePiece-class trainer beside :func:`bpe_merge_table`:
+
+    1. seed: substring counts → initial probs p = cnt/total (exact
+       integer-ratio doubles);
+    2. each EM round: Viterbi-segment the distinct-word table under the
+       current model (E-step, hard assignment), count corpus-weighted
+       piece usage, refit p = (usage+1)/(total+|V|) (M-step,
+       Laplace-smoothed so every vocab piece stays usable and every
+       word stays segmentable).
+
+    The vocab is FIXED after seeding (a production trainer would also
+    prune the tail per round — same loop, one more filter).  Per round
+    exactly one vocab-bounded count table crosses the driver (the
+    k-means-centroid exchange discipline); all fact-scale work is the
+    one materialized word-frequency groupBy.  Returns (vocab, final
+    usage counts, final Laplace probs)."""
+    wf = _unigram_word_freq(df, text_col)
+    seed = _unigram_seed_rows(wf)
+    vocab = [p for p, _ in seed]
+    total = sum(c for _, c in seed)
+    probs = {p: c / total for p, c in seed}
+    nv = len(vocab)
+    cnts = {p: c for p, c in seed}
+    for _ in range(iters):
+        usage_rows = (
+            segment_words(wf, probs)
+            .select("f", F.explode("ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("f").alias("cnt"))
+            .collect()  # bounded: vocab-sized usage table
+        )
+        usage = {r["piece"]: int(r["cnt"]) for r in usage_rows}
+        cnts = {p: usage.get(p, 0) for p in vocab}
+        tot_u = sum(cnts.values())
+        probs = {p: (cnts[p] + 1) / (tot_u + nv) for p in vocab}
+    return vocab, cnts, probs
+
+
+def unigram_lm_table(df: DataFrame, text_col: str = "text", iters: int = 2) -> DataFrame:
+    """The train row: one row per vocab piece with final usage count and
+    Laplace prob, ranked (usage desc, piece asc)."""
+    spark = df.sparkSession
+    vocab, cnts, probs = unigram_train(df, text_col, iters)
+    ranked = sorted(vocab, key=lambda p: (-cnts[p], p))
+    rows = [
+        (r + 1, p, cnts[p], round(probs[p], 6)) for r, p in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, piece string, cnt bigint, prob double"
+    )
+
+
+def _unigram_viterbi_py(wd: str, probs: dict) -> list[str]:
+    """Python twin of the expression DP — EXACTLY the same IEEE double
+    products and the same (c3 >= c2 >= c1) longer-piece tie rule, so the
+    Arrow path is bit-identical to the expression path (pinned by
+    tests/test_llm_ops.py unigram parity tests)."""
+    n = len(wd)
+    s = [1.0] + [0.0] * n
+    b = [0] * (n + 1)
+    for i in range(1, n + 1):
+        c = []
+        for j in (1, 2, 3):
+            c.append(
+                s[i - j] * probs.get(wd[i - j : i], 0.0) if i >= j else -1.0
+            )
+        c1, c2, c3 = c
+        if c3 >= c2 and c3 >= c1:
+            s[i], b[i] = c3, 3
+        elif c2 >= c1:
+            s[i], b[i] = c2, 2
+        else:
+            s[i], b[i] = c1, 1
+    ps: list[str] = []
+    q = n
+    while q > 0:
+        j = b[q]
+        ps.append(wd[q - j : q])
+        q -= j
+    ps.reverse()
+    return ps
+
+
+def _unigram_enc_join(df: DataFrame, probs: dict, text_col: str) -> DataFrame:
+    """Expression-path encode: segment the DISTINCT kept-word table once
+    (bounded), broadcast-join it back onto the positional word stream,
+    re-assemble per-doc order.  One doc_id shuffle at fact scale — the
+    Arrow path below is the zero-shuffle production form; this form is
+    the oracle-exact pure-JVM twin."""
+    d = with_words(df, text_col).withColumn(
+        "kept", F.expr(f"filter(words, wd -> length(wd) <= {_UNI_MAX_WORD})")
+    )
+    wdf = d.select(F.explode("kept").alias("wd")).distinct()
+    seg = segment_words(wdf, probs).select(
+        "wd", F.array_join("ps", " ").alias("penc")
+    )
+    ex = d.select("doc_id", F.posexplode("kept").alias("pos", "wd")).join(
+        F.broadcast(seg), "wd"
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, penc))), x -> x.penc)"
+        ).alias("enc")
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("enc", F.expr("CAST(array() AS ARRAY<STRING>)")).alias("enc"),
+    )
+
+
+def _unigram_enc_arrow(df: DataFrame, probs: dict, text_col: str) -> DataFrame:
+    """Arrow-path encode for production vocabs: the probs dict rides the
+    serialized UDF closure to executors once (a 32k-piece model is
+    ~1 MB); each batch memoizes word → segmentation, so per-batch cost
+    scales with DISTINCT words per batch, not occurrences.  Zero
+    shuffle — the 100 TB path."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    model = dict(probs)
+
+    def _enc_series(words):
+        cache: dict = {}
+
+        def enc_word(w):
+            e = cache.get(w)
+            if e is None:
+                e = " ".join(_unigram_viterbi_py(w, model))
+                cache[w] = e
+            return e
+
+        return words.map(
+            lambda ws: [enc_word(w) for w in ws if len(w) <= _UNI_MAX_WORD]
+        )
+
+    _enc = F.pandas_udf(_enc_series, ArrayType(StringType()))
+    return with_words(df, text_col).select("doc_id", _enc("words").alias("enc"))
+
+
+def unigram_encode_stats(
+    df: DataFrame, probs: dict, text_col: str = "text"
+) -> DataFrame:
+    """ENCODE with a trained unigram-LM model — the apply half beside
+    :func:`unigram_lm_table` (train), auto-selecting the physical path
+    by vocab size exactly like ``bpe_encode_stats``: expression DP +
+    broadcast seg-join below ``_UNI_TRIE_MIN_VOCAB``, Arrow-batched
+    Python DP (bit-identical — see :func:`_unigram_viterbi_py`) at or
+    above it.  Per doc: piece count under the model, multi-char piece
+    count, char count over encodable words, and the md5-60 fingerprint
+    of the position-ordered encoded stream."""
+    if len(probs) >= _UNI_TRIE_MIN_VOCAB:
+        enc = _unigram_enc_arrow(df, probs, text_col)
+    else:
+        enc = _unigram_enc_join(df, probs, text_col)
+    return enc.select(
+        "doc_id",
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a + size(split(e, ' ')))"
+        ).alias("n_pieces"),
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a +"
+            " size(filter(split(e, ' '), t -> length(t) >= 2)))"
+        ).alias("n_multi_pieces"),
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a +"
+            " length(replace(e, ' ', '')))"
+        ).alias("n_chars"),
+        F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
+    )

@@ -3079,3 +3079,264 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr",
         )
     )
+
+
+# ------------------------------------------------- round-13 additions
+
+_UNI_W = text._UNI_MAX_WORD
+
+
+def _uni_duck_dp_parts(pfx: str, mref: str) -> list[str]:
+    """One Viterbi pass as a RECURSIVE-CTE pair ending in ``ud{pfx}(wd,
+    f, ps)``: the forward DP iterates positions as recursion steps
+    (carrying the last three scores + the growing backpointer list),
+    then the backtrack walks the pointers in a second recursion.
+
+    Why recursion and not unrolled lateral aliases: BOTH engines inline
+    column-alias references textually (measured: DuckDB 1.0 binds an
+    8-deep 3-reference alias chain in 3.7 s and hangs at 16 — the same
+    3^W blowup Catalyst has), so the linear forms are an aggregate-HOF
+    lambda on Spark and recursion here.  Different physical shapes, the
+    SAME arithmetic: candidate j scores ``(valid ? s[i-j] * p(piece) :
+    -1.0)`` on exact integer-ratio doubles with the shared
+    ``c3 >= c2 >= c1`` longer-piece tie CASE — no libm anywhere, so the
+    DP is bit-identical across Spark, DuckDB, and the Python Arrow twin
+    (no round6-boundary risk class)."""
+    sv = {1: "sc", 2: "sb", 3: "sa"}
+    c = {}
+    for j in (1, 2, 3):
+        lk = f"COALESCE((m[substr(wd, pos + 2 - {j}, {j})])[1], 0.0::DOUBLE)"
+        c[j] = (
+            f"(CASE WHEN pos + 1 >= {j} THEN {sv[j]} * {lk}"
+            f" ELSE -1.0::DOUBLE END)"
+        )
+    best_s = (
+        f"(CASE WHEN {c[3]} >= {c[2]} AND {c[3]} >= {c[1]} THEN {c[3]}"
+        f" WHEN {c[2]} >= {c[1]} THEN {c[2]} ELSE {c[1]} END)"
+    )
+    best_b = (
+        f"(CASE WHEN {c[3]} >= {c[2]} AND {c[3]} >= {c[1]} THEN 3"
+        f" WHEN {c[2]} >= {c[1]} THEN 2 ELSE 1 END)"
+    )
+    return [
+        f"dp{pfx} AS (SELECT wd, f, length(wd) AS n, 0 AS pos,"
+        f" -1.0::DOUBLE AS sa, -1.0::DOUBLE AS sb, 1.0::DOUBLE AS sc,"
+        f" CAST([] AS INT[]) AS bps FROM uwf"
+        f" UNION ALL SELECT wd, f, n, pos + 1, sb, sc, {best_s},"
+        f" bps || [{best_b}]"
+        f" FROM dp{pfx} CROSS JOIN {mref} WHERE pos < n)",
+        f"bt{pfx} AS (SELECT wd, f, bps, n AS q, CAST([] AS VARCHAR[]) AS ps"
+        f" FROM dp{pfx} WHERE pos = n"
+        f" UNION ALL SELECT wd, f, bps, q - (bps)[q],"
+        f" [substr(wd, q - (bps)[q] + 1, (bps)[q])] || ps"
+        f" FROM bt{pfx} WHERE q > 0)",
+        f"ud{pfx} AS MATERIALIZED (SELECT wd, f, ps FROM bt{pfx} WHERE q = 0)",
+    ]
+
+
+def _uni_base_parts(iters: int = 2) -> list[str]:
+    """Shared CTE chain of the unrolled DuckDB unigram-LM trainer — seed
+    vocab, then one (DP, usage-count, Laplace-refit) block per hard-EM
+    round.  Reused verbatim by the train row AND both encode rows so
+    the model the oracle applies is always the model it trained."""
+    parts = [
+        f"w AS ({_W})",
+        f"uwf AS MATERIALIZED (SELECT wd, CAST(COUNT(*) AS BIGINT) AS f FROM"
+        f" (SELECT unnest(words) AS wd FROM w)"
+        f" WHERE length(wd) <= {_UNI_W} GROUP BY wd)",
+        "uss AS (SELECT f, unnest("
+        " list_transform(range(1, length(wd) + 1), i -> substr(wd, CAST(i AS INT), 1))"
+        " || list_transform(range(1, length(wd)), i -> substr(wd, CAST(i AS INT), 2))"
+        " || list_transform(range(1, length(wd) - 1), i -> substr(wd, CAST(i AS INT), 3))"
+        ") AS piece FROM uwf)",
+        "uscnt AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM uss GROUP BY piece)",
+        f"uvoc AS MATERIALIZED (SELECT piece, cnt FROM uscnt WHERE length(piece) = 1"
+        f" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM uscnt"
+        f" WHERE length(piece) >= 2 AND cnt >= {text._UNI_SEED_MIN_CNT}"
+        f" ORDER BY cnt DESC, piece LIMIT {text._UNI_SEED_CAP}))",
+        "ut0 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total,"
+        " CAST(COUNT(*) AS BIGINT) AS nv FROM uvoc)",
+        "um0 AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),"
+        " list(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM ut0) AS DOUBLE)"
+        " ORDER BY piece)) AS m FROM uvoc)",
+    ]
+    for r in range(1, iters + 1):
+        parts.extend(_uni_duck_dp_parts(str(r), f"um{r - 1}"))
+        parts.append(
+            f"uu{r} AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM"
+            f" (SELECT f, unnest(ps) AS piece FROM ud{r}) GROUP BY piece)"
+        )
+        parts.append(
+            f"uc{r} AS MATERIALIZED (SELECT v.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT)"
+            f" AS cnt FROM uvoc v LEFT JOIN uu{r} u USING (piece))"
+        )
+        parts.append(
+            f"ut{r} AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total,"
+            f" CAST(COUNT(*) AS BIGINT) AS nv FROM uc{r})"
+        )
+        parts.append(
+            f"um{r} AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),"
+            f" list(CAST(cnt + 1 AS DOUBLE) /"
+            f" CAST((SELECT total FROM ut{r}) + (SELECT nv FROM ut{r}) AS DOUBLE)"
+            f" ORDER BY piece)) AS m FROM uc{r})"
+        )
+    return parts
+
+
+def _uni_train_sql(iters: int = 2) -> str:
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(_uni_base_parts(iters))
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+       piece, cnt,
+       ROUND(CAST(cnt + 1 AS DOUBLE) /
+             CAST((SELECT total FROM ut{iters}) + (SELECT nv FROM ut{iters}) AS DOUBLE),
+             6) AS prob
+    FROM uc{iters}
+    """
+    )
+
+
+def _uni_encode_sql(iters: int = 2) -> str:
+    fin = iters + 1  # one more DP pass applying the FINAL model
+    parts = _uni_base_parts(iters)
+    parts.extend(_uni_duck_dp_parts(str(fin), f"um{iters}"))
+    parts.append(
+        f"useg AS MATERIALIZED (SELECT wd, array_to_string(ps, ' ') AS penc,"
+        f" CAST(len(ps) AS BIGINT) AS np,"
+        f" CAST(len(list_filter(ps, t -> length(t) >= 2)) AS BIGINT) AS nm"
+        f" FROM ud{fin})"
+    )
+    parts.append(
+        "ums AS MATERIALIZED (SELECT map(list(wd ORDER BY wd), list(penc ORDER BY wd)) AS me,"
+        " map(list(wd ORDER BY wd), list(np ORDER BY wd)) AS mp,"
+        " map(list(wd ORDER BY wd), list(nm ORDER BY wd)) AS mm FROM useg)"
+    )
+    parts.append(
+        f"uenc AS (SELECT doc_id,"
+        f" list_filter(words, x -> length(x) <= {_UNI_W}) AS kept FROM w)"
+    )
+    stream = "array_to_string(list_transform(kept, x -> (me[x])[1]), '|')"
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> (mp[x])[1])), 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> (mm[x])[1])), 0) AS BIGINT) AS n_multi_pieces,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> length(x))), 0) AS BIGINT) AS n_chars,
+       {TH.duck_hash60(stream)} AS stream_hash
+    FROM uenc CROSS JOIN ums
+    """
+    )
+
+
+@register(
+    "text_unigram_lm_train",
+    oracle=_uni_train_sql(2),
+    doc="EXT unigram-LM (SentencePiece-class) tokenizer TRAINING (r12 "
+    "verdict task 4), completing the tokenizer-training family beside "
+    "BPE: seed vocab = every character + top-96 substrings (len 2-3, "
+    "count >= 2, deterministic tiebreak), then 2 hard-EM rounds — "
+    "Viterbi-segment the corpus under the current model, count "
+    "corpus-weighted piece usage, refit Laplace-smoothed probs. The "
+    "DP runs in PRODUCT space on exact integer-ratio doubles (no "
+    "ln/exp — unlike the logreg/PCA rows there is NO libm boundary "
+    "risk; both engines do identical IEEE multiplies in identical "
+    "order), ties prefer the longer piece. Physical shape: all "
+    "fact-scale work is one materialized word-frequency groupBy; the "
+    "DP runs distributed over the DISTINCT-word table (vocabulary-"
+    "bounded) as a constant-size aggregate-HOF lambda (the oracle's "
+    "linear form is a recursive CTE over positions — unrolled alias "
+    "chains blow up 3^W under inlining on both engines, measured); "
+    "per EM round exactly one vocab-bounded usage table crosses the "
+    "driver (k-means-centroid discipline)",
+)
+def q_text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_lm_table(_docs(spark, sf_dir), iters=2)
+
+
+@register(
+    "text_unigram_lm_encode",
+    oracle=_uni_encode_sql(2),
+    doc="EXT unigram-LM ENCODE — the apply half: Viterbi-segment every "
+    "doc under the model text_unigram_lm_train produced (the oracle "
+    "re-derives train + apply in one unrolled CTE chain so they can "
+    "never drift). Expression path (vocab < 512): the distinct "
+    "kept-word table is segmented once by the aggregate-HOF DP and "
+    "broadcast-joined back onto the positional word stream — one "
+    "doc_id shuffle; per doc: piece count, multi-char piece count, "
+    "char count, md5-60 fingerprint of the position-ordered stream. "
+    "Bit-identical to the Arrow path (pinned by unigram parity tests "
+    "+ the bigvocab driver row)",
+)
+def q_text_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    _, _, probs = text.unigram_train(docs, iters=2)
+    return text.unigram_encode_stats(docs, probs)
+
+
+@register(
+    "text_unigram_lm_encode_bigvocab",
+    oracle=_uni_encode_sql(2),
+    doc="EXT unigram-LM ENCODE at production vocab size — the same "
+    "trained model padded past the _UNI_TRIE_MIN_VOCAB gate with "
+    "PROVABLY inert pieces (uppercase 'Q{i}': normalized words are "
+    "lower()ed [a-z0-9], so no substring can ever equal them — the "
+    "r12-ADVICE inertness standard, not data-dependent), forcing "
+    "unigram_encode_stats onto the Arrow path: the probs dict rides "
+    "the UDF closure to executors once, each batch memoizes word -> "
+    "segmentation (cost scales with distinct words per batch, not "
+    "occurrences), zero shuffle — the 100 TB serving form. Because "
+    "the pad never matches, the unrolled train+apply oracle remains "
+    "exact, so the Python DP's bit-parity with the expression DP is "
+    "hash-checked cross-engine every driver round",
+)
+def q_text_unigram_lm_encode_bigvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    _, _, probs = text.unigram_train(docs, iters=2)
+    assert not any(c.isupper() for p in probs for c in p), (
+        "trained vocab contains uppercase — pad inertness proof void"
+    )
+    pad = {f"Q{i}": 1e-9 for i in range(text._UNI_TRIE_MIN_VOCAB)}
+    return text.unigram_encode_stats(docs, {**probs, **pad})
+
+
+@register(
+    "similarity_corpus_join_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    a AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS neighbor_id, embedding AS nvec, norm AS nnorm,
+            bucket FROM e WHERE vec_id % 2 = 1),
+    c AS (SELECT a.query_id, b.neighbor_id, a.bucket,
+            {TH.duck_dot('a.qvec', 'b.nvec')} / (a.qnorm * b.nnorm) AS cos_raw
+          FROM a JOIN b USING (bucket)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rn FROM c)
+    SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT TWO-SIDED corpus×corpus ANN join (r12 verdict task 5) — "
+    "dataset alignment / cross-corpus retrieval, the one ANN shape the "
+    "registry lacked (everything else is query-set-vs-index with a "
+    "broadcast side): both corpora (even/odd vec_id halves) bucketed "
+    "by the SHARED 6-hyperplane sign-LSH, bucket equality SHUFFLE join "
+    "(both sides fact-scale — no broadcast, no cartesian; plan-pinned "
+    "by test_corpus_join_is_shuffle_equijoin), per-query top-3 within "
+    "the joined candidates. At 100 TB 2^n_planes is the skew knob — "
+    "more planes until the hottest bucket fits a reducer, the SemDeDup "
+    "cluster-equijoin discipline applied to retrieval",
+)
+def q_similarity_corpus_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_corpus_join_topk(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=3,
+    )

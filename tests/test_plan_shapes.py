@@ -439,3 +439,28 @@ def test_weighted_median_bisect_windows_are_group_partitioned(spark):
     plan = plan_of(spark, "lineitem_weighted_median_partkey")
     assert "AggregateInPandas" not in plan  # no per-group Arrow batches
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_join_is_shuffle_equijoin(spark):
+    """similarity_corpus_join_ann: BOTH sides are fact-scale, so the
+    bucket join must be an EQUI-join with extractable keys — never a
+    cartesian/BNLJ (all-pairs).  At sf0.001 Catalyst auto-broadcasts
+    the tiny side (legal and adaptive); with auto-broadcast disabled
+    (how the planner sees two at-scale corpora) the SAME plan must
+    degrade to a shuffle equi-join, proving no all-pairs fallback
+    lurks.  The within-bucket top-k is the only window, by query."""
+    plan = plan_of(spark, "similarity_corpus_join_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        at_scale = plan_of(spark, "similarity_corpus_join_ann")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in at_scale
+    assert "BroadcastNestedLoopJoin" not in at_scale
+    assert "BroadcastHashJoin" not in at_scale
+    assert ("SortMergeJoin" in at_scale) or ("ShuffledHashJoin" in at_scale)

@@ -1,0 +1,125 @@
+"""Round-13 operator tests: unigram-LM tokenizer family."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.operators import text
+
+
+def _seg_spark(spark, cases, probs):
+    """Expression-DP segmentation of many words in ONE job."""
+    wdf = spark.createDataFrame([(w,) for w in cases], "wd string")
+    rows = text.segment_words(wdf, probs).collect()
+    return {r["wd"]: list(r["ps"]) for r in rows}
+
+
+def test_unigram_viterbi_expression_matches_python_twin(spark):
+    """The aggregate-HOF DP and the Arrow path's Python DP must agree
+    EXACTLY (pieces, not just counts) over a seeded random sweep of
+    words and models — the cross-path parity the bigvocab driver row
+    hash-checks end-to-end."""
+    rng = random.Random(0x13A)
+    alphabet = "abcde"
+    # random vocab: all single chars + random 2/3-grams, integer-ratio probs
+    pieces = list(alphabet)
+    for _ in range(12):
+        n = rng.choice((2, 3))
+        pieces.append("".join(rng.choice(alphabet) for _ in range(n)))
+    pieces = sorted(set(pieces))
+    weights = {p: rng.randint(1, 9) for p in pieces}
+    total = sum(weights.values())
+    probs = {p: w / total for p, w in weights.items()}
+
+    words = list(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, text._UNI_MAX_WORD)))
+            for _ in range(60)
+        }
+    )
+    got = _seg_spark(spark, words, probs)
+    for w in words:
+        assert got[w] == text._unigram_viterbi_py(w, probs), w
+        assert "".join(got[w]) == w  # segmentation covers the word exactly
+
+
+def test_unigram_viterbi_tie_prefers_longer_piece(spark):
+    """Engineered exact tie: p(ab) == p(a)*p(b) — the shared
+    c3 >= c2 >= c1 CASE order must pick the LONGER piece on both the
+    expression path and the Python twin."""
+    probs = {"a": 0.25, "b": 0.25, "ab": 0.0625, "c": 0.5}
+    assert text._unigram_viterbi_py("ab", probs) == ["ab"]
+    assert _seg_spark(spark, ["ab"], probs)["ab"] == ["ab"]
+    # and the greedy-looking trap: 'abc' where ab+c beats a+b+c anyway
+    assert text._unigram_viterbi_py("abc", probs) == ["ab", "c"]
+
+
+def test_unigram_encode_paths_bit_identical(spark, sf_dir):
+    """Expression/join path vs Arrow path over real docs: identical
+    stats AND stream hashes (the _UNI_TRIE_MIN_VOCAB auto-select must
+    be invisible in the output)."""
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, probs = text.unigram_train(docs, iters=2)
+    a = sorted(map(tuple, text.unigram_encode_stats(docs, probs).collect()))
+    pad = {f"Q{i}": 1e-9 for i in range(text._UNI_TRIE_MIN_VOCAB)}
+    b = sorted(
+        map(tuple, text.unigram_encode_stats(docs, {**probs, **pad}).collect())
+    )
+    assert a == b
+
+
+def test_unigram_encode_empty_and_long_word_edges(spark):
+    """Empty docs emit zero counts + the hash of ''; words over the
+    length cap are excluded from every stat on both physical paths."""
+    long_word = "x" * (text._UNI_MAX_WORD + 1)
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (1, ""), (2, f"aa {long_word}")],
+        "doc_id long, text string",
+    )
+    probs = {"a": 0.3, "b": 0.2, "aa": 0.25, "bb": 0.25}
+    for model in (probs, {**probs, **{f"Q{i}": 1e-9 for i in range(text._UNI_TRIE_MIN_VOCAB)}}):
+        rows = {
+            r["doc_id"]: r
+            for r in text.unigram_encode_stats(docs, model).collect()
+        }
+        assert rows[0].n_pieces == 2  # ['aa', 'bb']
+        assert rows[0].n_multi_pieces == 2
+        assert rows[0].n_chars == 4
+        assert rows[1].n_pieces == 0
+        assert rows[1].n_chars == 0
+        # doc 2: the 17-char word is dropped, only 'aa' encodes
+        assert rows[2].n_pieces == 1
+        assert rows[2].n_chars == 2
+        # empty stream hash == hash of '' (not NULL)
+        assert rows[1].stream_hash is not None
+
+
+def test_unigram_train_model_shape(spark, sf_dir):
+    """Vocab always contains every corpus character (segmentability
+    invariant), probs are a Laplace distribution over the fixed vocab
+    (sum == (total+|V|-adjusted) 1), ranks are dense from 1."""
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, cnts, probs = text.unigram_train(docs, iters=2)
+    chars = {
+        c
+        for (w,) in docs.select(
+            F.explode(F.expr(text.TH.spark_norm_words("text")))
+        ).collect()
+        for c in w
+        if len(w) <= text._UNI_MAX_WORD
+    }
+    assert chars <= set(vocab)
+    assert set(cnts) == set(vocab) == set(probs)
+    assert all(p > 0 for p in probs.values())
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+    tbl = text.unigram_lm_table(docs, iters=2).collect()
+    assert [r["rank"] for r in tbl] == list(range(1, len(vocab) + 1))
+    # ranked by (cnt desc, piece asc)
+    key = [(-r["cnt"], r["piece"]) for r in tbl]
+    assert key == sorted(key)
