@@ -815,21 +815,29 @@ def unigram_train(
     vocab = [p for p, _ in seed]
     total = sum(c for _, c in seed)
     probs = {p: c / total for p, c in seed}
-    nv = len(vocab)
     cnts = {p: c for p, c in seed}
     for _ in range(iters):
-        usage_rows = (
-            segment_words(wf, probs)
-            .select("f", F.explode("ps").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("f").alias("cnt"))
-            .collect()  # bounded: vocab-sized usage table
-        )
-        usage = {r["piece"]: int(r["cnt"]) for r in usage_rows}
-        cnts = {p: usage.get(p, 0) for p in vocab}
-        tot_u = sum(cnts.values())
-        probs = {p: (cnts[p] + 1) / (tot_u + nv) for p in vocab}
+        cnts, probs = _unigram_em_step(wf, vocab, probs)
     return vocab, cnts, probs
+
+
+def _unigram_em_step(
+    wf: DataFrame, vocab: list[str], probs: dict
+) -> tuple[dict, dict]:
+    """One hard-EM step over a FIXED vocab: Viterbi usage counts under
+    ``probs`` (one bounded driver exchange), Laplace-refit probs."""
+    usage_rows = (
+        segment_words(wf, probs)
+        .select("f", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+        .collect()  # bounded: vocab-sized usage table
+    )
+    usage = {r["piece"]: int(r["cnt"]) for r in usage_rows}
+    cnts = {p: usage.get(p, 0) for p in vocab}
+    tot_u = sum(cnts.values())
+    nv = len(vocab)
+    return cnts, {p: (cnts[p] + 1) / (tot_u + nv) for p in vocab}
 
 
 def unigram_lm_table(df: DataFrame, text_col: str = "text", iters: int = 2) -> DataFrame:
@@ -961,4 +969,55 @@ def unigram_encode_stats(
             " length(replace(e, ' ', '')))"
         ).alias("n_chars"),
         F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
+    )
+
+
+#: pruning keeps every character (segmentability invariant) + this many
+#: multi-char pieces by round-2 usage (the SentencePiece prune knob)
+_UNI_PRUNE_KEEP_MULTI = 48
+
+
+def unigram_prune_table(
+    df: DataFrame, text_col: str = "text", iters: int = 2,
+    keep_multi: int = _UNI_PRUNE_KEEP_MULTI,
+) -> DataFrame:
+    """The PRUNE-AND-REFIT step a real SentencePiece trainer alternates
+    with EM: after ``iters`` hard-EM rounds, keep every character (the
+    segmentability invariant) plus the top ``keep_multi`` multi-char
+    pieces by usage (count desc, piece asc), Laplace-refit over the
+    SHRUNK vocab, run one more Viterbi E-step under the pruned model —
+    pieces that lose their high-probability parent redistribute onto
+    survivors, which is exactly what pruning is for — and report the
+    pruned model's final usage + probs, ranked.
+
+    Same physical discipline as :func:`unigram_train`: the prune
+    selection and refit happen on the (driver-side, vocab-bounded)
+    count table; the E-step is the distributed DP over the distinct-
+    word frame.
+    """
+    spark = df.sparkSession
+    wf = _unigram_word_freq(df, text_col)
+    seed = _unigram_seed_rows(wf)
+    vocab = [p for p, _ in seed]
+    total = sum(c for _, c in seed)
+    probs = {p: c / total for p, c in seed}
+    cnts = dict(seed)
+    for _ in range(iters):
+        cnts, probs = _unigram_em_step(wf, vocab, probs)
+    chars = [p for p in vocab if len(p) == 1]
+    multi = sorted(
+        ((p, cnts[p]) for p in vocab if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:keep_multi]
+    pvocab = chars + [p for p, _ in multi]
+    tot_p = sum(cnts[p] for p in pvocab)
+    nv_p = len(pvocab)
+    pprobs = {p: (cnts[p] + 1) / (tot_p + nv_p) for p in pvocab}
+    fcnts, fprobs = _unigram_em_step(wf, pvocab, pprobs)
+    ranked = sorted(pvocab, key=lambda p: (-fcnts[p], p))
+    rows = [
+        (r + 1, p, fcnts[p], round(fprobs[p], 6)) for r, p in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, piece string, cnt bigint, prob double"
     )

@@ -3340,3 +3340,76 @@ def q_similarity_corpus_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         k=3,
     )
+
+
+def _uni_prune_sql(iters: int = 2, keep_multi: int = 48) -> str:
+    """Prune-and-refit oracle: the shared train chain, then keep chars +
+    top-``keep_multi`` multi-char pieces by round-``iters`` usage,
+    Laplace-refit over the shrunk vocab, one more Viterbi E-step, and
+    the final ranked model table — SQL mirror of
+    ``text.unigram_prune_table``."""
+    last = f"uc{iters}"
+    parts = _uni_base_parts(iters)
+    parts.append(
+        f"pvoc AS MATERIALIZED (SELECT piece, cnt FROM {last}"
+        f" WHERE length(piece) = 1"
+        f" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM {last}"
+        f" WHERE length(piece) >= 2 ORDER BY cnt DESC, piece"
+        f" LIMIT {keep_multi}))"
+    )
+    parts.append(
+        "ptp AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total,"
+        " CAST(COUNT(*) AS BIGINT) AS nv FROM pvoc)"
+    )
+    parts.append(
+        "ump AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),"
+        " list(CAST(cnt + 1 AS DOUBLE) /"
+        " CAST((SELECT total FROM ptp) + (SELECT nv FROM ptp) AS DOUBLE)"
+        " ORDER BY piece)) AS m FROM pvoc)"
+    )
+    parts.extend(_uni_duck_dp_parts("p", "ump"))
+    parts.append(
+        "uup AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM"
+        " (SELECT f, unnest(ps) AS piece FROM udp) GROUP BY piece)"
+    )
+    parts.append(
+        "ucp AS MATERIALIZED (SELECT v.piece,"
+        " CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt"
+        " FROM pvoc v LEFT JOIN uup u USING (piece))"
+    )
+    parts.append(
+        "utp AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total,"
+        " CAST(COUNT(*) AS BIGINT) AS nv FROM ucp)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+       piece, cnt,
+       ROUND(CAST(cnt + 1 AS DOUBLE) /
+             CAST((SELECT total FROM utp) + (SELECT nv FROM utp) AS DOUBLE),
+             6) AS prob
+    FROM ucp
+    """
+    )
+
+
+@register(
+    "text_unigram_lm_prune",
+    oracle=_uni_prune_sql(2, 48),
+    doc="EXT unigram-LM vocab PRUNE-AND-REFIT (r13) — the step a real "
+    "SentencePiece trainer alternates with EM, completing the "
+    "train/prune/encode lifecycle: after the 2 hard-EM rounds keep "
+    "every character (segmentability invariant) + the top-48 "
+    "multi-char pieces by usage (count desc, piece asc), "
+    "Laplace-refit over the SHRUNK vocab, one more distributed "
+    "Viterbi E-step (usage redistributes from pruned pieces onto "
+    "survivors — what pruning is for), report the pruned model "
+    "ranked. The oracle extends the shared recursive-CTE train chain "
+    "with the prune + refit + a third DP pass, so prune can never "
+    "drift from train; same product-space no-libm determinism, same "
+    "one-vocab-bounded-exchange-per-step discipline",
+)
+def q_text_unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_prune_table(_docs(spark, sf_dir), iters=2, keep_multi=48)

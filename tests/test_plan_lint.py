@@ -49,6 +49,11 @@ ARROW_PYTHON_OK = {
     # test_llm_ops::test_bpe_encode_stats_auto_selects_trie_at_gate pins
     # both plan shapes)
     "text_bpe_encode_bigvocab",
+    # round-13: same story for the unigram-LM production-vocab encoder —
+    # the row exists to drive the >=512-vocab Arrow DP against the
+    # recursive-CTE oracle (the <512 expression/join form is Python-free;
+    # test_round13_ops pins the two paths bit-identical)
+    "text_unigram_lm_encode_bigvocab",
 }
 
 # r9: the grouped-agg pandas UDAF class (AggregateInPandas) — allowed

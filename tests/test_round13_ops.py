@@ -123,3 +123,21 @@ def test_unigram_train_model_shape(spark, sf_dir):
     # ranked by (cnt desc, piece asc)
     key = [(-r["cnt"], r["piece"]) for r in tbl]
     assert key == sorted(key)
+
+
+def test_unigram_prune_keeps_chars_and_caps_multi(spark, sf_dir):
+    """Pruning must never drop a character (segmentability), must cap
+    multi-char pieces at keep_multi, and the reported probs must be a
+    proper Laplace distribution over the pruned vocab."""
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["piece"] for r in text.unigram_lm_table(docs, iters=2).collect()}
+    pruned = text.unigram_prune_table(docs, iters=2, keep_multi=5).collect()
+    pieces = [r["piece"] for r in pruned]
+    chars_full = {p for p in full if len(p) == 1}
+    assert {p for p in pieces if len(p) == 1} == chars_full
+    assert sum(1 for p in pieces if len(p) >= 2) <= 5
+    assert set(pieces) <= full
+    assert [r["rank"] for r in pruned] == list(range(1, len(pieces) + 1))
+    assert all(r["prob"] > 0 for r in pruned)
