@@ -317,7 +317,17 @@ def test_streaming_soak_midrun_crash_restart_equals_no_crash(
                 q.stop()
                 q.awaitTermination()  # release the checkpoint before the
                 # truncation + restart (stop() returns async)
-                commits = sorted(glob.glob(f"{ckpt_b}/commits/[0-9]*"))
+                # NUMERIC sort: batch ids pass 9 mid-soak and a string
+                # sort picks '9' over '10' — truncating a stale commit
+                # is a silent no-op (Spark's latest-batch scan still
+                # sees the newer commit), so the kill would not force a
+                # replay at all (r13 fix; found via the RocksDB twin,
+                # where the same off-by-sort DELETED a changelog that
+                # later commits still needed)
+                commits = sorted(
+                    glob.glob(f"{ckpt_b}/commits/[0-9]*"),
+                    key=lambda p: int(os.path.basename(p)),
+                )
                 if commits:  # crash before the commit record landed:
                     os.remove(commits[-1])  # the batch WILL replay
                     crc = (  # the local ChecksumFs sidecar must go too,
@@ -460,7 +470,18 @@ def test_streaming_soak_crash_restart_rocksdb_changelog(
                 q.processAllAvailable()
                 q.stop()
                 q.awaitTermination()
-                commits = sorted(glob.glob(f"{ckpt_b}/commits/[0-9]*"))
+                # NUMERIC sort — see the default-provider matrix above:
+                # a string sort picks commit '9' once ids reach 10, and
+                # here that is not just a weaker kill but a corruption:
+                # ver would resolve to 10 and the cut below would delete
+                # a changelog that commits 10+ still rely on (recovery
+                # then dies with FileNotFoundException unless an async
+                # RocksDB snapshot happens to cover it — the flake that
+                # exposed this)
+                commits = sorted(
+                    glob.glob(f"{ckpt_b}/commits/[0-9]*"),
+                    key=lambda p: int(os.path.basename(p)),
+                )
                 if commits:
                     batch_id = os.path.basename(commits[-1])
                     os.remove(commits[-1])
