@@ -55,7 +55,11 @@ def main() -> None:
     calib_ratio = run.get("calib_ratio_vs_baseline") or 1.0
     stream_ratio = run.get("stream_calib_ratio_vs_baseline") or calib_ratio
     par_ratio = run.get("par_calib_ratio_vs_baseline") or calib_ratio
-    at_parity = par_ratio <= PARITY_MAX_RATIO
+    # parity requires BOTH the parallel probe and the run's own median
+    # per-query ratio near 1 — the median is the workload-faithful
+    # signal (ALU probes are blind to memory-bandwidth contention)
+    median_ratio = run.get("run_median_ratio_vs_baseline") or par_ratio
+    at_parity = max(par_ratio, median_ratio) <= PARITY_MAX_RATIO
     merged = dict(base["queries"])
     lowered = backfilled = held = 0
     for name, t in run["queries"].items():
@@ -63,7 +67,14 @@ def main() -> None:
             continue  # failed row: never pollute the baseline
         ratio = stream_ratio if name.startswith("streaming_") else calib_ratio
         if name not in merged:
-            merged[name] = round(t / min(ratio, MAX_BACKFILL_RATIO), 3)
+            # back-fill normalizes by the strongest host-slowness signal
+            # (clamped): a new row first recorded on a contended host
+            # must not bake that window's slowness into its baseline
+            back_ratio = (
+                ratio if name.startswith("streaming_")
+                else max(ratio, median_ratio)
+            )
+            merged[name] = round(t / min(back_ratio, MAX_BACKFILL_RATIO), 3)
             backfilled += 1
             continue
         norm = round(t / ratio, 3)
