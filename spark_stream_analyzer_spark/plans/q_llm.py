@@ -3413,3 +3413,52 @@ def _uni_prune_sql(iters: int = 2, keep_multi: int = 48) -> str:
 )
 def q_text_unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_prune_table(_docs(spark, sf_dir), iters=2, keep_multi=48)
+
+
+_PLANES8 = TH.hyperplanes(8)
+_DUCK_BUCKET8 = " + ".join(
+    f"(CASE WHEN {TH.duck_dot_lit('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES8)
+)
+
+
+@register(
+    "similarity_corpus_join_ann_fine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_BUCKET8} AS bucket,
+                 sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+               FROM embeddings),
+    a AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS neighbor_id, embedding AS nvec, norm AS nnorm,
+            bucket FROM e WHERE vec_id % 2 = 1),
+    c AS (SELECT a.query_id, b.neighbor_id, a.bucket,
+            {TH.duck_dot('a.qvec', 'b.nvec')} / (a.qnorm * b.nnorm) AS cos_raw
+          FROM a JOIN b USING (bucket)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rn FROM c)
+    SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT two-sided corpus ANN join at the SCALED bucket setting "
+    "(r13): the same cross-corpus retrieval as "
+    "similarity_corpus_join_ann but at n_planes=8 (256 buckets) — the "
+    "knob the 100x probe showed must scale with corpus size "
+    "(SCALING.md r13: 64→8192 buckets collapsed the per-bucket "
+    "quadratic 29x). This row oracle-checks the knob itself "
+    "cross-engine: a DIFFERENT deterministic hyperplane matrix "
+    "(hyperplanes(8) — the first 6 rows differ from hyperplanes(6)'s "
+    "only in count, but all 8 sign-bits and the 256-bucket key "
+    "derivation are exercised fresh), finer candidate sets, and the "
+    "recall trade arriving as fewer result rows where a query's "
+    "bucket holds <k candidates — never a silent cap",
+)
+def q_similarity_corpus_join_ann_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_corpus_join_topk(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=3,
+        n_planes=8,
+    )
