@@ -3442,3 +3442,82 @@ def trigger_latency_quantiles(progresses) -> tuple[float, float, list[int]]:
         return float(lat[min(len(lat) - 1, max(0, math.ceil(f * len(lat)) - 1))])
 
     return _q(0.50), _q(0.95), lat
+
+
+def _bpe_encode_sql_batch_twin() -> str:
+    """The batch BPE-encode oracle, verbatim — imported lazily so the
+    plan modules keep their one-way load order (q_llm never imports
+    q_streaming; the registry loader imports both)."""
+    from spark_stream_analyzer_spark.plans.q_llm import _bpe_encode_sql
+
+    return _bpe_encode_sql(3)
+
+
+@register(
+    "streaming_tokenize_docs",
+    doc="EXT tokenizer SERVING in-stream, LIVE (r13) — the train-batch / "
+    "apply-stream shape every production data pipeline runs: the BPE "
+    "merge table is trained in batch (text_bpe_merge_table's exact "
+    "loop — one argmax row per round crosses the driver), then applied "
+    "INSIDE Structured Streaming to a replayed document stream as the "
+    "pure-expression replace chain (zero Python, zero state, append "
+    "mode — tokenization is stateless projection, so the streaming "
+    "plan is the batch plan under a micro-batch source). The oracle is "
+    "the BATCH encode twin's SQL verbatim: the row proves stream-served "
+    "tokenization is byte-identical (per-doc token counts AND the "
+    "md5-60 stream fingerprint) to the batch pipeline that trained the "
+    "model — the parity a lakehouse team needs before they can mix "
+    "batch-tokenized and stream-tokenized shards in one corpus",
+    oracle=_bpe_encode_sql_batch_twin(),
+)
+def q_streaming_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import text as _text
+    from spark_stream_analyzer_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    merges = [
+        p for _, p, _ in _text.bpe_train_merges(docs, rounds=3)
+    ]  # bounded: one argmax row per training round (the k-means exchange)
+
+    workdir = tempfile.mkdtemp(prefix="ssa_tok_")
+    # bounded: the documents table is fixture-scale at test SFs; writing
+    # replay files is harness work, not an engine path (at production
+    # scale the stream IS the source — nothing is collected)
+    rows = docs.select("doc_id", "text").collect()
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.doc_id % 4],
+        fmt=lambda r: f"{r.doc_id}\t" + (r.text or "").replace("\t", " ").replace("\n", " "),
+    )
+    parts = F.split("value", "\t", 2)
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].cast("long").alias("doc_id"), parts[1].alias("text")
+    )
+    encoded = _text.bpe_encode_stats(parsed, merges)
+    name = f"tok_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            encoded.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).collect()  # bounded: one row per doc
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        out,
+        "doc_id long, n_tokens long, n_merged_tokens long,"
+        " n_chars long, stream_hash long",
+    )
