@@ -141,3 +141,44 @@ def test_unigram_prune_keeps_chars_and_caps_multi(spark, sf_dir):
     assert set(pieces) <= full
     assert [r["rank"] for r in pruned] == list(range(1, len(pieces) + 1))
     assert all(r["prob"] > 0 for r in pruned)
+
+
+def test_unigram_viterbi_is_globally_optimal():
+    """OPTIMALITY, not just parity: for every word short enough to
+    enumerate exhaustively, the DP's product score must equal the max
+    over ALL segmentations into pieces of length 1-3 (out-of-vocab
+    pieces score 0), under several random models."""
+    rng = random.Random(0xD9)
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for j in (1, 2, 3):
+            if len(w) >= j:
+                for rest in all_segs(w[j:]):
+                    yield [w[:j]] + rest
+
+    def score(seg, probs):
+        s = 1.0
+        for p in seg:
+            s *= probs.get(p, 0.0)
+        return s
+
+    alphabet = "abc"
+    for _ in range(5):
+        pieces = sorted(
+            set(alphabet)
+            | {
+                "".join(rng.choice(alphabet) for _ in range(rng.choice((2, 3))))
+                for _ in range(6)
+            }
+        )
+        w8 = {p: rng.randint(1, 9) for p in pieces}
+        total = sum(w8.values())
+        probs = {p: c / total for p, c in w8.items()}
+        for _ in range(20):
+            word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            got = text._unigram_viterbi_py(word, probs)
+            best = max(score(s, probs) for s in all_segs(word))
+            assert score(got, probs) == best, (word, got, best)
