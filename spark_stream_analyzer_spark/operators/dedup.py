@@ -1103,3 +1103,72 @@ def semdedup_keep_list(
             F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def cross_corpus_lsh_pairs(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.02,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """TWO-SIDED MinHash-LSH near-dup JOIN (r13) — the text twin of the
+    embedding corpus×corpus ANN join: for two distinct corpora (a new
+    crawl snapshot vs the existing corpus, a train set vs a benchmark
+    dump), every (a, b) pair sharing at least one LSH band bucket,
+    exact-Jaccard verified.  This is the cross-snapshot contamination /
+    ingest-vs-corpus shape :func:`lsh_duplicate_pairs` (within-corpus,
+    ``doc_a < doc_b``) and :func:`incremental index <index_minhash_bands>`
+    (tiny-batch-vs-index) both do not cover: BOTH sides fact-scale, so
+    the candidate join is a plain (band_idx, band_key) equality SHUFFLE
+    join — never a broadcast of a corpus, never all-pairs.
+
+    Scale notes: signatures are computed per side (at 100 TB the two
+    corpora are different tables — one scan each, map-only); the
+    within-bucket cost is |A_bucket|·|B_bucket| — the hot-band audit
+    (:func:`lsh_hot_band_stats` over each side) names degenerate
+    buckets, and the production guards are the same knobs the
+    within-corpus row pins: more bands/rows, or star-reduction of
+    audited hot buckets before the join.  No ``doc_a < doc_b``
+    constraint applies across corpora; ids may even collide (the pair
+    is (corpus-A id, corpus-B id), not an unordered set).
+    """
+    def _bands(df: DataFrame, out: str, sh_out: str):
+        sig = minhash_signatures(df, text_col, shingle_k).select(
+            F.col("doc_id").alias(out),
+            F.col("sh").alias(sh_out),
+            *[f"band{b}" for b in range(TH.LSH_BANDS)],
+        )
+        bands = sig.select(
+            out,
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bk"))
+                    for b in range(TH.LSH_BANDS)
+                ])
+            ).alias("band"),
+        ).select(out, "band.bi", "band.bk")
+        return sig.select(out, sh_out), bands
+
+    sig_a, bands_a = _bands(docs_a, "doc_a", "sh_a")
+    sig_b, bands_b = _bands(docs_b, "doc_b", "sh_b")
+    cand = (
+        bands_a.join(bands_b, ["bi", "bk"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_shared"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -3462,3 +3462,48 @@ def q_similarity_corpus_join_ann_fine(spark: SparkSession, sf_dir: str) -> DataF
         k=3,
         n_planes=8,
     )
+
+
+@register(
+    "dedup_cross_corpus_pairs",
+    oracle=f"""
+    WITH w AS ({_W}), s AS ({_S}), hs AS ({_HS}),
+    sig AS (SELECT doc_id, sh, {_MH_COLS} FROM hs),
+    bands AS ({_BANDS_SQL}),
+    ba AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ba a JOIN bb b ON a.bi = b.bi AND a.bk = b.bk),
+    j AS (SELECT doc_a, doc_b,
+            len(list_intersect(sa.sh, sb.sh)) AS inter,
+            len(sa.sh) AS na, len(sb.sh) AS nb
+          FROM cand
+          JOIN sig sa ON sa.doc_id = doc_a
+          JOIN sig sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,
+       ROUND(CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
+             ELSE inter::DOUBLE / (na + nb - inter) END, 6) AS jaccard
+    FROM j
+    WHERE (CASE WHEN na + nb - inter = 0 THEN 1.0::DOUBLE
+           ELSE inter::DOUBLE / (na + nb - inter) END) >= 0.02
+    """,
+    doc="EXT TWO-SIDED cross-corpus MinHash-LSH near-dup join (r13) — "
+    "the text twin of similarity_corpus_join_ann, completing the "
+    "two-sided family: new-snapshot-vs-corpus / train-vs-benchmark "
+    "contamination pairs where BOTH sides are fact-scale (the "
+    "within-corpus row is a self-join, the incremental-index row "
+    "assumes a tiny batch side). Candidates = (band_idx, band_key) "
+    "equality SHUFFLE join between the sides' banded signatures — "
+    "never broadcast, never all-pairs — then exact shingle-set "
+    "Jaccard on candidates only. Per-side signature scans are "
+    "map-only; hot buckets are auditable per side with "
+    "lsh_hot_band_stats and guarded by the same band/row knobs the "
+    "within-corpus row pins",
+)
+def q_dedup_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dedup.cross_corpus_lsh_pairs(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        min_jaccard=0.02,
+    )
