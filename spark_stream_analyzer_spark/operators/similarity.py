@@ -1362,3 +1362,43 @@ def lsh_corpus_join_topk(
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+def logistic_score(
+    emb: DataFrame,
+    weights: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SERVING half of :func:`logistic_regression_gd` (r13) — apply a
+    trained weight vector to score every embedding: the quality-filter /
+    domain-tagger INFERENCE pass a curation pipeline runs over the full
+    corpus after training on a sample.
+
+    Physical shape: ONE scan, pure projection — the weight vector rides
+    the plan as literals (D floats), the dot is the JVM-side sequential
+    fold, no shuffle, no Python; embarrassingly parallel at any SF.
+
+    Determinism: unlike the trainer's grouped gradient sums (whose
+    cross-engine summation-order risk is documented on the train row),
+    the serving dot is a SEQUENTIAL left fold over the array — both
+    engines produce the bit-identical z, which is round6-quantized
+    before the sigmoid; the only residual risk is libm exp's 1-ulp
+    drift landing exactly on a .5e-6 rounding boundary of the score
+    (the same accepted class as every sigmoid row).  The decision bit
+    compares the quantized score to exactly-representable 0.5.
+    """
+    wlit = F.expr(TH.spark_dot_lit(vec_col, [float(w) for w in weights]))
+    z6 = F.round(wlit, 6)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)), 6)
+    y = (F.col(label_col) % 2).cast("int")
+    pred = (p >= 0.5).cast("int")
+    return emb.select(
+        id_col,
+        y.alias("y"),
+        z6.alias("z6"),
+        p.alias("score"),
+        pred.alias("predicted"),
+        (pred == y).cast("int").alias("correct"),
+    )

@@ -2879,11 +2879,13 @@ def _pca_power_sql(iters: int = 3, dim: int = 64) -> str:
     )
 
 
-def _logreg_sql(iters: int = 3, dim: int = 64, lr: float = 10.0) -> str:
+def _logreg_parts(iters: int = 3, dim: int = 64, lr: float = 10.0) -> list[str]:
     """Unrolled DuckDB twin of similarity.logistic_regression_gd — one
     (dot, sigmoid-round6, gradient, weight-round6) CTE block per step,
     the same round6 discipline so both engines run every step with
-    identical constants."""
+    identical constants.  Shared by the train row and the serving row
+    (embedding_logreg_score) so the model scored is always the model
+    trained."""
     parts = [
         f"x AS (SELECT e.vec_id, CAST(e.label % 2 AS DOUBLE) AS y,"
         f" t.i - 1 AS dim, e.embedding[t.i]::DOUBLE AS x"
@@ -2915,11 +2917,38 @@ def _logreg_sql(iters: int = 3, dim: int = 64, lr: float = 10.0) -> str:
         "acc AS (SELECT ROUND(AVG(CAST("
         "CAST(CAST(z6 >= 0 AS INT) AS DOUBLE) = y AS INT)), 6) AS a FROM zf)"
     )
+    return parts
+
+
+def _logreg_sql(iters: int = 3, dim: int = 64, lr: float = 10.0) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_logreg_parts(iters, dim, lr))
+        + f"\nSELECT CAST(dim AS INT) AS dim, c AS weight,"
+        f" (SELECT a FROM acc) AS train_acc FROM w{iters}"
+    )
+
+
+def _logreg_score_sql(iters: int = 3, dim: int = 64, lr: float = 10.0) -> str:
+    """Serving oracle: the shared train chain, then every embedding
+    scored under the final weights via the SAME sequential fold dot the
+    Spark side uses (bit-identical z — no grouped-sum order risk)."""
+    parts = _logreg_parts(iters, dim, lr)
+    parts.append(f"wl AS (SELECT list(c ORDER BY dim) AS wv FROM w{iters})")
+    z = TH.duck_dot("e.embedding", "wl.wv", dim)
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT CAST(dim AS INT) AS dim, c AS weight,"
-        f" (SELECT a FROM acc) AS train_acc FROM w{iters}"
+        + f"""
+    SELECT e.vec_id, CAST(e.label % 2 AS INT) AS y,
+       ROUND({z}, 6) AS z6,
+       ROUND(1.0 / (1.0 + exp(-ROUND({z}, 6))), 6) AS score,
+       CAST(ROUND(1.0 / (1.0 + exp(-ROUND({z}, 6))), 6) >= 0.5 AS INT)
+         AS predicted,
+       CAST(CAST(ROUND(1.0 / (1.0 + exp(-ROUND({z}, 6))), 6) >= 0.5 AS INT)
+         = CAST(e.label % 2 AS INT) AS INT) AS correct
+    FROM embeddings e CROSS JOIN wl
+    """
     )
 
 
@@ -3507,3 +3536,29 @@ def q_dedup_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 1),
         min_jaccard=0.02,
     )
+
+
+@register(
+    "embedding_logreg_score",
+    oracle=_logreg_score_sql(3),
+    doc="EXT logistic-regression SERVING (r13) — the apply half beside "
+    "embedding_logreg_gd (train), completing the classifier lifecycle "
+    "the way the tokenizer rows complete train/encode: every embedding "
+    "scored under the trained weights (quality-filter / domain-tagger "
+    "inference over the full corpus). ONE scan, pure projection: the "
+    "D-float weight vector rides the plan as literals, the dot is the "
+    "sequential JVM fold — BIT-identical cross-engine (the trainer's "
+    "grouped-sum order risk does not exist at serving time), z "
+    "round6-quantized before the sigmoid, decision bit on the "
+    "quantized score vs exactly-representable 0.5. The oracle extends "
+    "the shared unrolled train chain with the scoring tail, so the "
+    "model scored is provably the model trained. No shuffle, no "
+    "Python — embarrassingly parallel at 100 TB",
+)
+def q_embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    w_rows = similarity.logistic_regression_gd(emb, iters=3).collect()
+    # bounded: D weight rows (the k-means-centroid exchange — the model
+    # crosses the driver once and re-enters the plan as literals)
+    weights = [r["weight"] for r in sorted(w_rows, key=lambda r: r["dim"])]
+    return similarity.logistic_score(emb, weights)
