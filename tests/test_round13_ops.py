@@ -182,3 +182,22 @@ def test_unigram_viterbi_is_globally_optimal():
             got = text._unigram_viterbi_py(word, probs)
             best = max(score(s, probs) for s in all_segs(word))
             assert score(got, probs) == best, (word, got, best)
+
+
+def test_logreg_score_consistency(spark, sf_dir):
+    """Serving-row invariants: predicted == (score >= 0.5), correct ==
+    (predicted == y), score == round6(sigmoid(z6)), one row per vector."""
+    import math
+
+    from spark_stream_analyzer_spark.operators import similarity
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_rows = similarity.logistic_regression_gd(emb, iters=3).collect()
+    weights = [r["weight"] for r in sorted(w_rows, key=lambda r: r["dim"])]
+    rows = similarity.logistic_score(emb, weights).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert r.predicted == int(r.score >= 0.5)
+        assert r.correct == int(r.predicted == r.y)
+        assert abs(r.score - round(1.0 / (1.0 + math.exp(-r.z6)), 6)) < 1e-12
