@@ -454,6 +454,23 @@ def main() -> None:
         )
         if _ratios:
             run_median_ratio = max(1.0, round(_ratios[len(_ratios) // 2], 3))
+    # A high run-median is AMBIGUOUS: host slowness OR a broad code
+    # regression read identically here (folding it into _eff_ratio would
+    # self-mask exactly the global-slowdown case — ADVICE r13 low).
+    # Surface it as an explicit top-level flag so a reviewer must
+    # attribute it (quiet-window anchor run / A-B at the prior commit)
+    # rather than the divisor silently absorbing it.
+    RUN_MEDIAN_WARN = 1.3
+    run_median_flagged = run_median_ratio > RUN_MEDIAN_WARN
+    if run_median_flagged:
+        print(
+            f"# WARNING run_median_ratio {run_median_ratio} > {RUN_MEDIAN_WARN}: "
+            "either heavy host contention or a BROAD code regression — "
+            "per-row suspicion flags are scaled by this value and cannot "
+            "distinguish the two; attribute via a quiet-window re-run or an "
+            "A/B at the previous commit before trusting this bench.",
+            file=sys.stderr,
+        )
 
     def _eff_ratio(name: str) -> float:
         """Contention-aware suspicion divisor: whichever signal reads
@@ -564,6 +581,7 @@ def main() -> None:
                 "par_calib_sec": par_calib,
                 "par_calib_ratio_vs_baseline": round(par_calib_ratio, 3),
                 "run_median_ratio_vs_baseline": run_median_ratio,
+                "run_median_flagged": run_median_flagged,
                 "stream_calib_sec": stream_calib,
                 "stream_calib_ratio_vs_baseline": round(stream_calib_ratio, 3),
                 "queries": timings,
@@ -591,6 +609,7 @@ def main() -> None:
                 "par_calib_sec": par_calib,
                 "par_calib_ratio": round(par_calib_ratio, 3),
                 "run_median_ratio": run_median_ratio,
+                "run_median_flagged": run_median_flagged,
                 "sf": sf,
                 "stream_tp": {
                     k: stream_tp.get(k)

@@ -18,6 +18,7 @@ Determinism notes (why this is oracle-able at all):
 from __future__ import annotations
 
 import math
+import os
 import tempfile
 import uuid
 
@@ -3344,6 +3345,20 @@ def q_streaming_trigger_sla_metrics(spark: SparkSession, sf_dir: str) -> DataFra
         batch_of=lambda r: [r.event_id % 6],
         fmt=lambda r: f"{r.event_id},{r.event_type}",
     )
+    # derive the expected replay-file count from what _write_batches
+    # ACTUALLY wrote rather than assuming every event_id % 6 residue
+    # class under EVENT_CAP is non-empty (ADVICE r13 low) — an empty
+    # class now fails with a named fixture-assumption error, not an
+    # opaque backlog mismatch; the oracle pins 6, so assert it here
+    n_files = len(
+        [f for f in os.listdir(f"{workdir}/in") if not f.startswith((".", "_"))]
+    )
+    if n_files != 6:
+        raise AssertionError(
+            f"trigger-SLA fixture assumption violated: expected 6 replay "
+            f"files (one per event_id % 6 residue class under "
+            f"{EVENT_CAP}), _write_batches produced {n_files}"
+        )
     parts = F.split("value", ",")
     parsed = file_lines_stream(spark, f"{workdir}/in").select(
         parts[1].alias("event_type")
@@ -3379,6 +3394,9 @@ def q_streaming_trigger_sla_metrics(spark: SparkSession, sf_dir: str) -> DataFra
     metrics_present = all(
         "triggerExecution" in (p.get("durationMs") or {}) for p in progresses
     )
+    # an extra NO-DATA micro-batch in recentProgress (scheduler tail
+    # tick) must not fail the batch-count pin — count data batches
+    n_data_batches = sum(1 for p in progresses if int(p["numInputRows"]) > 0)
     last_src = (progresses[-1].get("sources") or [{}])[0]
 
     def _off(v):
@@ -3393,12 +3411,12 @@ def q_streaming_trigger_sla_metrics(spark: SparkSession, sf_dir: str) -> DataFra
     # processAllAvailable the log offset must equal n_files - 1, i.e.
     # every staged replay file was consumed (backlog == 0)
     end_off = _off(last_src.get("endOffset")) or {}
-    backlog_zero = end_off.get("logOffset") == 5
+    backlog_zero = end_off.get("logOffset") == n_files - 1
     # invariant gate: a green driver row must mean the metrics existed
     # and read in coherent units — fail loudly, never emit a lying 1
     if not (progresses and metrics_present and p95 <= run_total_ms):
         raise RuntimeError(
-            f"trigger SLA invariants violated: n_batches={len(progresses)} "
+            f"trigger SLA invariants violated: n_batches={n_data_batches} "
             f"metrics_present={metrics_present} p95={p95} "
             f"run_total_ms={run_total_ms:.0f} per_batch={per_batch}"
         )
@@ -3410,7 +3428,7 @@ def q_streaming_trigger_sla_metrics(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         [
             (
-                len(progresses),
+                n_data_batches,
                 n_input,
                 1000,
                 int(metrics_present),
@@ -3480,6 +3498,19 @@ def q_streaming_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]  # bounded: one argmax row per training round (the k-means exchange)
 
     workdir = tempfile.mkdtemp(prefix="ssa_tok_")
+    # NULL-text guard (ADVICE r13 low): the replay writer maps NULL text
+    # to '' while the batch oracle runs over the original table — a
+    # NULL-text doc would take the two sides through DIFFERENT code
+    # paths (empty-string stream vs NULL-propagating CTE) and the
+    # byte-parity claim would no longer be testing what it says.  Name
+    # the fixture assumption instead of relying on it silently.
+    n_null = docs.filter(F.col("text").isNull()).count()  # bounded: one row
+    if n_null:
+        raise AssertionError(
+            f"streaming_tokenize_docs fixture assumption violated: "
+            f"{n_null} NULL-text documents — the replay/oracle parity "
+            "contract requires non-NULL text"
+        )
     # bounded: the documents table is fixture-scale at test SFs; writing
     # replay files is harness work, not an engine path (at production
     # scale the stream IS the source — nothing is collected)

@@ -59,7 +59,12 @@ def main() -> None:
     # per-query ratio near 1 — the median is the workload-faithful
     # signal (ALU probes are blind to memory-bandwidth contention)
     median_ratio = run.get("run_median_ratio_vs_baseline") or par_ratio
-    at_parity = max(par_ratio, median_ratio) <= PARITY_MAX_RATIO
+    # ALL THREE signals must read near 1: lowered rows are normalized by
+    # calib_ratio below, so a noisy single-thread probe (calib 1.3 while
+    # par/median ~1.0) would otherwise divide every improved row by 1.3
+    # and the min-ratchet would keep the overstated lower forever
+    # (ADVICE r13 medium).
+    at_parity = max(calib_ratio, par_ratio, median_ratio) <= PARITY_MAX_RATIO
     merged = dict(base["queries"])
     lowered = backfilled = held = 0
     for name, t in run["queries"].items():
