@@ -1293,13 +1293,51 @@ def mmr_rerank(
     )
 
 
+#: per-bucket row target for the AUTO plane knob (r13 verdict task 1):
+#: expected rows per side per bucket after hashing — small enough that
+#: the within-bucket quadratic stays a constant-size task, large enough
+#: that a top-k query usually finds k candidates in its bucket.
+AUTO_TARGET_BUCKET_ROWS = 16
+#: clamp bounds for the derived knob: lo keeps tiny corpora from
+#: degenerating to one bucket; hi only bounds the ORACLE-checkable
+#: range at test SFs (the operator itself accepts any explicit knob).
+AUTO_PLANES_LO = 4
+AUTO_PLANES_HI = 30
+
+
+def derive_n_planes(
+    n_a: int,
+    n_b: int,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
+    lo: int = AUTO_PLANES_LO,
+    hi: int = AUTO_PLANES_HI,
+) -> int:
+    """Scale-safe sign-LSH plane count from the two corpus sizes
+    (r13 verdict task 1 — the measured docstring contract made code):
+    smallest p with 2**p buckets >= ceil(max(|A|,|B|) / target), clamped
+    to [lo, hi].  With buckets ∝ N the expected candidate volume is
+    sum over buckets of (N_A/B)(N_B/B) = N_A·N_B/B ∝ N·target — LINEAR
+    in corpus size, where any FIXED knob is quadratic (the r13 100×
+    probe measured 142× at a pinned 64 buckets and 29× faster once the
+    knob scaled — SCALING.md r13).
+
+    Pure INTEGER arithmetic (ceil-div + bit_length) so the DuckDB
+    oracle twin (a CASE chain over powers of two) is exactly equal by
+    construction — no float log2 boundary risk.
+    """
+    buckets_needed = -(-max(n_a, n_b, 1) // target_bucket_rows)
+    p = (buckets_needed - 1).bit_length() if buckets_needed > 1 else 0
+    return max(lo, min(hi, p))
+
+
 def lsh_corpus_join_topk(
     emb_a: DataFrame,
     emb_b: DataFrame,
     k: int = 3,
-    n_planes: int = 6,
+    n_planes: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """TWO-SIDED corpus×corpus ANN join (r12 verdict task 5) — dataset
     alignment / cross-corpus retrieval: for every vector of corpus A,
@@ -1321,7 +1359,19 @@ def lsh_corpus_join_topk(
 
     Ties break on neighbor id ascending, same contract as every other
     top-k row.
+
+    ``n_planes="auto"`` (the DEFAULT — r13 verdict task 1) derives the
+    knob from the two corpus sizes via :func:`derive_n_planes` at the
+    cost of two bounded one-row aggregates; pass an explicit int to pin
+    a bucket count (the oracle-pinned driver rows do).  ``hyperplanes``
+    is prefix-consistent (one seeded LCG), so auto at the same derived
+    p is bit-identical to the fixed knob at that p.
     """
+    if n_planes == "auto":
+        # bounded: two one-row count aggregates, driver-side knob only
+        n_planes = derive_n_planes(
+            emb_a.count(), emb_b.count(), target_bucket_rows
+        )
     planes = TH.hyperplanes(n_planes)
     bucket = " + ".join(
         f"(CASE WHEN {TH.spark_dot_lit(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"

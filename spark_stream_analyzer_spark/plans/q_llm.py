@@ -3368,6 +3368,7 @@ def q_similarity_corpus_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
         k=3,
+        n_planes=6,  # oracle-pinned knob (the operator DEFAULT is "auto")
     )
 
 
@@ -3490,6 +3491,96 @@ def q_similarity_corpus_join_ann_fine(spark: SparkSession, sf_dir: str) -> DataF
         emb.filter(F.col("vec_id") % 2 == 1),
         k=3,
         n_planes=8,
+    )
+
+
+#: oracle-checkable bound for the AUTO plane knob: the gated-sum bucket
+#: expression below carries 16 plane literals, so the oracle is exact
+#: for any derived knob <= 16 (reached only past 16 * 2^16 = 1M rows
+#: per side — the registry row RAISES before that, never silently
+#: diverges).  hyperplanes() is prefix-consistent (one seeded LCG), so
+#: gating the first np of 16 planes equals hyperplanes(np) exactly.
+_ORACLE_AUTO_PLANES_MAX = 16
+_PLANES16 = TH.hyperplanes(_ORACLE_AUTO_PLANES_MAX)
+#: SQL twin of similarity.derive_n_planes: pure integer ceil-div + a
+#: CASE chain over powers of two (= bit_length), then the same [lo, hi]
+#: clamp — equal to the Python derivation by construction, no float log2
+_DUCK_AUTO_KNOB = (
+    "SELECT GREATEST("
+    f"{similarity.AUTO_PLANES_LO}, LEAST({similarity.AUTO_PLANES_HI}, CASE "
+    + " ".join(
+        f"WHEN bn <= {1 << k} THEN {k}"
+        for k in range(_ORACLE_AUTO_PLANES_MAX + 1)
+    )
+    + " ELSE 99 END)) AS np FROM (SELECT"
+    " (GREATEST(ca, cb, 1) + {t} - 1) // {t} AS bn FROM cnts)".format(
+        t=similarity.AUTO_TARGET_BUCKET_ROWS
+    )
+)
+_DUCK_BUCKET_AUTO = " + ".join(
+    f"(CASE WHEN {i} < (SELECT np FROM knob)"
+    f" AND {TH.duck_dot_lit('embedding', p)} > 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES16)
+)
+
+
+@register(
+    "similarity_corpus_join_ann_auto",
+    oracle=f"""
+    WITH cnts AS (SELECT
+        (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0) AS ca,
+        (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1) AS cb),
+    knob AS ({_DUCK_AUTO_KNOB}),
+    e AS (SELECT vec_id, embedding, {_DUCK_BUCKET_AUTO} AS bucket,
+             sqrt({TH.duck_dot('embedding', 'embedding')}) AS norm
+          FROM embeddings),
+    a AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm,
+            bucket FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS neighbor_id, embedding AS nvec, norm AS nnorm,
+            bucket FROM e WHERE vec_id % 2 = 1),
+    c AS (SELECT a.query_id, b.neighbor_id, a.bucket,
+            {TH.duck_dot('a.qvec', 'b.nvec')} / (a.qnorm * b.nnorm) AS cos_raw
+          FROM a JOIN b USING (bucket)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rn FROM c)
+    SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine,
+       (SELECT CAST(np AS BIGINT) FROM knob) AS n_planes
+    FROM r WHERE rn <= 3
+    """,
+    doc="EXT two-sided corpus ANN join under the AUTO plane knob (r13 "
+    "verdict task 1) — the scale-safe default made code AND "
+    "oracle-checked: n_planes is DERIVED from the two corpus sizes "
+    "(two bounded one-row counts; smallest p with 2^p buckets >= "
+    "ceil(max(|A|,|B|)/16), clamped [4,30]) instead of pinned, so "
+    "buckets grow ~linearly with the corpus and expected candidate "
+    "volume is N*target — LINEAR where any fixed knob is quadratic "
+    "(the r13 100x probe: 142x at pinned 64 buckets, 29x faster once "
+    "the knob scaled). The derivation is pure integer arithmetic "
+    "(ceil-div + bit_length) mirrored in the oracle as a CASE chain "
+    "over powers of two — exactly equal by construction, no float "
+    "log2 boundary. The oracle's bucket expression gates the first np "
+    "of 16 hyperplane literals (hyperplanes() is prefix-consistent), "
+    "exact for any derived np <= 16; the row RAISES past that bound "
+    "(16 * 2^16 rows/side) rather than silently diverging. The derived "
+    "knob itself is a RESULT column, so the driver hash pins the "
+    "formula cross-engine every round",
+)
+def q_similarity_corpus_join_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    # bounded: two one-row counts — the same aggregates the operator's
+    # auto path runs; derived here as well to guard the oracle bound
+    np_derived = similarity.derive_n_planes(a.count(), b.count())
+    if np_derived > _ORACLE_AUTO_PLANES_MAX:
+        raise AssertionError(
+            f"derived n_planes {np_derived} exceeds the oracle's "
+            f"{_ORACLE_AUTO_PLANES_MAX}-plane gated-sum bound — extend "
+            "_PLANES16 before running this row at this corpus size"
+        )
+    return similarity.lsh_corpus_join_topk(a, b, k=3).withColumn(
+        "n_planes", F.lit(np_derived).cast("long")
     )
 
 

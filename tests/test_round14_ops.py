@@ -1,0 +1,66 @@
+"""Round-14 operator tests: auto-derived sign-LSH plane knob."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from spark_stream_analyzer_spark.operators import similarity
+
+
+def test_derive_n_planes_formula_pins():
+    """Pin the derived knob at the corpus sizes that matter: the test
+    fixtures, the r13 100x probe corpus (where the derived 13 planes =
+    8,192 buckets is EXACTLY the configuration SCALING.md r13 measured
+    as 29x faster than the fixed 64-bucket knob), and both clamps."""
+    d = similarity.derive_n_planes
+    assert d(250, 250) == 4          # sf0.001 / sf0.01 halves -> lo clamp
+    assert d(1000, 1000) == 6        # sf0.1 halves
+    assert d(100_000, 100_000) == 13  # the r13 100x probe corpus
+    assert d(1, 1) == similarity.AUTO_PLANES_LO
+    assert d(10**12, 1) == similarity.AUTO_PLANES_HI
+    # asymmetric corpora: the LARGER side drives the knob
+    assert d(100_000, 10) == 13
+    # exact power boundaries: ceil semantics, no off-by-one
+    t = similarity.AUTO_TARGET_BUCKET_ROWS
+    assert d(t * 16, 1) == 4          # exactly 16 buckets needed -> 2^4
+    assert d(t * 16 + 1, 1) == 5      # one row past -> next power
+    assert d(t * 17, 1) == 5
+
+
+def test_derive_n_planes_matches_sql_case_chain():
+    """The DuckDB oracle twin (integer ceil-div + CASE chain over powers
+    of two) must equal the Python derivation for every corpus size in a
+    boundary-dense grid — the cross-engine knob-formula pin the auto
+    driver row's n_planes RESULT column re-checks on real counts."""
+    t = similarity.AUTO_TARGET_BUCKET_ROWS
+    lo, hi = similarity.AUTO_PLANES_LO, similarity.AUTO_PLANES_HI
+    case = " ".join(f"WHEN bn <= {1 << k} THEN {k}" for k in range(17))
+    sizes = sorted(
+        {1, 2, t - 1, t, t + 1, 250, 1000, 2000}
+        | {t * (1 << k) for k in range(14)}
+        | {t * (1 << k) + 1 for k in range(14)}
+    )
+    con = duckdb.connect()
+    for n in sizes:
+        got = con.execute(
+            f"SELECT GREATEST({lo}, LEAST({hi}, CASE {case} ELSE 99 END))"
+            f" FROM (SELECT ({n} + {t} - 1) // {t} AS bn)"
+        ).fetchone()[0]
+        assert got == similarity.derive_n_planes(n, 1), n
+
+
+def test_corpus_join_auto_equals_pinned_at_derived_knob(spark, sf_dir):
+    """auto is a knob DERIVATION, not a different algorithm: the auto
+    join must be row-identical to the fixed-knob join at the derived
+    plane count (hyperplanes() prefix-consistency makes this exact)."""
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    np_derived = similarity.derive_n_planes(a.count(), b.count())
+    auto = similarity.lsh_corpus_join_topk(a, b, k=3).collect()
+    pinned = similarity.lsh_corpus_join_topk(a, b, k=3, n_planes=np_derived).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+    assert len(auto) > 0
