@@ -657,8 +657,14 @@ def bpe_encode_stats(
 #: many positions (corpus max is 8; real corpora cap rare mega-tokens
 #: the same way — SentencePiece's own default trainer cap is 16 bytes).
 _UNI_MAX_WORD = 16
-#: candidate piece lengths considered by the DP (seed vocab max length)
-_UNI_MAX_PIECE = 3
+#: candidate piece lengths considered by the DP (seed vocab max length).
+#: Lifted 3 -> 6 in r14 (r13 verdict task 3): length <= 3 was a
+#: character-trigram-class vocab; <= 6 covers whole short words and
+#: common stems, i.e. genuinely SentencePiece-class segmentation.  The
+#: DP stays O(L * _UNI_MAX_PIECE) per word with a CONSTANT-size lambda
+#: (the candidate CASE grows quadratically in this constant — ~20
+#: comparisons at 6 — never with word length or data).
+_UNI_MAX_PIECE = 6
 #: seed vocab: all single chars + top-96 multi-char substrings
 _UNI_SEED_CAP = 96
 _UNI_SEED_MIN_CNT = 2
@@ -696,14 +702,15 @@ def _spark_viterbi_dp(wd: str, m: str) -> str:
     count-ratio doubles — no ln/exp anywhere, so the DP is bit-identical
     across Spark, DuckDB, and the Python Arrow twin (IEEE multiply +
     compare in the same order); ties prefer the LONGER piece via the
-    shared CASE order (c3 >= c2 >= c1)."""
-    c1, c2, c3 = (_uni_cand(j, wd, m) for j in (1, 2, 3))
-    best = (
-        f"CASE WHEN {c3} >= {c2} AND {c3} >= {c1} "
-        f"THEN named_struct('s', {c3}, 'b', 3) "
-        f"WHEN {c2} >= {c1} THEN named_struct('s', {c2}, 'b', 2) "
-        f"ELSE named_struct('s', {c1}, 'b', 1) END"
+    shared longest-first CASE order (c_j wins iff c_j >= every shorter
+    candidate — the 3-piece c3 >= c2 >= c1 rule generalized)."""
+    c = {j: _uni_cand(j, wd, m) for j in range(1, _UNI_MAX_PIECE + 1)}
+    branches = " ".join(
+        f"WHEN {' AND '.join(f'{c[j]} >= {c[i]}' for i in range(1, j))} "
+        f"THEN named_struct('s', {c[j]}, 'b', {j})"
+        for j in range(_UNI_MAX_PIECE, 1, -1)
     )
+    best = f"CASE {branches} ELSE named_struct('s', {c[1]}, 'b', 1) END"
     return (
         f"aggregate(sequence(1, length({wd})), "
         f"array(named_struct('s', CAST(1.0 AS DOUBLE), 'b', 0)), "
@@ -766,8 +773,9 @@ def _unigram_word_freq(df: DataFrame, text_col: str) -> DataFrame:
 
 def _unigram_seed_rows(wf: DataFrame) -> list[tuple[str, int]]:
     """Seed vocab [(piece, weighted count)]: every single character plus
-    the top ``_UNI_SEED_CAP`` substrings of length 2..3 with count >=
-    ``_UNI_SEED_MIN_CNT`` (count desc, piece asc — deterministic).
+    the top ``_UNI_SEED_CAP`` substrings of length 2..``_UNI_MAX_PIECE``
+    with count >= ``_UNI_SEED_MIN_CNT`` (count desc, piece asc —
+    deterministic).
     Substring counting is a per-row array transform + one bounded-key
     groupBy; ONLY the capped vocab crosses the driver."""
     subs = "concat(" + ", ".join(
@@ -856,25 +864,24 @@ def unigram_lm_table(df: DataFrame, text_col: str = "text", iters: int = 2) -> D
 
 def _unigram_viterbi_py(wd: str, probs: dict) -> list[str]:
     """Python twin of the expression DP — EXACTLY the same IEEE double
-    products and the same (c3 >= c2 >= c1) longer-piece tie rule, so the
+    products and the same longest-first (c_j >= all shorter) tie rule, so the
     Arrow path is bit-identical to the expression path (pinned by
     tests/test_llm_ops.py unigram parity tests)."""
     n = len(wd)
     s = [1.0] + [0.0] * n
     b = [0] * (n + 1)
     for i in range(1, n + 1):
-        c = []
-        for j in (1, 2, 3):
+        c = [-1.0]  # pad so c[j] is the candidate for piece length j
+        for j in range(1, _UNI_MAX_PIECE + 1):
             c.append(
                 s[i - j] * probs.get(wd[i - j : i], 0.0) if i >= j else -1.0
             )
-        c1, c2, c3 = c
-        if c3 >= c2 and c3 >= c1:
-            s[i], b[i] = c3, 3
-        elif c2 >= c1:
-            s[i], b[i] = c2, 2
-        else:
-            s[i], b[i] = c1, 1
+        # longest-first: length j wins iff c[j] >= every shorter
+        # candidate — identical tie semantics to the expression CASE
+        for j in range(_UNI_MAX_PIECE, 0, -1):
+            if j == 1 or all(c[j] >= c[i] for i in range(1, j)):
+                s[i], b[i] = c[j], j
+                break
     ps: list[str] = []
     q = n
     while q > 0:

@@ -3127,31 +3127,41 @@ def _uni_duck_dp_parts(pfx: str, mref: str) -> list[str]:
     3^W blowup Catalyst has), so the linear forms are an aggregate-HOF
     lambda on Spark and recursion here.  Different physical shapes, the
     SAME arithmetic: candidate j scores ``(valid ? s[i-j] * p(piece) :
-    -1.0)`` on exact integer-ratio doubles with the shared
-    ``c3 >= c2 >= c1`` longer-piece tie CASE — no libm anywhere, so the
-    DP is bit-identical across Spark, DuckDB, and the Python Arrow twin
-    (no round6-boundary risk class)."""
-    sv = {1: "sc", 2: "sb", 3: "sa"}
+    -1.0)`` on exact integer-ratio doubles with the shared longest-first
+    tie CASE (c_j wins iff c_j >= every shorter candidate) — no libm
+    anywhere, so the DP is bit-identical across Spark, DuckDB, and the
+    Python Arrow twin (no round6-boundary risk class).  The recursion
+    carries a sliding window of the last ``_UNI_MAX_PIECE`` scores
+    (u0 = s[pos], u1 = s[pos-1], ...), shifted one slot per step."""
+    mp = text._UNI_MAX_PIECE
     c = {}
-    for j in (1, 2, 3):
+    for j in range(1, mp + 1):
         lk = f"COALESCE((m[substr(wd, pos + 2 - {j}, {j})])[1], 0.0::DOUBLE)"
         c[j] = (
-            f"(CASE WHEN pos + 1 >= {j} THEN {sv[j]} * {lk}"
+            f"(CASE WHEN pos + 1 >= {j} THEN u{j - 1} * {lk}"
             f" ELSE -1.0::DOUBLE END)"
         )
-    best_s = (
-        f"(CASE WHEN {c[3]} >= {c[2]} AND {c[3]} >= {c[1]} THEN {c[3]}"
-        f" WHEN {c[2]} >= {c[1]} THEN {c[2]} ELSE {c[1]} END)"
+    branches_s = " ".join(
+        f"WHEN {' AND '.join(f'{c[j]} >= {c[i]}' for i in range(1, j))}"
+        f" THEN {c[j]}"
+        for j in range(mp, 1, -1)
     )
-    best_b = (
-        f"(CASE WHEN {c[3]} >= {c[2]} AND {c[3]} >= {c[1]} THEN 3"
-        f" WHEN {c[2]} >= {c[1]} THEN 2 ELSE 1 END)"
+    branches_b = " ".join(
+        f"WHEN {' AND '.join(f'{c[j]} >= {c[i]}' for i in range(1, j))}"
+        f" THEN {j}"
+        for j in range(mp, 1, -1)
     )
+    best_s = f"(CASE {branches_s} ELSE {c[1]} END)"
+    best_b = f"(CASE {branches_b} ELSE 1 END)"
+    init_u = ", ".join(
+        f"{'1.0' if k == 0 else '-1.0'}::DOUBLE AS u{k}" for k in range(mp)
+    )
+    shift_u = ", ".join([f"{best_s}"] + [f"u{k - 1}" for k in range(1, mp)])
     return [
         f"dp{pfx} AS (SELECT wd, f, length(wd) AS n, 0 AS pos,"
-        f" -1.0::DOUBLE AS sa, -1.0::DOUBLE AS sb, 1.0::DOUBLE AS sc,"
+        f" {init_u},"
         f" CAST([] AS INT[]) AS bps FROM uwf"
-        f" UNION ALL SELECT wd, f, n, pos + 1, sb, sc, {best_s},"
+        f" UNION ALL SELECT wd, f, n, pos + 1, {shift_u},"
         f" bps || [{best_b}]"
         f" FROM dp{pfx} CROSS JOIN {mref} WHERE pos < n)",
         f"bt{pfx} AS (SELECT wd, f, bps, n AS q, CAST([] AS VARCHAR[]) AS ps"
@@ -3174,10 +3184,12 @@ def _uni_base_parts(iters: int = 2) -> list[str]:
         f" (SELECT unnest(words) AS wd FROM w)"
         f" WHERE length(wd) <= {_UNI_W} GROUP BY wd)",
         "uss AS (SELECT f, unnest("
-        " list_transform(range(1, length(wd) + 1), i -> substr(wd, CAST(i AS INT), 1))"
-        " || list_transform(range(1, length(wd)), i -> substr(wd, CAST(i AS INT), 2))"
-        " || list_transform(range(1, length(wd) - 1), i -> substr(wd, CAST(i AS INT), 3))"
-        ") AS piece FROM uwf)",
+        + " || ".join(
+            f"list_transform(range(1, length(wd) + 2 - {L}),"
+            f" i -> substr(wd, CAST(i AS INT), {L}))"
+            for L in range(1, text._UNI_MAX_PIECE + 1)
+        )
+        + ") AS piece FROM uwf)",
         "uscnt AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM uss GROUP BY piece)",
         f"uvoc AS MATERIALIZED (SELECT piece, cnt FROM uscnt WHERE length(piece) = 1"
         f" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM uscnt"
@@ -3266,7 +3278,8 @@ def _uni_encode_sql(iters: int = 2) -> str:
     oracle=_uni_train_sql(2),
     doc="EXT unigram-LM (SentencePiece-class) tokenizer TRAINING (r12 "
     "verdict task 4), completing the tokenizer-training family beside "
-    "BPE: seed vocab = every character + top-96 substrings (len 2-3, "
+    "BPE: seed vocab = every character + top-96 substrings (len 2-6 — "
+    "lifted from the r13 trigram-class cap, r13 verdict task 3, "
     "count >= 2, deterministic tiebreak), then 2 hard-EM rounds — "
     "Viterbi-segment the corpus under the current model, count "
     "corpus-weighted piece usage, refit Laplace-smoothed probs. The "

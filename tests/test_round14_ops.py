@@ -50,6 +50,56 @@ def test_derive_n_planes_matches_sql_case_chain():
         assert got == similarity.derive_n_planes(n, 1), n
 
 
+def test_unigram_long_piece_dp_parity(spark):
+    """r13 verdict task 3 (piece cap 3 -> 6): the expression DP and the
+    Python twin must agree EXACTLY on models containing pieces of every
+    length up to _UNI_MAX_PIECE, including whole-word pieces and
+    engineered long-vs-short ties."""
+    import random
+
+    from spark_stream_analyzer_spark.operators import text
+
+    assert text._UNI_MAX_PIECE == 6
+    rng = random.Random(0x14A)
+    alphabet = "abcd"
+    pieces = list(alphabet)
+    for n in (2, 3, 4, 5, 6):
+        for _ in range(4):
+            pieces.append("".join(rng.choice(alphabet) for _ in range(n)))
+    pieces = sorted(set(pieces))
+    weights = {p: rng.randint(1, 9) for p in pieces}
+    total = sum(weights.values())
+    probs = {p: w / total for p, w in weights.items()}
+    words = list(
+        {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, text._UNI_MAX_WORD))
+            )
+            for _ in range(80)
+        }
+        # every vocab piece as its own word: a 6-char piece must win
+        # over any split of itself whenever its prob beats the product
+        | set(pieces)
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "wd string")
+    got = {r["wd"]: list(r["ps"]) for r in text.segment_words(wdf, probs).collect()}
+    for w in words:
+        assert got[w] == text._unigram_viterbi_py(w, probs), w
+        assert "".join(got[w]) == w
+
+
+def test_unigram_long_tie_prefers_longer_piece(spark):
+    """Engineered EXACT tie at length 6: p(abcabc) == p(abc)^2 — the
+    longest-first CASE must pick the 6-char piece on both paths."""
+    from spark_stream_analyzer_spark.operators import text
+
+    probs = {"a": 0.5, "b": 0.5, "c": 0.5, "abc": 0.25, "abcabc": 0.0625}
+    assert text._unigram_viterbi_py("abcabc", probs) == ["abcabc"]
+    wdf = spark.createDataFrame([("abcabc",)], "wd string")
+    assert list(text.segment_words(wdf, probs).collect()[0]["ps"]) == ["abcabc"]
+
+
 def test_corpus_join_auto_equals_pinned_at_derived_knob(spark, sf_dir):
     """auto is a knob DERIVATION, not a different algorithm: the auto
     join must be row-identical to the fixed-knob join at the derived
