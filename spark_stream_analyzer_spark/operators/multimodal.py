@@ -818,3 +818,356 @@ def synth_png_payloads(df: DataFrame) -> DataFrame:
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
     return df.select("doc_id").mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
+# GIF (round 14) — the second REAL compressed container (r13 verdict
+# task 4), exercising a compression class PNG's DEFLATE does not: GIF's
+# variable-width LZW with an in-band growing dictionary, CLEAR-code
+# resets, LSB-first bit packing, 255-byte sub-block framing, and the
+# 4-pass interlace row permutation. Single-frame GIF87a/89a with a
+# global color table only; animation / local color tables /
+# transparency-composited frames raise the documented
+# NotImplementedError gate (they need a frame compositor, not a codec).
+# --------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+#: 4-pass interlace schedule (GIF89a spec appendix E): (first row, step)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Storage order of image rows under the 4-pass interlace: the list
+    of screen-row indices in the order their pixel data appears."""
+    return [r for first, step in _GIF_INTERLACE_PASSES for r in range(first, h, step)]
+
+
+class _BitWriter:
+    """LSB-first bit packer (LZW codes fill bytes from the low bit)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+def _lzw_encode_rows(rows: list[bytes], mcs: int) -> bytes:
+    """REAL GIF LZW over the row-ordered index stream, flushing with a
+    CLEAR code at every row boundary — so a spec-correct decoder sees
+    exactly ``len(rows)`` CLEAR codes (the initial one plus one per
+    subsequent row): the dictionary-reset witness the registry row pins
+    (the PNG n_filters_used discipline). Within a row the dictionary
+    grows normally and the code width widens per spec (after the entry
+    that fills the current width is added)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _BitWriter()
+    width = mcs + 1
+    bw.write(clear, width)
+    for ri, row in enumerate(rows):
+        table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+        next_code = eoi + 1
+        width = mcs + 1
+        w = b""
+        for k in row:
+            wk = w + bytes([k])
+            if wk in table:
+                w = wk
+                continue
+            bw.write(table[w], width)
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    # the code we JUST made representable forces the
+                    # next emitted code one bit wider (spec: width grows
+                    # when next_code exceeds the current code range)
+                    width += 1
+            w = bytes([k])
+        if w:
+            bw.write(table[w], width)
+        if ri + 1 < len(rows):
+            bw.write(clear, width)
+            width = mcs + 1
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def encode_gif(
+    rows: list[list[int]], w: int, h: int, interlace: bool = False
+) -> bytes:
+    """Encode index rows (top-down, each row w palette indices) as a
+    REAL single-frame GIF89a: 256-entry grayscale global color table
+    (index i -> (i,i,i)), real variable-width LZW with a CLEAR flush at
+    every row boundary, LSB-first bit packing, 255-byte sub-block
+    framing, and — when ``interlace`` — the 4-pass row permutation, so
+    a decoder that ignores the interlace flag reads rows in the wrong
+    ORDER (wrong values, not a parse error)."""
+    import struct
+
+    order = _gif_interlace_order(h) if interlace else list(range(h))
+    stored = [bytes(rows[r]) for r in order]
+    lzw = _lzw_encode_rows(stored, 8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT flag, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(8)  # LZW minimum code size
+    for off in range(0, len(lzw), 255):
+        blk = lzw[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> tuple[bytes, int, int]:
+    """Spec LZW decode → (index stream, number of CLEAR codes seen, max
+    code width reached — the variable-width witness the growth test
+    pins).  Untrusted input: a code beyond the dictionary, output past
+    the promised pixel count, or a stream that ends before EOI/pixel
+    count all raise ValueError."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = max_width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    n_clear = 0
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF: LZW stream ends before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            n_clear += 1
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF LZW: code {code} beyond dictionary")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+                max_width = max(max_width, width)
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"corrupt GIF LZW: {len(out)} indices exceed the "
+                f"{n_expected} the image descriptor promises"
+            )
+    if len(out) != n_expected:
+        raise ValueError(
+            f"truncated GIF: {len(out)} indices decoded, header promises "
+            f"{n_expected}"
+        )
+    return bytes(out), n_clear, max_width
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL LZW image decode: parse header + logical screen descriptor,
+    read the global color table, skip extensions, de-frame the
+    sub-blocks, run the variable-width LZW (counting dictionary
+    resets), and UNDO the 4-pass interlace permutation when flagged.
+    Header fields are untrusted: zero dims, truncated sub-blocks or
+    color table, over/under-long index streams, out-of-range codes and
+    a missing trailer all raise ValueError; animation, local color
+    tables and non-GIF payloads raise the documented
+    NotImplementedError gates."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in _GIF_SIGS:
+        raise NotImplementedError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: missing logical screen descriptor")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF: global color table past end")
+        pos += 3 * n
+    img = None
+    n_clear = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: no trailer")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF: extension past end")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block introducer {b0:#x}")
+        if img is not None:
+            raise NotImplementedError(
+                "animated (multi-frame) GIFs are not decoded here"
+            )
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF: image descriptor past end")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise NotImplementedError("local color tables are not decoded here")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"malformed GIF header: width={w} height={h}")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"malformed GIF: LZW min code size {mcs}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: image data past end")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            blk = payload[pos : pos + n]
+            if len(blk) != n:
+                raise ValueError("truncated GIF: sub-block past end of payload")
+            lzw += blk
+            pos += n
+        idx, n_clear, _ = _lzw_decode(bytes(lzw), mcs, w * h)
+        if ipacked & 0x40:
+            rows = [b""] * h
+            flat = [idx[r * w : (r + 1) * w] for r in range(h)]
+            for stored, screen_row in enumerate(_gif_interlace_order(h)):
+                rows[screen_row] = flat[stored]
+            idx = b"".join(rows)
+        img = (w, h, idx, bool(ipacked & 0x40))
+    if img is None:
+        raise ValueError("malformed GIF: no image descriptor before trailer")
+    if gct is None:
+        raise NotImplementedError("GIFs without a global color table need a caller-supplied palette")
+    w, h, idx, interlaced = img
+    if any(i >= len(gct) // 3 for i in idx):
+        raise ValueError("corrupt GIF: pixel index beyond the color table")
+    # map indices through the GCT so a mislocated table is a VALUE error
+    gray = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[:, 0]
+    px = gray[np.frombuffer(idx, dtype=np.uint8)].astype(np.float64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w * h),
+        "mean_pixel": float(px.mean()) if len(px) else 0.0,
+        "top_left": float(px[0]) if len(px) else 0.0,
+        "bottom_left": float(px[(h - 1) * w]) if len(px) else 0.0,
+        "n_clear_codes": n_clear,
+        "interlaced": int(interlaced),
+    }
+
+
+GIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("top_left", DoubleType()),
+        StructField("bottom_left", DoubleType()),
+        StructField("n_clear_codes", LongType()),
+        StructField("interlaced", LongType()),
+    ]
+)
+
+
+def gif_decode_stats(df: DataFrame) -> DataFrame:
+    """GIF payloads → per-item metadata incl. row-order (interlace),
+    dictionary-reset and palette witnesses (same Arrow mapInPandas
+    plumbing as WAV/PPM/BMP/PNG)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_gif(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_pixels": m["n_pixels"],
+                        "mean_pixel": round(m["mean_pixel"], 6),
+                        "top_left": round(m["top_left"], 6),
+                        "bottom_left": round(m["bottom_left"], 6),
+                        "n_clear_codes": m["n_clear_codes"],
+                        "interlaced": m["interlaced"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, GIF_SCHEMA)
+
+
+def synth_gif_payloads(df: DataFrame) -> DataFrame:
+    """Encode a REAL LZW-compressed GIF per doc. Image row r (top = 0)
+    is uniformly index v + r with v = doc_id % 200 and h <= 5 (no uint8
+    wrap) on a (3+doc_id%5) x (2+doc_id%4) canvas, INTERLACED for even
+    doc_ids — decoded stats are closed-form (mean = v + (h-1)/2,
+    top_left = v, bottom_left = v + h - 1; under interlace those
+    witness the de-interleave actually ran) and the encoder CLEAR-
+    flushes at every row boundary, so n_clear_codes == height witnesses
+    that the decoder genuinely handles in-band dictionary resets."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 3 + int(doc_id) % 5
+                h = 2 + int(doc_id) % 4
+                v = int(doc_id) % 200
+                rows = [[(v + r) & 0xFF] * w for r in range(h)]
+                payloads.append(encode_gif(rows, w, h, interlace=doc_id % 2 == 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)

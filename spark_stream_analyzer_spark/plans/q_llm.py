@@ -2305,6 +2305,47 @@ def q_multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_gif_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 5 AS BIGINT) AS width,
+           CAST(2 + doc_id % 4 AS BIGINT) AS height,
+           CAST((3 + doc_id % 5) * (2 + doc_id % 4) AS BIGINT) AS n_pixels,
+           ROUND(doc_id % 200 + (2 + doc_id % 4 - 1) / 2.0, 6) AS mean_pixel,
+           ROUND(CAST(doc_id % 200 AS DOUBLE), 6) AS top_left,
+           ROUND(CAST(doc_id % 200 + (2 + doc_id % 4) - 1 AS DOUBLE), 6)
+             AS bottom_left,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_clear_codes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS interlaced
+    FROM documents
+    """,
+    doc="EXT REAL image decode #4 — single-frame GIF (r13 verdict "
+    "task 4), the second COMPRESSED container and a compression class "
+    "DEFLATE does not cover: variable-width LZW with an in-band "
+    "growing dictionary, CLEAR-code resets, LSB-first bit packing, "
+    "255-byte sub-block framing, a 256-entry global color table, and "
+    "the 4-pass interlace row permutation. The encoder CLEAR-flushes "
+    "at every row boundary so n_clear_codes == height witnesses real "
+    "dictionary-reset handling (the PNG n_filters_used discipline); "
+    "even doc_ids are INTERLACED so top_left / bottom_left witness "
+    "the de-interleave ran (a decoder ignoring the flag reads rows in "
+    "storage order — wrong VALUES, not a parse error); pixels are "
+    "mapped through the parsed color table so a mislocated GCT is "
+    "also a value error. Untrusted-header hardening throughout "
+    "(truncated sub-blocks/GCT, out-of-range codes, over/under-long "
+    "index streams, missing trailer); animation and local color "
+    "tables raise documented NotImplementedError gates. Same Arrow "
+    "mapInPandas plumbing as WAV/PPM/BMP/PNG",
+)
+def q_multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    d = _docs(spark, sf_dir)
+    return mm.gif_decode_stats(mm.synth_gif_payloads(d))
+
+
+@register(
     "corpus_cross_source_dup_matrix",
     oracle=f"""
     WITH pairs AS ({_LSH_PAIRS_SQL})

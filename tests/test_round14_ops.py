@@ -114,3 +114,96 @@ def test_corpus_join_auto_equals_pinned_at_derived_knob(spark, sf_dir):
     pinned = similarity.lsh_corpus_join_topk(a, b, k=3, n_planes=np_derived).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
     assert len(auto) > 0
+
+
+# --------------------------------------------------------------- GIF (task 4)
+
+
+def _gif_fixture(doc_id: int):
+    w = 3 + doc_id % 5
+    h = 2 + doc_id % 4
+    v = doc_id % 200
+    return [[(v + r) & 0xFF] * w for r in range(h)], w, h, v
+
+
+def test_gif_roundtrip_witnesses():
+    """Closed-form witnesses across interlaced and sequential payloads:
+    row-order (top/bottom), dictionary resets (one CLEAR per row), and
+    palette-mapped values."""
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    for doc_id in range(20):
+        rows, w, h, v = _gif_fixture(doc_id)
+        m = mm.decode_gif(mm.encode_gif(rows, w, h, interlace=doc_id % 2 == 0))
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["top_left"] == v and m["bottom_left"] == v + h - 1
+        assert m["mean_pixel"] == v + (h - 1) / 2
+        assert m["n_clear_codes"] == h
+        assert m["interlaced"] == (doc_id % 2 == 0)
+
+
+def test_gif_lzw_width_growth_roundtrip():
+    """The encoder CLEAR-flushes per row, so only a LONG single row can
+    grow the dictionary: one seeded pseudo-random 12000-px row must
+    drive the code width through 10/11/12 bits and across the 4096-entry
+    cap, and decode byte-identically — a width-rule mismatch between
+    encoder and decoder desyncs the bitstream and raises, it cannot pass
+    silently.  The fixture images (<= 35 px) never leave 9 bits, which
+    is exactly why this test exists."""
+    import random
+
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    rng = random.Random(0x61F)
+    row = [rng.randrange(256) for _ in range(12000)]
+    data = mm._lzw_encode_rows([bytes(row)], 8)
+    idx, n_clear, max_width = mm._lzw_decode(data, 8, len(row))
+    assert idx == bytes(row)
+    assert n_clear == 1
+    assert max_width == 12  # grew 9 -> 12 and survived the 4096 cap
+    # and end-to-end through the container (sub-block framing at 255)
+    m = mm.decode_gif(mm.encode_gif([row], 12000, 1))
+    assert m["n_pixels"] == 12000
+    assert m["top_left"] == row[0]
+
+
+def test_gif_interlace_order_is_spec_permutation():
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    assert mm._gif_interlace_order(5) == [0, 4, 2, 1, 3]
+    assert mm._gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    for h in range(1, 40):
+        assert sorted(mm._gif_interlace_order(h)) == list(range(h))
+
+
+def test_gif_untrusted_payload_hardening():
+    """Truncation, corruption and gated features must raise NAMED
+    errors, never return garbage stats."""
+    import pytest
+
+    from spark_stream_analyzer_spark.operators import multimodal as mm
+
+    rows, w, h, _ = _gif_fixture(3)
+    good = mm.encode_gif(rows, w, h)
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        mm.decode_gif(b"PNGstuff")
+    with pytest.raises(ValueError, match="truncated GIF"):
+        mm.decode_gif(good[:20])
+    with pytest.raises(ValueError, match="no trailer|past end|ends before"):
+        mm.decode_gif(good[:-2])
+    # corrupt a byte inside the LZW stream: must fail the pixel-count or
+    # dictionary check, never silently misdecode into a full image
+    body = bytearray(good)
+    lzw_at = 13 + 768 + 10 + 1 + 1  # header+GCT+descriptor+mcs+len byte
+    body[lzw_at] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.decode_gif(bytes(body))
+    # extension blocks are skipped, not fatal: splice a GCE before the
+    # image descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = good[: 13 + 768] + gce + good[13 + 768 :]
+    assert mm.decode_gif(spliced)["width"] == w
+    # two image descriptors = animation -> gated
+    img_part = good[13 + 768 : -1]
+    with pytest.raises(NotImplementedError, match="animated"):
+        mm.decode_gif(good[:-1] + img_part + b"\x3b")
