@@ -329,3 +329,66 @@ def grouped_exact_percentiles(
             F.expr(f"{lo} + {frac} * ({hi} - {lo})").alias(f"{col_prefix}{i}")
         )
     return pivoted.select(*cols)
+
+
+#: per-group Arrow-batch comfort bound for the auto entry point below:
+#: above this many rows in the LARGEST group, the grouped-agg pandas
+#: UDAF (which must hold one whole group per batch) yields to the
+#: bisection.  1M float64 pairs ~ 16 MB per batch — well inside executor
+#: memory, far under Arrow's 2 GB hard limits.
+UDAF_MAX_GROUP_ROWS = 1 << 20
+
+
+def weighted_median_grouped_auto(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    udaf_max_group_rows: int = UDAF_MAX_GROUP_ROWS,
+    median_col: str = "wmedian",
+    **bisect_kw,
+) -> DataFrame:
+    """ONE entry point for the exact grouped weighted median — retires
+    the bounded-groups asterisk on :mod:`.udafs` by applying the BPE
+    auto-select discipline (r13 verdict task 5): the physical strategy
+    is picked from the data, not from the caller reading two docstrings.
+
+    Decision: one extra map-side-combinable scan computes the LARGEST
+    group's row count (one row to the driver).  At or under
+    ``udaf_max_group_rows`` the grouped-agg pandas UDAF runs (each group
+    is one Arrow batch — fastest when groups are bounded, e.g. enum
+    keys); above it, the value-domain bisection (O(log_B V) scans, safe
+    at ANY group size and group count).  Max-group-rows is the honest
+    signal, not group cardinality: a 2-group frame with a billion rows
+    per group must bisect, a billion-group frame with 10 rows per group
+    may UDAF — skew decides, so skew is what is measured.
+
+    Both paths compute the SAME pinned lower weighted median
+    (min { x : 2*cumw(x) >= total }, int64 weights, RANGE-frame ties)
+    over identically filtered facts (weight > 0, value non-NULL,
+    zero-total groups omitted), so the switch is a PERFORMANCE decision
+    that provably cannot change the answer — pinned by
+    tests/test_round14_ops.py::test_weighted_median_auto_paths_agree.
+    """
+    facts = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).where((F.col("_w") > 0) & F.col("_v").isNotNull())
+    # bounded: one (group)-combinable count scan, ONE row to the driver
+    max_rows = (
+        facts.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .first()[0]
+    )
+    if max_rows is not None and max_rows <= udaf_max_group_rows:
+        from spark_stream_analyzer_spark.functions.udafs import weighted_median
+
+        return facts.groupBy(*group_cols).agg(
+            weighted_median("_v", "_w").alias(median_col)
+        )
+    return grouped_weighted_median(
+        facts, group_cols, "_v", "_w", median_col=median_col, **bisect_kw
+    )

@@ -18,10 +18,13 @@ of each distinct value deterministic regardless of intra-tie order.
 Scale shape: grouped-agg pandas UDFs execute per GROUP after a hash
 shuffle on the group keys — map-side partial aggregation does not apply
 (the median is not algebraic), so per-group data must fit an Arrow
-batch.  That is the honest contract of ANY exact median: use it on
-bounded-cardinality groups (here: returnflag × linestatus — 6 cells
-in the driver's synthetic data, 4 in TPC-H proper),
-and fall back to ``percentile_approx`` when groups are fact-sized.
+batch.  Callers should not pick this path by hand:
+``functions.median.weighted_median_grouped_auto`` (r14) measures the
+largest group and selects this UDAF for bounded groups (here:
+returnflag × linestatus — 6 cells in the driver's synthetic data, 4 in
+TPC-H proper) or the ``functions.median`` value-domain bisection when
+any group is fact-sized — same pinned definition, same filtered facts,
+provably the same answer either way.
 """
 
 from __future__ import annotations

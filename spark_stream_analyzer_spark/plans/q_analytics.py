@@ -1752,6 +1752,60 @@ def q_lineitem_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "lineitem_weighted_median_auto",
+    oracle="""
+    WITH s AS (SELECT l_returnflag, l_linestatus,
+                      l_extendedprice AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    c AS (SELECT l_returnflag, l_linestatus, v,
+                 SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+                 SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                   AS total
+          FROM s)
+    SELECT l_returnflag, l_linestatus, ROUND(MIN(v), 6) AS weighted_median_price
+    FROM c WHERE 2 * cum >= total
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="EXT AUTO-SELECTED exact weighted median (r13 verdict task 5 — "
+    "the BPE auto-select discipline applied to the UDAF/bisection "
+    "pair, retiring the bounded-groups asterisk): ONE entry point "
+    "(functions/median.py:weighted_median_grouped_auto) measures the "
+    "LARGEST group with one map-side-combinable count scan (one row "
+    "to the driver) and picks the grouped-agg pandas UDAF when every "
+    "group fits an Arrow batch, the value-domain bisection otherwise. "
+    "Max-group-rows is the honest signal, not group cardinality — "
+    "skew decides, so skew is measured. Both paths compute the SAME "
+    "pinned lower weighted median over identically filtered facts, so "
+    "the oracle is path-independent by construction; the driver row "
+    "exercises the decision scan + the selected path end-to-end on "
+    "the 6-cell returnflag x linestatus shape (UDAF side at driver "
+    "SFs), and the parity test forces BOTH paths and asserts equal "
+    "output",
+)
+def q_lineitem_weighted_median_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.functions.median import (
+        weighted_median_grouped_auto,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = weighted_median_grouped_auto(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        "l_quantity",
+        median_col="_wm",
+    )
+    return med.select(
+        "l_returnflag",
+        "l_linestatus",
+        round6(F.col("_wm")).alias("weighted_median_price"),
+    )
+
+
+@register(
     "lineitem_weighted_median_partkey",
     oracle="""
     WITH s AS (SELECT l_partkey,

@@ -207,3 +207,68 @@ def test_gif_untrusted_payload_hardening():
     img_part = good[13 + 768 : -1]
     with pytest.raises(NotImplementedError, match="animated"):
         mm.decode_gif(good[:-1] + img_part + b"\x3b")
+
+
+# ------------------------------------------- weighted-median auto (task 5)
+
+
+def test_weighted_median_auto_paths_agree(spark, sf_dir):
+    """Force BOTH physical paths through the auto entry point (threshold
+    above / below the fixture's largest group) and assert identical
+    medians — the provably-path-independent contract the driver row's
+    oracle relies on."""
+    from spark_stream_analyzer_spark.functions.median import (
+        weighted_median_grouped_auto,
+    )
+    from spark_stream_analyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def run(threshold):
+        return sorted(
+            map(
+                tuple,
+                weighted_median_grouped_auto(
+                    li,
+                    ["l_returnflag", "l_linestatus"],
+                    "l_extendedprice",
+                    "l_quantity",
+                    udaf_max_group_rows=threshold,
+                ).collect(),
+            )
+        )
+
+    udaf_side = run(10**9)  # every group fits -> pandas UDAF
+    bisect_side = run(0)    # nothing fits -> value-domain bisection
+    assert udaf_side == bisect_side
+    assert len(udaf_side) > 0
+
+
+def test_weighted_median_auto_filters_like_bisection(spark):
+    """Zero/negative weights and NULL values are dropped and zero-total
+    groups omitted IDENTICALLY on both paths."""
+    from spark_stream_analyzer_spark.functions.median import (
+        weighted_median_grouped_auto,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 2),
+            ("a", 5.0, 0),      # zero weight: ignored
+            ("a", 9.0, 1),
+            ("b", None, 3),     # NULL value: ignored
+            ("b", 7.0, -4),     # negative weight: ignored
+            ("c", 4.0, 1),
+        ],
+        "g string, v double, w long",
+    )
+    for threshold in (10**9, 0):
+        got = {
+            r["g"]: r["wmedian"]
+            for r in weighted_median_grouped_auto(
+                df, ["g"], "v", "w", udaf_max_group_rows=threshold
+            ).collect()
+        }
+        # a: weights (2 @ 1.0, 1 @ 9.0), total 3, ceil(3/2)=2 -> 1.0
+        # b: all rows filtered -> group omitted; c: single row -> 4.0
+        assert got == {"a": 1.0, "c": 4.0}, (threshold, got)
