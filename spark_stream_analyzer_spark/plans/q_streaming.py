@@ -3552,3 +3552,190 @@ def q_streaming_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_tokens long, n_merged_tokens long,"
         " n_chars long, stream_hash long",
     )
+
+
+# --------------------------------- round-14: per-operator lag attribution
+
+
+@register(
+    "streaming_state_operator_split",
+    oracle=f"""
+    WITH {_O_BASE},
+    x AS (SELECT event_id, sec // 86400 AS day, event_type FROM base
+          WHERE event_id < {EVENT_CAP})
+    SELECT CAST(2 AS BIGINT) AS n_state_operators,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS dedupe_rows_updated,
+       CAST(COUNT(*) AS BIGINT) AS dedupe_state_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT day, event_type FROM x)) AS agg_state_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT event_id % 3, day, event_type FROM x)
+       ) AS agg_rows_updated,
+       1::INT AS dup_batches_zero_updates,
+       1::INT AS time_split_present,
+       1::INT AS instances_ok
+    FROM x
+    """,
+    doc="EXT per-STATE-OPERATOR lag attribution, LIVE (r13 verdict task "
+    "6) — the next level below streaming_trigger_sla_metrics' whole-"
+    "query trigger latency: when a multi-operator stateful pipeline "
+    "misses its SLA, production debugging needs to know WHICH state "
+    "operator ate the time, from the query's OWN "
+    "StreamingQueryProgress.stateOperators[] — not from logs. This "
+    "row runs the canonical two-operator shape (streaming "
+    "dropDuplicates -> watermarked tumbling-day count, the exact "
+    "dedup-then-aggregate chain a 100 TB ingest pipeline runs), "
+    "replaying every event TWICE across 6 mtime-ordered micro-batches "
+    "(first copies in batches 0-2 by event_id%3, duplicate echoes in "
+    "batches 3-5), and attributes per-operator work from the progress "
+    "stream, keyed by operatorName ('dedupe', 'stateStoreSave' — "
+    "PINNED: an operator the plan didn't declare, or one missing, "
+    "raises): dedupe updates exactly N state rows (one per distinct "
+    "event_id — the duplicate echoes update ZERO), the downstream agg "
+    "updates exactly sum-over-batches of distinct (day,key) groups "
+    "per residue class, and the duplicate-only batches drive ZERO "
+    "updates through BOTH operators (the cross-batch dedup proof read "
+    "from metrics instead of results). UNIT pins, the "
+    "watermark_metrics discipline: allUpdatesTimeMs / "
+    "allRemovalsTimeMs / commitTimeMs must be present and "
+    "non-negative for every (batch, operator); each operator's "
+    "per-batch commitTimeMs is a SUM across its state-store instances "
+    "so it is pinned <= triggerExecution * numStateStoreInstances "
+    "(per-instance commit cannot exceed the batch wall); and "
+    "numStateStoreInstances == numShufflePartitions == the session's "
+    "fixture shuffle parallelism for BOTH operators (state stores are "
+    "one-per-shuffle-partition — the fact that makes state capacity "
+    "scale with the cluster, SURVEY 100 TB story). Wall-time VALUES "
+    "are host-dependent so the oracle checks the deterministic "
+    "data-derived counters; the unit/presence/zero-update invariants "
+    "RAISE on violation rather than emitting a lying 1",
+)
+def q_streaming_state_operator_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    # bounded: EVENT_CAP rows by construction (shared streamed-slice cap);
+    # replay-file writing is harness work, NOT an engine path
+    rows = b.select("event_id", "sec", "event_type").collect()
+    workdir = tempfile.mkdtemp(prefix="ssa_opsplit_")
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.event_id % 3, 3 + r.event_id % 3],
+        fmt=lambda r: f"{r.event_id},{r.sec},{r.event_type}",
+    )
+    parts = F.split("value", ",")
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].cast("long").alias("event_id"),
+        F.timestamp_seconds(parts[1].cast("long")).alias("ts"),
+        parts[2].alias("event_type"),
+    )
+    counted = (
+        parsed.withWatermark("ts", "36500 days")
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"opsplit_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # bounded: one progress dict per micro-batch (6 replay files)
+            progresses = list(q.recentProgress)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+
+    # scheduler tail ticks add no-data batches; attribution reads data ones
+    data = sorted(
+        (p for p in progresses if int(p["numInputRows"]) > 0),
+        key=lambda p: int(p["batchId"]),
+    )
+    by_name: dict[str, list] = {}
+    for p in data:
+        for so in p.get("stateOperators", []):
+            by_name.setdefault(so["operatorName"], []).append((p, so))
+    names = sorted(by_name)
+    if names != ["dedupe", "stateStoreSave"]:
+        raise RuntimeError(
+            f"state-operator split: plan declared operators {names}, "
+            "expected ['dedupe', 'stateStoreSave']"
+        )
+    fixture_parts = int(_FIXTURE_SHUFFLE_PARTS)
+    time_keys = ("allUpdatesTimeMs", "allRemovalsTimeMs", "commitTimeMs")
+    for op_name, pairs in by_name.items():
+        if len(pairs) != len(data):
+            raise RuntimeError(
+                f"operator {op_name} missing from some batch's progress: "
+                f"{len(pairs)} != {len(data)}"
+            )
+        for p, so in pairs:
+            missing = [k for k in time_keys if int(so.get(k, -1)) < 0]
+            if missing:
+                raise RuntimeError(
+                    f"operator {op_name} batch {p['batchId']}: time split "
+                    f"metrics missing/negative: {missing} in {so}"
+                )
+            trig = int((p.get("durationMs") or {}).get("triggerExecution", 0))
+            if int(so["commitTimeMs"]) > trig * int(so["numStateStoreInstances"]):
+                raise RuntimeError(
+                    f"operator {op_name} batch {p['batchId']}: commitTimeMs "
+                    f"{so['commitTimeMs']} exceeds triggerExecution*instances "
+                    f"{trig}*{so['numStateStoreInstances']} — unit pin broken"
+                )
+            if (
+                int(so["numStateStoreInstances"]) != fixture_parts
+                or int(so["numShufflePartitions"]) != fixture_parts
+            ):
+                raise RuntimeError(
+                    f"operator {op_name}: state-store instances "
+                    f"{so['numStateStoreInstances']} / shuffle partitions "
+                    f"{so['numShufflePartitions']} != fixture {fixture_parts}"
+                )
+    # the last 3 data batches replay only duplicate echoes: the dedupe
+    # operator must absorb them (0 updates) and the agg must see nothing
+    if len(data) != 6:
+        raise RuntimeError(f"expected 6 data micro-batches, got {len(data)}")
+    for p in data[3:]:
+        upd = {
+            so["operatorName"]: int(so["numRowsUpdated"])
+            for so in p["stateOperators"]
+        }
+        if any(v != 0 for v in upd.values()):
+            raise RuntimeError(
+                f"duplicate-echo batch {p['batchId']} updated state: {upd}"
+            )
+    n_input = sum(int(p["numInputRows"]) for p in data)
+    ded = [so for _, so in by_name["dedupe"]]
+    agg = [so for _, so in by_name["stateStoreSave"]]
+    return spark.createDataFrame(
+        [
+            (
+                len(names),
+                n_input,
+                sum(int(so["numRowsUpdated"]) for so in ded),
+                max(int(so["numRowsTotal"]) for so in ded),
+                max(int(so["numRowsTotal"]) for so in agg),
+                sum(int(so["numRowsUpdated"]) for so in agg),
+                1,
+                1,
+                1,
+            )
+        ],
+        "n_state_operators long, n_input long, dedupe_rows_updated long,"
+        " dedupe_state_rows long, agg_state_rows long, agg_rows_updated long,"
+        " dup_batches_zero_updates int, time_split_present int,"
+        " instances_ok int",
+    )

@@ -833,3 +833,48 @@ def test_trigger_sla_progress_distribution(spark, sf_dir):
     assert (p50, p95) == (30.0, 100.0)
     p50e, p95e, late = trigger_latency_quantiles([])
     assert (p50e, p95e, late) == (0.0, 0.0, [])
+
+
+def test_state_operator_split_attribution(spark, sf_dir):
+    """Per-operator lag attribution (r13 verdict task 6): the dedupe ->
+    windowed-agg chain must expose a per-operator work split in its own
+    progress stream, and the data-derived counters must match a direct
+    batch computation — run TWICE in one session to pin idempotency
+    (fresh workdir + query name per call, no shared state)."""
+    import pyspark.sql.functions as F
+
+    from spark_stream_analyzer_spark.plans.q_streaming import (
+        EVENT_CAP,
+        q_streaming_state_operator_split,
+    )
+    from spark_stream_analyzer_spark.plans.q_wire import _base
+
+    b = _base(spark, sf_dir).filter(F.col("event_id") < EVENT_CAP)
+    n = b.count()
+    groups = (
+        b.select(F.expr("sec DIV 86400").alias("day"), "event_type")
+        .distinct()
+        .count()
+    )
+    upd = (
+        b.select(
+            (F.col("event_id") % 3).alias("res"),
+            F.expr("sec DIV 86400").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    for _ in range(2):
+        row = q_streaming_state_operator_split(spark, sf_dir).collect()[0]
+        assert row.n_state_operators == 2
+        assert row.n_input == 2 * n
+        assert row.dedupe_rows_updated == n
+        assert row.dedupe_state_rows == n
+        assert row.agg_state_rows == groups
+        assert row.agg_rows_updated == upd
+        assert (
+            row.dup_batches_zero_updates,
+            row.time_split_present,
+            row.instances_ok,
+        ) == (1, 1, 1)
