@@ -1,0 +1,79 @@
+"""Space-filling-curve data layout (Morton / Z-order) — EXT, round 14.
+
+The reference has no data-layout surface at all (its storage is a JDBC
+table written by Spring — SURVEY §2.8); at 100 TB the dominant scan cost
+is decided by HOW rows are laid out across files, because parquet
+file/row-group min-max statistics prune a scan only when each file's
+bounding box over the filtered columns is TIGHT.  A 1-D sort gives tight
+boxes on one column and full-range boxes on every other; interleaving
+the bits of two (or more) columns into a single Morton code and
+range-bucketing on it gives every bucket a small bounding RECTANGLE, so
+multi-dimensional predicates prune on all filtered columns at once —
+the layout Delta's ``OPTIMIZE ZORDER BY`` and Iceberg's z-ordered
+rewrites apply before exactly this kind of scan.
+
+Everything here is pure integer column expressions (shift / mask / add
+over disjoint bits), whole-stage-codegen JVM-side, and every step has an
+exact SQL mirror (``zvalue_sql``) so the registry rows stay
+oracle-checked: quantization is min-max integer scaling with floor
+division (both engines floor for non-negative operands), and the bit
+interleave is a 2·bits-term sum of ``((q >> i) & 1) << k`` terms —
+identical arithmetic in Spark and DuckDB by construction.
+
+At cluster scale the bucket id is the thing you ``repartitionByRange``
+and write on; the registry rows keep the bucket count at 64 so the
+per-bucket bounding-box audit stays a bounded (<=64-row) result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def minmax_quantize(col_expr: str, lo, hi, bits: int) -> Column:
+    """Scale SQL expression ``col_expr`` in ``[lo, hi]`` to ``[0, 2^bits)``.
+
+    ``lo``/``hi`` are ints (from a bounded one-row aggregate) or SQL
+    expressions; floor division keeps the map deterministic and exactly
+    mirrorable in SQL (non-negative operands, both engines floor).  A
+    degenerate column (``hi == lo``) maps to 0 via the GREATEST guard.
+    """
+    scale = (1 << bits) - 1
+    return F.expr(
+        f"CAST((({col_expr}) - ({lo})) * {scale} "
+        f"DIV GREATEST(1, ({hi}) - ({lo})) AS LONG)"
+    )
+
+
+def minmax_quantize_sql(expr: str, lo, hi, bits: int) -> str:
+    """The DuckDB mirror of :func:`minmax_quantize` (same arithmetic)."""
+    scale = (1 << bits) - 1
+    return (
+        f"CAST((({expr}) - ({lo})) * {scale} "
+        f"// GREATEST(1, ({hi}) - ({lo})) AS BIGINT)"
+    )
+
+
+def zvalue_2d(qx: Column, qy: Column, bits: int = 16) -> Column:
+    """Morton code of two quantized coordinates (disjoint-bit sum).
+
+    ``qx``/``qy`` must already be non-negative longs < ``2^bits``; the
+    result is < ``2^(2*bits)``.  Addition over disjoint bit positions is
+    bitwise-OR, so the whole interleave stays a flat codegen-friendly
+    arithmetic expression — no UDF, no loop at runtime.
+    """
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zvalue_2d_sql(qx: str, qy: str, bits: int = 16) -> str:
+    """The DuckDB mirror of :func:`zvalue_2d` — the same 2·bits terms."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({qy}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"

@@ -39,6 +39,7 @@ ARROW_PYTHON_OK = {
     "multimodal_ppm_decode_stats",
     "multimodal_bmp_decode_stats",  # round-4b third real codec
     "multimodal_png_decode_stats",  # round-6 compressed codec (zlib)
+    "multimodal_gif_decode_stats",  # round-14 compressed codec (LZW)
     # round-8: the UDTF row's Python boundary IS its subject — it exists
     # to pin the extension-API class against the codegen explode twin
     # (test_round8_ops pins the twin's plan has NO Python stage)
