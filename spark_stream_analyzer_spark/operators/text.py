@@ -1028,3 +1028,250 @@ def unigram_prune_table(
     return spark.createDataFrame(
         rows, "rank bigint, piece string, cnt bigint, prob double"
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (BERT-style) greedy longest-match tokenizer (round 14)
+# ---------------------------------------------------------------------------
+
+#: same caps as the unigram family: trainable word length and max piece
+_WP_MAX_PIECE = 6
+#: vocab: every single-char piece (both word-initial and ``##``
+#: continuation forms — which makes every kept word segmentable by
+#: construction, so the ``[UNK]`` path is provably dead on the driver
+#: rows and exercised only by the restricted-vocab unit test) + the top
+#: multi-char pieces by weighted count
+_WP_SEED_CAP = 96
+_WP_SEED_MIN_CNT = 2
+#: the ``_BPE_TRIE_MIN_MERGES`` auto-select discipline: below this vocab
+#: size the encode is the expression greedy + broadcast seg-join; at or
+#: above, the vocab ships in an Arrow pandas-UDF closure
+_WP_TRIE_MIN_VOCAB = 512
+_WP_UNK = "[UNK]"
+
+
+def _wordpiece_piece_counts(wf: DataFrame) -> DataFrame:
+    """(piece, cnt): corpus-weighted counts of every candidate WordPiece
+    — word PREFIXES as-is (the word-initial family) and ``##``-prefixed
+    interior substrings (the continuation family), lengths 1..cap.
+    Per-row array transform + ONE map-side-combinable groupBy; nothing
+    crosses the driver here."""
+    pref = (
+        f"transform(sequence(1, least(length(wd), {_WP_MAX_PIECE})),"
+        f" L -> substring(wd, 1, CAST(L AS INT)))"
+    )
+    conts = ", ".join(
+        # Spark's sequence(a, b) DESCENDS when a > b, so guard emptiness
+        f"IF(length(wd) >= {L} + 1,"
+        f" transform(sequence(2, length(wd) - {L} + 1),"
+        f" i -> concat('##', substring(wd, CAST(i AS INT), {L}))),"
+        f" CAST(array() AS ARRAY<STRING>))"
+        for L in range(1, _WP_MAX_PIECE + 1)
+    )
+    return (
+        wf.select("f", F.explode(F.expr(f"concat({pref}, {conts})")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def _wp_is_single(piece_col: str) -> str:
+    """SQL predicate: piece is a single character in either family."""
+    return (
+        f"(length({piece_col}) = 1 OR (length({piece_col}) = 3"
+        f" AND substring({piece_col}, 1, 2) = '##'))"
+    )
+
+
+def wordpiece_vocab(df: DataFrame, text_col: str = "text") -> tuple[list[str], dict]:
+    """Frequency-seeded WordPiece vocab over the corpus: ALL single-char
+    pieces (both families — segmentability invariant) + the top
+    ``_WP_SEED_CAP`` multi-char pieces with count >= ``_WP_SEED_MIN_CNT``
+    (count desc, piece asc — deterministic).  Returns (sorted vocab,
+    piece -> weighted count).  Only the capped vocab crosses the driver."""
+    wf = _unigram_word_freq(df, text_col)
+    pc = _wordpiece_piece_counts(wf)
+    singles = pc.filter(F.expr(_wp_is_single("piece")))
+    multi = (
+        pc.filter(~F.expr(_wp_is_single("piece")))
+        .filter(F.col("cnt") >= _WP_SEED_MIN_CNT)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_WP_SEED_CAP)
+    )
+    rows = singles.unionAll(multi).collect()  # bounded: capped vocab
+    cnts = {r["piece"]: int(r["cnt"]) for r in rows}
+    return sorted(cnts), cnts
+
+
+def wordpiece_vocab_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The vocab row: one row per piece with weighted count and family
+    bit, ranked (count desc, piece asc)."""
+    spark = df.sparkSession
+    vocab, cnts = wordpiece_vocab(df, text_col)
+    ranked = sorted(vocab, key=lambda p: (-cnts[p], p))
+    rows = [
+        (r + 1, p, cnts[p], int(p.startswith("##")))
+        for r, p in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, piece string, cnt bigint, is_continuation int"
+    )
+
+
+def _wordpiece_word_py(wd: str, vocab) -> list[str]:
+    """Python twin of the expression greedy — identical longest-match
+    -first scan and whole-word ``[UNK]`` fallback, so the Arrow path is
+    output-identical to the expression path (string comparisons only,
+    no floats — nothing to drift)."""
+    ps: list[str] = []
+    q, n = 0, len(wd)
+    while q < n:
+        for j in range(min(_WP_MAX_PIECE, n - q), 0, -1):
+            cand = wd[q : q + j] if q == 0 else "##" + wd[q : q + j]
+            if cand in vocab:
+                ps.append(cand)
+                q += j
+                break
+        else:
+            return [_WP_UNK]
+    return ps
+
+
+def _set_map_col(pieces) -> "F.Column":
+    """Bounded vocab → one membership-map column (sorted keys so the
+    plan is deterministic; values are a dummy 1)."""
+    keys = sorted(pieces)
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.lit(1) for _ in keys]),
+    )
+
+
+def _spark_wp_greedy(wd: str, m: str) -> str:
+    """WordPiece greedy longest-match as ONE ``aggregate`` HOF: the
+    accumulator carries (chars consumed, pieces); each step takes the
+    LONGEST vocab piece at the cursor (word-initial form at offset 0,
+    ``##`` continuation after) or collapses the whole word to
+    ``[UNK]``.  Every step consumes >= 1 char, so ``length(wd)``
+    iterations always suffice; the lambda is a constant-size CASE —
+    plan size never grows with word length or data."""
+
+    def cand(j: int) -> str:
+        sub = f"substring({wd}, acc.q + 1, {j})"
+        return f"IF(acc.q = 0, {sub}, concat('##', {sub}))"
+
+    branches = " ".join(
+        f"WHEN acc.q + {j} <= length({wd})"
+        f" AND try_element_at({m}, {cand(j)}) IS NOT NULL"
+        f" THEN named_struct('q', acc.q + {j},"
+        f" 'ps', concat(acc.ps, array({cand(j)})))"
+        for j in range(_WP_MAX_PIECE, 0, -1)
+    )
+    step = (
+        f"CASE {branches} ELSE named_struct('q', length({wd}),"
+        f" 'ps', array('{_WP_UNK}')) END"
+    )
+    return (
+        f"aggregate(sequence(1, length({wd})), "
+        f"named_struct('q', 0, 'ps', CAST(array() AS ARRAY<STRING>)), "
+        f"(acc, x) -> IF(acc.q >= length({wd}), acc, {step}), "
+        f"acc -> acc.ps)"
+    )
+
+
+def wp_segment_words(wdf: DataFrame, vocab, wd_col: str = "wd") -> DataFrame:
+    """Greedy-segment a DISTINCT-word frame under a WordPiece vocab:
+    adds ``ps array<string>``.  Distributed over the word table (vocab
+    rides as a bounded map literal — the caller gates size via
+    ``_WP_TRIE_MIN_VOCAB``)."""
+    return (
+        wdf.withColumn("_m", _set_map_col(vocab))
+        .withColumn("ps", F.expr(_spark_wp_greedy(wd_col, "_m")))
+        .drop("_m")
+    )
+
+
+def _wp_enc_join(df: DataFrame, vocab, text_col: str) -> DataFrame:
+    """Expression-path encode: segment the DISTINCT kept-word table once
+    (bounded), broadcast-join back onto the positional word stream —
+    the ``_unigram_enc_join`` shape with the greedy in place of the DP."""
+    d = with_words(df, text_col).withColumn(
+        "kept", F.expr(f"filter(words, wd -> length(wd) <= {_UNI_MAX_WORD})")
+    )
+    wdf = d.select(F.explode("kept").alias("wd")).distinct()
+    seg = wp_segment_words(wdf, vocab).select(
+        "wd", F.array_join("ps", " ").alias("penc")
+    )
+    ex = d.select("doc_id", F.posexplode("kept").alias("pos", "wd")).join(
+        F.broadcast(seg), "wd"
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, penc))), x -> x.penc)"
+        ).alias("enc")
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("enc", F.expr("CAST(array() AS ARRAY<STRING>)")).alias("enc"),
+    )
+
+
+def _wp_enc_arrow(df: DataFrame, vocab, text_col: str) -> DataFrame:
+    """Arrow-path encode for production vocabs: the vocab set rides the
+    UDF closure once; per-batch word -> pieces memoization, zero
+    shuffle — the 100 TB path (same contract as ``_unigram_enc_arrow``)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    vset = frozenset(vocab)
+
+    def _enc_series(words):
+        cache: dict = {}
+
+        def enc_word(w):
+            e = cache.get(w)
+            if e is None:
+                e = " ".join(_wordpiece_word_py(w, vset))
+                cache[w] = e
+            return e
+
+        return words.map(
+            lambda ws: [enc_word(w) for w in ws if len(w) <= _UNI_MAX_WORD]
+        )
+
+    _enc = F.pandas_udf(_enc_series, ArrayType(StringType()))
+    return with_words(df, text_col).select("doc_id", _enc("words").alias("enc"))
+
+
+def wordpiece_encode_stats(
+    df: DataFrame, vocab, text_col: str = "text"
+) -> DataFrame:
+    """ENCODE with a WordPiece vocab — greedy longest-match-first with
+    whole-word ``[UNK]`` fallback (the BERT inference algorithm),
+    auto-selecting the physical path by vocab size exactly like
+    ``bpe_encode_stats`` / ``unigram_encode_stats``.  Per doc: piece
+    count, continuation-piece count, UNK'd word count, char count over
+    encodable words, and the md5-60 fingerprint of the position-ordered
+    encoded stream."""
+    if len(vocab) >= _WP_TRIE_MIN_VOCAB:
+        enc = _wp_enc_arrow(df, vocab, text_col)
+    else:
+        enc = _wp_enc_join(df, vocab, text_col)
+    return enc.select(
+        "doc_id",
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a + size(split(e, ' ')))"
+        ).alias("n_pieces"),
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a +"
+            " size(filter(split(e, ' '), t -> substring(t, 1, 2) = '##')))"
+        ).alias("n_continuations"),
+        F.expr(
+            f"aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a +"
+            f" IF(e = '{_WP_UNK}', CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+        ).alias("n_unk_words"),
+        F.expr(
+            "aggregate(enc, CAST(0 AS BIGINT), (a, e) -> a +"
+            " length(replace(e, ' ', '')))"
+        ).alias("n_chars"),
+        F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
+    )

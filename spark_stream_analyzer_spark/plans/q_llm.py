@@ -3707,3 +3707,203 @@ def q_embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crosses the driver once and re-enters the plan as literals)
     weights = [r["weight"] for r in sorted(w_rows, key=lambda r: r["dim"])]
     return similarity.logistic_score(emb, weights)
+
+
+# ------------------------------------------------- round-14: WordPiece
+
+def _wp_base_parts() -> list[str]:
+    """Shared CTE chain of the DuckDB WordPiece oracle — the same
+    normalized word-frequency table the unigram oracle uses, the
+    two-family candidate-piece counts, the capped vocab, and its
+    membership map.  Generated from the SAME constants as the Spark
+    operator so the two sides cannot drift."""
+    mp = text._WP_MAX_PIECE
+    pref = (
+        f"list_transform(range(1, least(length(wd), {mp}) + 1),"
+        f" L -> substr(wd, 1, CAST(L AS INT)))"
+    )
+    conts = " || ".join(
+        # DuckDB range(a, b) is empty when b <= a (never descends)
+        f"list_transform(range(2, length(wd) - {L} + 2),"
+        f" i -> '##' || substr(wd, CAST(i AS INT), {L}))"
+        for L in range(1, mp + 1)
+    )
+    single = (
+        "(length(piece) = 1 OR (length(piece) = 3"
+        " AND substr(piece, 1, 2) = '##'))"
+    )
+    return [
+        f"w AS ({_W})",
+        f"uwf AS MATERIALIZED (SELECT wd, CAST(COUNT(*) AS BIGINT) AS f FROM"
+        f" (SELECT unnest(words) AS wd FROM w)"
+        f" WHERE length(wd) <= {_UNI_W} GROUP BY wd)",
+        f"wps AS (SELECT f, unnest({pref} || {conts}) AS piece FROM uwf)",
+        "wpc AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt"
+        " FROM wps GROUP BY piece)",
+        f"wpv AS MATERIALIZED (SELECT piece, cnt FROM wpc WHERE {single}"
+        f" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM wpc"
+        f" WHERE NOT {single} AND cnt >= {text._WP_SEED_MIN_CNT}"
+        f" ORDER BY cnt DESC, piece LIMIT {text._WP_SEED_CAP}))",
+        "wpm AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),"
+        " list(1 ORDER BY piece)) AS m FROM wpv)",
+    ]
+
+
+def _wp_duck_greedy_parts() -> list[str]:
+    """The greedy longest-match as a RECURSIVE CTE over cursor steps
+    (the `_uni_duck_dp_parts` recursion discipline — both engines blow
+    up on unrolled alias chains): state is (consumed chars q, pieces);
+    each step takes the longest vocab piece at the cursor or collapses
+    the word to [UNK] and jumps the cursor to the end.  Every step
+    consumes >= 1 char, so the recursion depth is the word length."""
+    mp = text._WP_MAX_PIECE
+
+    def cand(j: int) -> str:
+        sub = f"substr(wd, q + 1, {j})"
+        return f"(CASE WHEN q = 0 THEN {sub} ELSE '##' || {sub} END)"
+
+    hit = {
+        j: f"q + {j} <= n AND (m[{cand(j)}])[1] IS NOT NULL"
+        for j in range(1, mp + 1)
+    }
+    next_q = (
+        "(CASE "
+        + " ".join(f"WHEN {hit[j]} THEN q + {j}" for j in range(mp, 0, -1))
+        + " ELSE n END)"
+    )
+    next_ps = (
+        "(CASE "
+        + " ".join(
+            f"WHEN {hit[j]} THEN ps || [{cand(j)}]" for j in range(mp, 0, -1)
+        )
+        + f" ELSE ['{text._WP_UNK}'] END)"
+    )
+    return [
+        "wpg AS (SELECT wd, f, length(wd) AS n, 0 AS q,"
+        " CAST([] AS VARCHAR[]) AS ps FROM uwf"
+        f" UNION ALL SELECT wd, f, n, {next_q}, {next_ps}"
+        " FROM wpg CROSS JOIN wpm WHERE q < n)",
+        "wseg AS MATERIALIZED (SELECT wd,"
+        " array_to_string(ps, ' ') AS penc,"
+        " CAST(len(ps) AS BIGINT) AS np,"
+        " CAST(len(list_filter(ps, t -> substr(t, 1, 2) = '##')) AS BIGINT) AS nc,"
+        f" CAST(CASE WHEN array_to_string(ps, ' ') = '{text._WP_UNK}'"
+        " THEN 1 ELSE 0 END AS BIGINT) AS nu,"
+        " CAST(length(array_to_string(ps, '')) AS BIGINT) AS nch"
+        " FROM wpg WHERE q = n)",
+    ]
+
+
+def _wp_encode_sql() -> str:
+    parts = _wp_base_parts() + _wp_duck_greedy_parts()
+    parts.append(
+        "wms AS MATERIALIZED (SELECT"
+        " map(list(wd ORDER BY wd), list(penc ORDER BY wd)) AS me,"
+        " map(list(wd ORDER BY wd), list(np ORDER BY wd)) AS mp,"
+        " map(list(wd ORDER BY wd), list(nc ORDER BY wd)) AS mc,"
+        " map(list(wd ORDER BY wd), list(nu ORDER BY wd)) AS mu"
+        " FROM wseg)"
+    )
+    parts.append(
+        f"wenc AS (SELECT doc_id,"
+        f" list_filter(words, x -> length(x) <= {_UNI_W}) AS kept FROM w)"
+    )
+    stream = "array_to_string(list_transform(kept, x -> (me[x])[1]), '|')"
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> (mp[x])[1])), 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> (mc[x])[1])), 0) AS BIGINT) AS n_continuations,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> (mu[x])[1])), 0) AS BIGINT) AS n_unk_words,
+       CAST(COALESCE(list_sum(list_transform(kept, x ->
+            length(replace((me[x])[1], ' ', '')))), 0) AS BIGINT) AS n_chars,
+       {TH.duck_hash60(stream)} AS stream_hash
+    FROM wenc CROSS JOIN wms
+    """
+    )
+
+
+@register(
+    "text_wordpiece_vocab",
+    oracle=(
+        "WITH "
+        + ",\n    ".join(_wp_base_parts())
+        + """
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+       piece, cnt,
+       CAST(CASE WHEN substr(piece, 1, 2) = '##' THEN 1 ELSE 0 END AS INT)
+         AS is_continuation
+    FROM wpv
+    """
+    ),
+    doc="EXT WordPiece vocab SEEDING — the third tokenizer family "
+    "(BPE merge-ranks, unigram-LM probs, and now BERT-style WordPiece "
+    "with its two-family piece space): word-initial pieces are word "
+    "PREFIXES as-is, interior pieces carry the '##' continuation "
+    "marker, so the same surface string is two distinct vocabulary "
+    "entries with independent statistics — the property that lets "
+    "greedy longest-match segment without word-boundary ambiguity. "
+    "Vocab = every single-char piece of BOTH families (making every "
+    "kept word segmentable by construction — the [UNK] path is "
+    "provably dead on this corpus and exercised by the restricted-"
+    "vocab unit test instead) + the top-96 multi-char pieces by "
+    "corpus-weighted count (>= 2, count desc / piece asc — "
+    "deterministic). One map-side-combinable substring groupBy at "
+    "fact scale; only the capped vocab crosses the driver "
+    "(operators/text.py wordpiece_vocab)",
+)
+def q_text_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.wordpiece_vocab_table(_docs(spark, sf_dir))
+
+
+@register(
+    "text_wordpiece_encode",
+    oracle=_wp_encode_sql(),
+    doc="EXT WordPiece ENCODE — greedy longest-match-first with whole-"
+    "word [UNK] fallback, the exact BERT inference algorithm, as ONE "
+    "constant-size aggregate-HOF lambda per word (the Viterbi-DP "
+    "plan-shape discipline: expression size never grows with word "
+    "length or data; the DuckDB oracle runs the same scan as a "
+    "recursive CTE over cursor steps — both engines textually inline "
+    "alias chains, so unrolled forms blow up 3^W). Expression path "
+    "(vocab < 512): segment the DISTINCT kept-word table once, "
+    "broadcast-join back onto the positional word stream — one doc_id "
+    "shuffle. Pure string membership tests against a sorted map "
+    "literal: no floats anywhere in this family, so cross-engine "
+    "parity is exact by construction. Per doc: piece count, "
+    "'##'-continuation count, UNK'd word count (pinned 0 on this "
+    "corpus by the all-singles vocab invariant), char count of the "
+    "encoded stream, md5-60 fingerprint of the position-ordered "
+    "stream",
+)
+def q_text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vocab, _ = text.wordpiece_vocab(docs)
+    return text.wordpiece_encode_stats(docs, vocab)
+
+
+@register(
+    "text_wordpiece_encode_bigvocab",
+    oracle=_wp_encode_sql(),
+    doc="EXT WordPiece ENCODE at production vocab size — the same "
+    "seeded vocab padded past the _WP_TRIE_MIN_VOCAB gate with "
+    "PROVABLY inert pieces (uppercase 'Q{i}': normalized words are "
+    "lower()ed [a-z0-9], so no substring nor '##'-form can ever equal "
+    "them — the r12-ADVICE inertness standard), forcing "
+    "wordpiece_encode_stats onto the Arrow path: the vocab set rides "
+    "the UDF closure once, per-batch word->pieces memoization, zero "
+    "shuffle — the 100 TB serving form. Because the pad never "
+    "matches, the recursive-CTE oracle stays exact, so the Python "
+    "greedy's output-parity with the expression greedy is hash-"
+    "checked cross-engine every driver round",
+)
+def q_text_wordpiece_encode_bigvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vocab, _ = text.wordpiece_vocab(docs)
+    assert not any(c.isupper() for p in vocab for c in p), (
+        "seeded vocab contains uppercase — pad inertness proof void"
+    )
+    pad = [f"Q{i}" for i in range(text._WP_TRIE_MIN_VOCAB)]
+    return text.wordpiece_encode_stats(docs, list(vocab) + pad)

@@ -55,6 +55,11 @@ ARROW_PYTHON_OK = {
     # recursive-CTE oracle (the <512 expression/join form is Python-free;
     # test_round13_ops pins the two paths bit-identical)
     "text_unigram_lm_encode_bigvocab",
+    # round-14: and again for the WordPiece production-vocab encoder —
+    # the row exists to drive the >=512-vocab Arrow greedy against the
+    # recursive-CTE oracle (the <512 expression/join form is Python-free;
+    # test_round14_ops pins the two paths output-identical)
+    "text_wordpiece_encode_bigvocab",
 }
 
 # r9: the grouped-agg pandas UDAF class (AggregateInPandas) — allowed

@@ -348,3 +348,53 @@ def test_zvalue_locality_beats_linear_on_box_query(spark):
     assert z_scanned == 4 * 64, z_scanned
     assert l_scanned == 8 * 64, l_scanned
     assert z_scanned < l_scanned
+
+
+# ------------------------------------------------------------- wordpiece
+
+
+def test_wordpiece_greedy_matches_python_reference(spark):
+    """The expression greedy and the Python twin must produce identical
+    segmentations, including longest-match-first tie behavior and the
+    whole-word [UNK] fallback under a RESTRICTED vocab (the path the
+    driver rows provably never take — all-singles vocab)."""
+    from spark_stream_analyzer_spark.operators import text
+
+    vocab = {"un", "##able", "##b", "##le", "u", "##n", "##a", "x"}
+    words = ["unable", "unb", "xq", "u", "zzz"]
+    # Python reference
+    py = {w: text._wordpiece_word_py(w, vocab) for w in words}
+    assert py["unable"] == ["un", "##able"]  # longest continuation wins
+    assert py["unb"] == ["un", "##b"]
+    assert py["xq"] == ["[UNK]"]  # '##q' missing -> whole word UNKs
+    assert py["u"] == ["u"]
+    assert py["zzz"] == ["[UNK]"]  # 'z' not even word-initial
+    wdf = spark.createDataFrame([(w,) for w in words], "wd string")
+    got = {
+        r["wd"]: list(r["ps"])
+        for r in text.wp_segment_words(wdf, vocab).collect()
+    }
+    assert got == py, (got, py)
+
+
+def test_wordpiece_arrow_path_parity(spark, sf_dir):
+    """Auto-select: padding the vocab past the gate flips the plan to
+    ArrowEvalPython but must not change one output value (string
+    membership only — no float drift surface)."""
+    import pyspark.sql.functions as F
+
+    from spark_stream_analyzer_spark.operators import text
+    from spark_stream_analyzer_spark.plans.q_llm import _docs
+
+    docs = _docs(spark, sf_dir).limit(80)
+    vocab, _ = text.wordpiece_vocab(docs)
+    small = text.wordpiece_encode_stats(docs, vocab)
+    assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+    pad = [f"Q{i}" for i in range(text._WP_TRIE_MIN_VOCAB)]
+    big = text.wordpiece_encode_stats(docs, list(vocab) + pad)
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+    a = {r["doc_id"]: tuple(r)[1:] for r in small.collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in big.collect()}
+    assert a == b
+    # the all-singles invariant: no UNKs anywhere on the real corpus
+    assert small.agg(F.sum("n_unk_words")).collect()[0][0] == 0
