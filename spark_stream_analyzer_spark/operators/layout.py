@@ -56,24 +56,25 @@ def minmax_quantize_sql(expr: str, lo, hi, bits: int) -> str:
 
 
 def zvalue_2d(qx: Column, qy: Column, bits: int = 16) -> Column:
-    """Morton code of two quantized coordinates (disjoint-bit sum).
-
+    """Morton code of two equal-width quantized coordinates — a thin
+    wrapper over the repo's ONE interleave implementation,
+    ``sources/layout.py:zorder_key`` (MSB-aligned; with equal widths
+    that places ``qx``'s bit j at output bit 2j+1 and ``qy``'s at 2j).
     ``qx``/``qy`` must already be non-negative longs < ``2^bits``; the
-    result is < ``2^(2*bits)``.  Addition over disjoint bit positions is
-    bitwise-OR, so the whole interleave stays a flat codegen-friendly
-    arithmetic expression — no UDF, no loop at runtime.
+    result is < ``2^(2*bits)`` — flat shift/mask/or expressions, no
+    UDF, no loop at runtime.
     """
-    z: Column = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    return z
+    from spark_stream_analyzer_spark.sources.layout import zorder_key
+
+    return zorder_key([(qx, bits), (qy, bits)])
 
 
 def zvalue_2d_sql(qx: str, qy: str, bits: int = 16) -> str:
-    """The DuckDB mirror of :func:`zvalue_2d` — the same 2·bits terms."""
+    """The DuckDB mirror of :func:`zvalue_2d` — the same 2·bits disjoint
+    bit terms ``zorder_key`` emits for two equal-width dimensions (first
+    column's bit j lands at output bit 2j+1, second's at 2j)."""
     terms = []
-    for i in range(bits):
-        terms.append(f"((({qx}) >> {i}) & 1) * {1 << (2 * i)}")
-        terms.append(f"((({qy}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    for j in range(bits):
+        terms.append(f"((({qx}) >> {j}) & 1) * {1 << (2 * j + 1)}")
+        terms.append(f"((({qy}) >> {j}) & 1) * {1 << (2 * j)}")
     return "(" + " + ".join(terms) + ")"

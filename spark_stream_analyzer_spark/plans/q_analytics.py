@@ -2253,7 +2253,12 @@ def _z_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
     FROM z GROUP BY zbucket
     """,
-    doc="EXT Z-order (Morton) data layout (operators/layout.py): min-max "
+    doc="EXT Z-order (Morton) data layout (operators/layout.py, "
+    "delegating the interleave to the repo's one canonical "
+    "implementation, sources/layout.py:zorder_key — the r7 "
+    "footer-stats row source_zorder_multidim_pruning proves the same "
+    "key prunes REAL parquet files; this row is its oracle-exact "
+    "in-plan twin): min-max "
     "quantize (l_partkey, l_suppkey) onto a 2^16-per-dim integer grid, "
     "bit-interleave into a Morton code, and split the curve into 64 "
     "z-range buckets — the layout Delta OPTIMIZE ZORDER / Iceberg "

@@ -278,16 +278,18 @@ def test_weighted_median_auto_filters_like_bisection(spark):
 
 
 def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    # zorder_key's equal-width MSB-aligned placement: first dimension's
+    # bit j at output bit 2j+1, second dimension's at 2j
     z = 0
-    for i in range(bits):
-        z |= ((x >> i) & 1) << (2 * i)
-        z |= ((y >> i) & 1) << (2 * i + 1)
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j + 1)
+        z |= ((y >> j) & 1) << (2 * j)
     return z
 
 
 def test_zvalue_matches_python_reference(spark):
-    """The disjoint-bit sum expression IS the Morton interleave: check
-    against a direct Python bit-twiddle on edge and random-ish points."""
+    """The zorder_key delegation IS the Morton interleave: check against
+    a direct Python bit-twiddle on edge and random-ish points."""
     import pyspark.sql.functions as F
 
     from spark_stream_analyzer_spark.operators.layout import zvalue_2d
