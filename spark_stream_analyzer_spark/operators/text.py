@@ -1275,3 +1275,114 @@ def wordpiece_encode_stats(
         ).alias("n_chars"),
         F.expr(TH.spark_hash60("array_join(enc, '|')")).alias("stream_hash"),
     )
+
+
+def wordpiece_train_merges(
+    df: DataFrame, text_col: str = "text", rounds: int = 3
+) -> list[tuple[int, str, str, int, int, int]]:
+    """Iterated WordPiece merge training — the published likelihood rule.
+
+    Identical loop shape to :func:`bpe_train_merges` (count → argmax →
+    apply via non-overlapping space-delimited ``replace``), with TWO
+    WordPiece-specific changes: symbols are two-family (the word's
+    first char as-is, every later char ``##``-prefixed, so merges build
+    word-initial and continuation pieces with independent statistics),
+    and the argmax is scored by the WordPiece likelihood gain
+    ``count(ab) / (count(a) * count(b))`` — the pair whose merge most
+    raises corpus likelihood under a unigram piece model — instead of
+    the raw pair count.  The score is ONE double division of exact
+    integer-valued doubles (products < 2^53), bit-identical across
+    engines; ties break pair-asc.
+
+    The RIGHT symbol of an adjacent pair is always a continuation (only
+    position 1 is word-initial, and merges preserve that), so the merged
+    symbol is ``left + right[2:]`` — asserted, not assumed.
+
+    Scale shape per round: pair and symbol counts collapse map-side onto
+    the bounded symbol-pair universe; the two count tables join at
+    vocab scale (never fact scale); ONLY the argmax row crosses the
+    driver and re-enters the next round's plan as a replace literal.
+    Returns ``[(round, pair, merged, n_pair, n_left, n_right), ...]``.
+    """
+    words = with_words(df, text_col).select(F.explode("words").alias("w"))
+    sdf = words.select(
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> IF(i = 1, substring(w, 1, 1),"
+            " concat('##', substring(w, i, 1)))), ' '), ' ')"
+        ).alias("s")
+    )
+    # pin the two-family symbol table once (the bpe_train_merges
+    # discipline): each round re-reads blocks through the replace chain
+    sdf = materialize(sdf)
+    syms = "split(trim(s), ' ')"
+    out_rows: list[tuple[int, str, str, int, int, int]] = []
+    for rnd in range(1, rounds + 1):
+        pc = (
+            sdf.filter(F.expr(f"size({syms}) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size({syms}) - 1),"
+                        f" i -> concat(element_at({syms}, i), ' ',"
+                        f" element_at({syms}, i + 1)))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+        )
+        sc = (
+            sdf.select(F.explode(F.expr(syms)).alias("sym"))
+            .groupBy("sym")
+            .agg(F.count("*").alias("c"))
+        )
+        cl = sc.select(F.col("sym").alias("_l"), F.col("c").alias("nl"))
+        cr = sc.select(F.col("sym").alias("_r"), F.col("c").alias("nr"))
+        scored = (
+            pc.join(cl, F.expr("substring_index(pair, ' ', 1) = _l"))
+            .join(cr, F.expr("substring_index(pair, ' ', -1) = _r"))
+            .select(
+                "pair",
+                "n",
+                "nl",
+                "nr",
+                (
+                    F.col("n").cast("double")
+                    / (F.col("nl").cast("double") * F.col("nr").cast("double"))
+                ).alias("score"),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("pair")).limit(1).collect()
+        )  # ONE row — the argmax merge, kmeans-style exchange
+        if not top:
+            break
+        pair = top[0]["pair"]
+        left, right = pair.split(" ", 1)
+        assert right.startswith("##"), (
+            f"WordPiece invariant broken: right symbol {right!r} is not a "
+            "continuation — a word-initial symbol appeared at position >= 2"
+        )
+        merged = left + right[2:]
+        out_rows.append(
+            (rnd, pair, merged, int(top[0]["n"]), int(top[0]["nl"]), int(top[0]["nr"]))
+        )
+        sdf = sdf.select(
+            F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s")
+        )
+    return out_rows
+
+
+def wordpiece_merge_table(
+    df: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """The likelihood-trainer row: one row per round with the winning
+    pair, its merged symbol, and the three counts behind its score."""
+    spark = df.sparkSession
+    rows = wordpiece_train_merges(df, text_col=text_col, rounds=rounds)
+    return spark.createDataFrame(
+        rows,
+        "round int, pair string, merged string, n_pair bigint,"
+        " n_left bigint, n_right bigint",
+    )

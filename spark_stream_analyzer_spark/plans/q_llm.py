@@ -3907,3 +3907,84 @@ def q_text_wordpiece_encode_bigvocab(spark: SparkSession, sf_dir: str) -> DataFr
     )
     pad = [f"Q{i}" for i in range(text._WP_TRIE_MIN_VOCAB)]
     return text.wordpiece_encode_stats(docs, list(vocab) + pad)
+
+
+def _wp_merge_parts(rounds: int = 3) -> list[str]:
+    """Unrolled DuckDB twin of ``text.wordpiece_train_merges`` — the
+    ``_bpe_merge_parts`` chain with the two-family symbol init and the
+    likelihood score ``n / (n_left * n_right)`` in the argmax."""
+    syms = "string_split(trim(s), ' ')"
+    parts = [
+        f"w AS ({_W})",
+        "t AS (SELECT unnest(words) AS wd FROM w)",
+        "s0 AS (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(wd) + 1), i -> CASE WHEN i = 1 THEN substr(wd, 1, 1)"
+        " ELSE '##' || substr(wd, CAST(i AS INT), 1) END), ' ')"
+        " || ' ' AS s FROM t)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"pc{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM"
+            f" (SELECT unnest(list_transform(range(1, len({syms})),"
+            f" i -> {syms}[i] || ' ' || {syms}[i + 1])) AS pair"
+            f" FROM {prev} WHERE len({syms}) >= 2) GROUP BY pair)"
+        )
+        parts.append(
+            f"sc{r} AS (SELECT sym, CAST(COUNT(*) AS BIGINT) AS c FROM"
+            f" (SELECT unnest({syms}) AS sym FROM {prev}) GROUP BY sym)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT pair, n, cl.c AS nl, cr.c AS nr,"
+            f" string_split(pair, ' ')[1] ||"
+            f" substr(string_split(pair, ' ')[2], 3) AS merged"
+            f" FROM pc{r}"
+            f" JOIN sc{r} cl ON cl.sym = string_split(pair, ' ')[1]"
+            f" JOIN sc{r} cr ON cr.sym = string_split(pair, ' ')[2]"
+            f" ORDER BY CAST(n AS DOUBLE) /"
+            f" (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) DESC, pair"
+            f" LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT replace(s,"
+            f" ' ' || (SELECT pair FROM m{r}) || ' ',"
+            f" ' ' || (SELECT merged FROM m{r}) || ' ') AS s"
+            f" FROM {prev})"
+        )
+    return parts
+
+
+@register(
+    "text_wordpiece_merge_table",
+    oracle=(
+        "WITH "
+        + ",\n".join(_wp_merge_parts(3))
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INT) AS round, pair, merged, n AS n_pair,"
+            f" nl AS n_left, nr AS n_right FROM m{r}"
+            for r in range(1, 4)
+        )
+    ),
+    doc="EXT WordPiece likelihood-scored merge TRAINING — the published "
+    "WordPiece training rule beside the raw-count BPE trainer "
+    "(text_bpe_merge_table): 3 rounds, each counting adjacent symbol "
+    "pairs AND symbol occurrences corpus-wide over the two-family "
+    "symbol table (first char as-is, later chars '##'-prefixed), "
+    "scoring every pair by the likelihood gain n(ab)/(n(a)*n(b)) — "
+    "the pair whose merge most raises corpus likelihood under a "
+    "unigram piece model, which famously picks RARE-but-exclusive "
+    "letter pairs over merely-frequent ones — taking the "
+    "deterministic argmax (score desc, pair asc; the score is one "
+    "double division of exact integer-valued doubles, bit-identical "
+    "across engines), and APPLYING the merge before the next round. "
+    "The merged symbol strips the right side's '##' (the continuation "
+    "family is closed under merging — asserted in-operator, and the "
+    "emitted 'merged' column lets the judge check the family algebra "
+    "row by row). Scale shape per round: both count tables collapse "
+    "map-side onto the bounded symbol universe, their join is "
+    "vocab-scale, only the argmax row crosses the driver "
+    "(operators/text.py wordpiece_train_merges)",
+)
+def q_text_wordpiece_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.wordpiece_merge_table(_docs(spark, sf_dir), rounds=3)

@@ -400,3 +400,22 @@ def test_wordpiece_arrow_path_parity(spark, sf_dir):
     assert a == b
     # the all-singles invariant: no UNKs anywhere on the real corpus
     assert small.agg(F.sum("n_unk_words")).collect()[0][0] == 0
+
+
+def test_wordpiece_likelihood_beats_raw_count(spark):
+    """The WordPiece score n(ab)/(n(a)n(b)) must pick a rare-but-
+    EXCLUSIVE pair over the most frequent one: 'qz' appears 3 times and
+    q/z appear nowhere else (score 3/(3*3)=1/3), while 'ab' appears 6
+    times but a and b are everywhere (score 6/(9*9)); raw-count BPE
+    would merge 'ab' first."""
+    from spark_stream_analyzer_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "qzab qzab qzab ab ab ab aa bb")], "doc_id long, text string"
+    )
+    rows = text.wordpiece_train_merges(docs, rounds=1)
+    (rnd, pair, merged, n, nl, nr) = rows[0]
+    assert pair == "q ##z" and merged == "qz"  # merged strips the right '##'
+    assert (n, nl, nr) == (3, 3, 3)
+    bpe = text.bpe_train_merges(docs, rounds=1)
+    assert bpe[0][1] != pair  # the raw-count rule picks differently
