@@ -1242,17 +1242,39 @@ def _wp_enc_arrow(df: DataFrame, vocab, text_col: str) -> DataFrame:
     return with_words(df, text_col).select("doc_id", _enc("words").alias("enc"))
 
 
+def _wp_enc_inline(df: DataFrame, vocab, text_col: str) -> DataFrame:
+    """Pure-PROJECTION encode: the greedy aggregate-HOF nested inside a
+    ``transform`` over each doc's kept words — no distinct, no join, no
+    shuffle, no Python, no state.  Slightly more compute than the
+    seg-join form (no word dedup), but the plan is a stateless
+    projection, which is exactly what in-STREAM serving needs (append
+    mode, zero state — the ``streaming_tokenize_docs`` shape)."""
+    d = with_words(df, text_col).withColumn(
+        "kept", F.expr(f"filter(words, wd -> length(wd) <= {_UNI_MAX_WORD})")
+    )
+    d = d.withColumn("_m", _set_map_col(vocab))
+    greedy = _spark_wp_greedy("wd", "_m")
+    return d.select(
+        "doc_id",
+        F.expr(f"transform(kept, wd -> array_join({greedy}, ' '))").alias("enc"),
+    )
+
+
 def wordpiece_encode_stats(
-    df: DataFrame, vocab, text_col: str = "text"
+    df: DataFrame, vocab, text_col: str = "text", path: str = "auto"
 ) -> DataFrame:
     """ENCODE with a WordPiece vocab — greedy longest-match-first with
-    whole-word ``[UNK]`` fallback (the BERT inference algorithm),
-    auto-selecting the physical path by vocab size exactly like
-    ``bpe_encode_stats`` / ``unigram_encode_stats``.  Per doc: piece
-    count, continuation-piece count, UNK'd word count, char count over
-    encodable words, and the md5-60 fingerprint of the position-ordered
-    encoded stream."""
-    if len(vocab) >= _WP_TRIE_MIN_VOCAB:
+    whole-word ``[UNK]`` fallback (the BERT inference algorithm).
+    ``path="auto"`` selects the physical form by vocab size exactly like
+    ``bpe_encode_stats`` / ``unigram_encode_stats`` (expression seg-join
+    below ``_WP_TRIE_MIN_VOCAB``, Arrow at or above); ``path="inline"``
+    forces the pure-projection form streaming serving needs.  Per doc:
+    piece count, continuation-piece count, UNK'd word count, char count
+    over encodable words, and the md5-60 fingerprint of the
+    position-ordered encoded stream."""
+    if path == "inline":
+        enc = _wp_enc_inline(df, vocab, text_col)
+    elif len(vocab) >= _WP_TRIE_MIN_VOCAB:
         enc = _wp_enc_arrow(df, vocab, text_col)
     else:
         enc = _wp_enc_join(df, vocab, text_col)

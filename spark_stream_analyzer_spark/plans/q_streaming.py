@@ -3739,3 +3739,89 @@ def q_streaming_state_operator_split(spark: SparkSession, sf_dir: str) -> DataFr
         " dup_batches_zero_updates int, time_split_present int,"
         " instances_ok int",
     )
+
+
+def _wp_encode_sql_batch_twin() -> str:
+    """The batch WordPiece-encode oracle, verbatim (lazy import — same
+    one-way load-order rule as the BPE twin above)."""
+    from spark_stream_analyzer_spark.plans.q_llm import _wp_encode_sql
+
+    return _wp_encode_sql()
+
+
+@register(
+    "streaming_wordpiece_docs",
+    doc="EXT WordPiece SERVING in-stream, LIVE (round-14) — completes "
+    "in-stream serving across the tokenizer TRIAD (BPE replace-chain "
+    "r13; WordPiece here; unigram's DP would follow identically): the "
+    "two-family vocab is seeded in batch (one capped table crosses "
+    "the driver), then the greedy longest-match encode runs INSIDE "
+    "Structured Streaming as a pure-expression PROJECTION — the "
+    "aggregate-HOF greedy nested in a transform over each doc's words "
+    "(path='inline': no distinct, no join, zero Python, zero state, "
+    "append mode). The oracle is the BATCH WordPiece-encode SQL "
+    "verbatim: the row proves stream-served WordPiece tokenization is "
+    "byte-identical (per-doc counts AND the md5-60 stream "
+    "fingerprint) to the batch pipeline that seeded the vocab — the "
+    "mix-shards-safely parity, third family",
+    oracle=_wp_encode_sql_batch_twin(),
+)
+def q_streaming_wordpiece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import text as _text
+    from spark_stream_analyzer_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    vocab, _ = _text.wordpiece_vocab(docs)  # bounded: capped vocab table
+
+    workdir = tempfile.mkdtemp(prefix="ssa_wptok_")
+    # NULL-text guard (the streaming_tokenize_docs contract): name the
+    # fixture assumption rather than letting a NULL-text doc take the
+    # two sides through different code paths
+    n_null = docs.filter(F.col("text").isNull()).count()  # bounded: one row
+    if n_null:
+        raise AssertionError(
+            f"streaming_wordpiece_docs fixture assumption violated: "
+            f"{n_null} NULL-text documents — the replay/oracle parity "
+            "contract requires non-NULL text"
+        )
+    # bounded: fixture-scale documents table; replay-file writing is
+    # harness work, not an engine path
+    rows = docs.select("doc_id", "text").collect()
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.doc_id % 4],
+        fmt=lambda r: f"{r.doc_id}\t"
+        + (r.text or "").replace("\t", " ").replace("\n", " "),
+    )
+    parts = F.split("value", "\t", 2)
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].cast("long").alias("doc_id"), parts[1].alias("text")
+    )
+    encoded = _text.wordpiece_encode_stats(parsed, vocab, path="inline")
+    name = f"wptok_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            encoded.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).collect()  # bounded: one row per doc
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        out,
+        "doc_id long, n_pieces long, n_continuations long,"
+        " n_unk_words long, n_chars long, stream_hash long",
+    )

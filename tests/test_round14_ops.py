@@ -419,3 +419,21 @@ def test_wordpiece_likelihood_beats_raw_count(spark):
     assert (n, nl, nr) == (3, 3, 3)
     bpe = text.bpe_train_merges(docs, rounds=1)
     assert bpe[0][1] != pair  # the raw-count rule picks differently
+
+
+def test_wordpiece_inline_path_is_stateless_projection(spark, sf_dir):
+    """The serving form: inline greedy must equal the seg-join path
+    value-for-value, with NO Python stage and NO exchange in its plan
+    (what lets it run as an append-mode stateless stream projection)."""
+    from spark_stream_analyzer_spark.operators import text
+    from spark_stream_analyzer_spark.plans.q_llm import _docs
+
+    docs = _docs(spark, sf_dir).limit(60)
+    vocab, _ = text.wordpiece_vocab(docs)
+    inline = text.wordpiece_encode_stats(docs, vocab, path="inline")
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "Exchange" not in plan, plan
+    join = text.wordpiece_encode_stats(docs, vocab)
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, join.collect()))
+    assert a == b
