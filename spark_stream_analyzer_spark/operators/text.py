@@ -947,8 +947,40 @@ def _unigram_enc_arrow(df: DataFrame, probs: dict, text_col: str) -> DataFrame:
     return with_words(df, text_col).select("doc_id", _enc("words").alias("enc"))
 
 
+def _uni_inline_ps(wd: str, m: str) -> str:
+    """The full Viterbi (forward DP + backtrack) as ONE expression over a
+    single word — for nesting inside a ``transform`` over a doc's words
+    (the pure-projection serving form).  The DP and backpointer arrays
+    are LET-bound via single-element ``transform`` arrays so each big
+    sub-expression appears exactly once in the plan (Spark has no `let`;
+    ``element_at(transform(array(X), x0 -> body), 1)`` is the idiom)."""
+    dp = _spark_viterbi_dp(wd, m)
+    bp = "transform(slice(dp0, 2, size(dp0) - 1), d -> d.b)"
+    bt = _spark_viterbi_backtrack(wd, "bp0")
+    return (
+        f"element_at(transform(array({dp}), dp0 -> "
+        f"element_at(transform(array({bp}), bp0 -> {bt}), 1)), 1)"
+    )
+
+
+def _uni_enc_inline(df: DataFrame, probs: dict, text_col: str) -> DataFrame:
+    """Pure-PROJECTION unigram encode: the Viterbi nested inside a
+    ``transform`` over each doc's kept words — no distinct, no join, no
+    shuffle, no Python, no state (the in-STREAM serving form; see
+    ``_wp_enc_inline`` for the rationale)."""
+    d = with_words(df, text_col).withColumn(
+        "kept", F.expr(f"filter(words, wd -> length(wd) <= {_UNI_MAX_WORD})")
+    )
+    d = d.withColumn("_m", _prob_map_col(probs))
+    ps = _uni_inline_ps("wd", "_m")
+    return d.select(
+        "doc_id",
+        F.expr(f"transform(kept, wd -> array_join({ps}, ' '))").alias("enc"),
+    )
+
+
 def unigram_encode_stats(
-    df: DataFrame, probs: dict, text_col: str = "text"
+    df: DataFrame, probs: dict, text_col: str = "text", path: str = "auto"
 ) -> DataFrame:
     """ENCODE with a trained unigram-LM model — the apply half beside
     :func:`unigram_lm_table` (train), auto-selecting the physical path
@@ -958,7 +990,9 @@ def unigram_encode_stats(
     above it.  Per doc: piece count under the model, multi-char piece
     count, char count over encodable words, and the md5-60 fingerprint
     of the position-ordered encoded stream."""
-    if len(probs) >= _UNI_TRIE_MIN_VOCAB:
+    if path == "inline":
+        enc = _uni_enc_inline(df, probs, text_col)
+    elif len(probs) >= _UNI_TRIE_MIN_VOCAB:
         enc = _unigram_enc_arrow(df, probs, text_col)
     else:
         enc = _unigram_enc_join(df, probs, text_col)

@@ -3825,3 +3825,90 @@ def q_streaming_wordpiece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_pieces long, n_continuations long,"
         " n_unk_words long, n_chars long, stream_hash long",
     )
+
+
+def _uni_encode_sql_batch_twin() -> str:
+    """The batch unigram-encode oracle, verbatim (lazy import — same
+    one-way load-order rule as the tokenizer twins above)."""
+    from spark_stream_analyzer_spark.plans.q_llm import _uni_encode_sql
+
+    return _uni_encode_sql(2)
+
+
+@register(
+    "streaming_unigram_docs",
+    doc="EXT unigram-LM SERVING in-stream, LIVE (round-14) — the third "
+    "and last tokenizer family served in-stream (BPE replace-chain, "
+    "WordPiece inline greedy, and now the Viterbi DP): the model is "
+    "hard-EM-trained in batch (one vocab-bounded usage table crosses "
+    "the driver per round), then the full forward-DP + backtrack runs "
+    "INSIDE Structured Streaming as a pure-expression PROJECTION — "
+    "the DP nested in a transform over each doc's words, with the DP "
+    "and backpointer arrays LET-bound via single-element transform "
+    "arrays so each sub-expression appears once (no distinct, no "
+    "join, zero Python, zero state, append mode). Oracle is the BATCH "
+    "unigram-encode SQL verbatim (the shared unrolled train+apply "
+    "chain), so the row proves stream-served Viterbi segmentation is "
+    "byte-identical — counts AND md5-60 fingerprint — to the batch "
+    "pipeline that trained the model: the serving triad complete, "
+    "every family mix-shards-safe",
+    oracle=_uni_encode_sql_batch_twin(),
+)
+def q_streaming_unigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_analyzer_spark.operators import text as _text
+    from spark_stream_analyzer_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    # bounded: one vocab-sized usage table per EM round (train half)
+    _, _, probs = _text.unigram_train(docs, iters=2)
+
+    workdir = tempfile.mkdtemp(prefix="ssa_unitok_")
+    # NULL-text guard (the streaming_tokenize_docs contract)
+    n_null = docs.filter(F.col("text").isNull()).count()  # bounded: one row
+    if n_null:
+        raise AssertionError(
+            f"streaming_unigram_docs fixture assumption violated: "
+            f"{n_null} NULL-text documents — the replay/oracle parity "
+            "contract requires non-NULL text"
+        )
+    # bounded: fixture-scale documents table; replay-file writing is
+    # harness work, not an engine path
+    rows = docs.select("doc_id", "text").collect()
+    _write_batches(
+        rows,
+        f"{workdir}/in",
+        batch_of=lambda r: [r.doc_id % 4],
+        fmt=lambda r: f"{r.doc_id}\t"
+        + (r.text or "").replace("\t", " ").replace("\n", " "),
+    )
+    parts = F.split("value", "\t", 2)
+    parsed = file_lines_stream(spark, f"{workdir}/in").select(
+        parts[0].cast("long").alias("doc_id"), parts[1].alias("text")
+    )
+    encoded = _text.unigram_encode_stats(parsed, probs, path="inline")
+    name = f"unitok_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
+    try:
+        q = (
+            encoded.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).collect()  # bounded: one row per doc
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        out,
+        "doc_id long, n_pieces long, n_multi_pieces long,"
+        " n_chars long, stream_hash long",
+    )

@@ -437,3 +437,20 @@ def test_wordpiece_inline_path_is_stateless_projection(spark, sf_dir):
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, join.collect()))
     assert a == b
+
+
+def test_unigram_inline_path_is_stateless_projection(spark, sf_dir):
+    """The unigram serving form: the LET-bound inline Viterbi must equal
+    the seg-join path value-for-value with NO Python stage and NO
+    exchange — what lets streaming_unigram_docs run append-mode."""
+    from spark_stream_analyzer_spark.operators import text
+    from spark_stream_analyzer_spark.plans.q_llm import _docs
+
+    docs = _docs(spark, sf_dir).limit(60)
+    _, _, probs = text.unigram_train(docs, iters=2)
+    inline = text.unigram_encode_stats(docs, probs, path="inline")
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "Exchange" not in plan, plan
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, text.unigram_encode_stats(docs, probs).collect()))
+    assert a == b
