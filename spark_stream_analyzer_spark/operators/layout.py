@@ -78,3 +78,22 @@ def zvalue_2d_sql(qx: str, qy: str, bits: int = 16) -> str:
         terms.append(f"((({qx}) >> {j}) & 1) * {1 << (2 * j + 1)}")
         terms.append(f"((({qy}) >> {j}) & 1) * {1 << (2 * j)}")
     return "(" + " + ".join(terms) + ")"
+
+
+def zvalue_3d(q0: Column, q1: Column, q2: Column, bits: int = 10) -> Column:
+    """Morton code of three equal-width quantized coordinates — same
+    ``zorder_key`` delegation as :func:`zvalue_2d` (equal widths place
+    dim i's bit j at output bit ``3j + (2 - i)``); result < 2^(3*bits).
+    """
+    from spark_stream_analyzer_spark.sources.layout import zorder_key
+
+    return zorder_key([(q0, bits), (q1, bits), (q2, bits)])
+
+
+def zvalue_3d_sql(q0: str, q1: str, q2: str, bits: int = 10) -> str:
+    """The DuckDB mirror of :func:`zvalue_3d` (3·bits disjoint terms)."""
+    terms = []
+    for j in range(bits):
+        for i, q in enumerate((q0, q1, q2)):
+            terms.append(f"((({q}) >> {j}) & 1) * {1 << (3 * j + (2 - i))}")
+    return "(" + " + ".join(terms) + ")"

@@ -2403,3 +2403,164 @@ def q_lineitem_zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(scanned * F.col("n")).alias("lin_rows_scanned"),
     )
     return ztot.crossJoin(F.broadcast(ltot))
+
+
+from spark_stream_analyzer_spark.operators.layout import (  # noqa: E402
+    zvalue_3d,
+    zvalue_3d_sql,
+)
+
+#: 3-D variant: 10 bits per dimension (30-bit Morton code), same
+#: top-6-bit 64-bucket split so the audit stays bounded
+_Z3_BITS = 10
+_Z3_BUCKET_SHIFT = 3 * _Z3_BITS - 6
+
+_Z3_ORACLE_Q = f"""
+mm AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+              MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+              MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax
+       FROM lineitem),
+q AS (SELECT l_partkey, l_suppkey, l_orderkey,
+        {minmax_quantize_sql('l_partkey', 'pmin', 'pmax', _Z3_BITS)} AS qp,
+        {minmax_quantize_sql('l_suppkey', 'smin', 'smax', _Z3_BITS)} AS qs,
+        {minmax_quantize_sql('l_orderkey', 'omin', 'omax', _Z3_BITS)} AS qo
+      FROM lineitem, mm),
+z AS (SELECT l_partkey, l_suppkey, l_orderkey,
+        {zvalue_3d_sql('qp', 'qs', 'qo', _Z3_BITS)} >> {_Z3_BUCKET_SHIFT}
+          AS zbucket,
+        qp >> {_Z3_BITS - 6} AS lbucket
+      FROM q)
+"""
+
+
+@register(
+    "lineitem_zorder_3d_prune_audit",
+    oracle=f"""
+    WITH {_Z3_ORACLE_Q},
+    box AS (SELECT pmin + (pmax - pmin) * 40 // 100 AS p_lo,
+                   pmin + (pmax - pmin) * 60 // 100 AS p_hi,
+                   smin + (smax - smin) * 40 // 100 AS s_lo,
+                   smin + (smax - smin) * 60 // 100 AS s_hi,
+                   omin + (omax - omin) * 40 // 100 AS o_lo,
+                   omin + (omax - omin) * 60 // 100 AS o_hi
+            FROM mm),
+    zsel AS (SELECT zbucket, COUNT(*) AS n,
+               SUM(CASE WHEN l_partkey BETWEEN p_lo AND p_hi
+                         AND l_suppkey BETWEEN s_lo AND s_hi
+                         AND l_orderkey BETWEEN o_lo AND o_hi
+                        THEN 1 ELSE 0 END) AS n_sel,
+               MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+               MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi,
+               MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+             FROM z, box GROUP BY zbucket),
+    lsel AS (SELECT lbucket, COUNT(*) AS n,
+               MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+               MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi,
+               MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+             FROM z GROUP BY lbucket)
+    SELECT
+      (SELECT CAST(SUM(n) AS BIGINT) FROM zsel) AS n_rows_total,
+      (SELECT CAST(SUM(n_sel) AS BIGINT) FROM zsel) AS rows_selected,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM zsel, box
+        WHERE phi >= p_lo AND plo <= p_hi AND shi >= s_lo AND slo <= s_hi
+          AND ohi >= o_lo AND olo <= o_hi) AS z3_buckets_scanned,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM zsel, box
+        WHERE phi >= p_lo AND plo <= p_hi AND shi >= s_lo AND slo <= s_hi
+          AND ohi >= o_lo AND olo <= o_hi) AS z3_rows_scanned,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lsel, box
+        WHERE phi >= p_lo AND plo <= p_hi AND shi >= s_lo AND slo <= s_hi
+          AND ohi >= o_lo AND olo <= o_hi) AS lin_buckets_scanned,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM lsel, box
+        WHERE phi >= p_lo AND plo <= p_hi AND shi >= s_lo AND slo <= s_hi
+          AND ohi >= o_lo AND olo <= o_hi) AS lin_rows_scanned
+    """,
+    doc="EXT 3-DIMENSIONAL Z-order pruning audit — the n^(1-1/d) claim "
+    "made measurable: the same Morton machinery over THREE columns "
+    "(l_partkey, l_suppkey, l_orderkey; 10 bits each, 30-bit code, 64 "
+    "z-range buckets via the top 6 bits) against a 3-D box predicate "
+    "(middle 20% of each key range, ~0.8% of rows), vs the 1-D "
+    "partkey-range layout. Every bucket's bounding BOX is now a "
+    "rectangular cuboid; a stats-based planner prunes on all three "
+    "predicates at once where the 1-D layout prunes on one — the "
+    "d=3 point of the curve the 2-D audit (lineitem_zorder_prune_"
+    "audit) and the r7 footer-stats row plot at d=2 (measured at "
+    "sf0.1: the 0.78% selection scans 8/64 z-buckets = 12.5% of rows "
+    "vs 14/64 = 22% under 1-D — the per-dim gain is coarser than the "
+    "2-D audit's because 64 buckets leave only 2 top bits per "
+    "dimension at d=3; bucket count per dimension is the knob, "
+    "exactly the n^(1-1/d) trade). Same plan "
+    "shape: broadcast one-row extremes, one codegen projection, two "
+    "64-group map-side-combinable aggregates, <=64-row driver "
+    "arithmetic; quantize/interleave SQL generated by the shared "
+    "helpers (operators/layout.py zvalue_3d/_sql, delegating to the "
+    "canonical sources/layout.py:zorder_key)",
+)
+def q_lineitem_zorder_3d_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
+    )
+    df = li.crossJoin(F.broadcast(mm)).withColumns(
+        {
+            "qp": minmax_quantize("l_partkey", "pmin", "pmax", _Z3_BITS),
+            "qs": minmax_quantize("l_suppkey", "smin", "smax", _Z3_BITS),
+            "qo": minmax_quantize("l_orderkey", "omin", "omax", _Z3_BITS),
+        }
+    )
+    df = df.withColumns(
+        {
+            "zbucket": F.shiftright(
+                zvalue_3d(F.col("qp"), F.col("qs"), F.col("qo"), _Z3_BITS),
+                _Z3_BUCKET_SHIFT,
+            ),
+            "lbucket": F.shiftright(F.col("qp"), _Z3_BITS - 6),
+        }
+    )
+    bounds = {}
+    for d, lo, hi in (("p", "pmin", "pmax"), ("s", "smin", "smax"), ("o", "omin", "omax")):
+        bounds[f"{d}_lo"] = F.expr(f"{lo} + ({hi} - {lo}) * 40 DIV 100")
+        bounds[f"{d}_hi"] = F.expr(f"{lo} + ({hi} - {lo}) * 60 DIV 100")
+    in_box = (
+        F.col("l_partkey").between(bounds["p_lo"], bounds["p_hi"])
+        & F.col("l_suppkey").between(bounds["s_lo"], bounds["s_hi"])
+        & F.col("l_orderkey").between(bounds["o_lo"], bounds["o_hi"])
+    )
+    df = df.withColumns({**bounds, "in_box": in_box.cast("long")})
+
+    def boxes(bucket_col: str, with_sel: bool) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("plo"),
+            F.max("l_partkey").alias("phi"),
+            F.min("l_suppkey").alias("slo"),
+            F.max("l_suppkey").alias("shi"),
+            F.min("l_orderkey").alias("olo"),
+            F.max("l_orderkey").alias("ohi"),
+        ] + [F.min(k).alias(k) for k in bounds]
+        if with_sel:
+            aggs.append(F.sum("in_box").alias("n_sel"))
+        return df.groupBy(bucket_col).agg(*aggs)
+
+    scanned = (
+        (F.col("phi") >= F.col("p_lo")) & (F.col("plo") <= F.col("p_hi"))
+        & (F.col("shi") >= F.col("s_lo")) & (F.col("slo") <= F.col("s_hi"))
+        & (F.col("ohi") >= F.col("o_lo")) & (F.col("olo") <= F.col("o_hi"))
+    ).cast("long")
+    ztot = boxes("zbucket", True).agg(
+        F.sum("n").alias("n_rows_total"),
+        F.sum("n_sel").alias("rows_selected"),
+        F.sum(scanned).alias("z3_buckets_scanned"),
+        F.sum(scanned * F.col("n")).alias("z3_rows_scanned"),
+    )
+    ltot = boxes("lbucket", False).agg(
+        F.sum(scanned).alias("lin_buckets_scanned"),
+        F.sum(scanned * F.col("n")).alias("lin_rows_scanned"),
+    )
+    return ztot.crossJoin(F.broadcast(ltot))
