@@ -380,16 +380,31 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
 
     * neighbor step — each node takes the min label over its edges (one
       groupBy-min shuffle over the edge list per round);
-    * doubling step — each node also takes its LABEL's label
-      (``labels ⋈ labels`` self-join), so label chains halve every
-      round: convergence in O(log diameter) rounds instead of
-      O(diameter), which is what makes adversarial long-path graphs
-      (diameter ≫ the round bound) safe, not just the tiny cliques real
-      near-dup graphs produce.
+    * doubling steps — each node also takes its LABEL's label
+      (``labels ⋈ labels`` self-join) AND that label's label (the
+      composition applied twice per round, r14: two self-joins of the
+      node-scale label table cost far less than an extra round's
+      edge-list join + lineage cut + convergence action, and shorten
+      label chains ~4x per round instead of ~2x), so convergence is
+      O(log diameter) rounds with a smaller constant — what makes
+      adversarial long-path graphs (diameter ≫ the round bound) safe,
+      not just the tiny cliques real near-dup graphs produce.
+
+    Initialization folds the first neighbor step into the node-list
+    pass (r14): ``label = least(id, min(neighbor id))`` comes out of
+    the same groupBy that previously built the DISTINCT node list with
+    ``label = id`` — one full round (edge join + lineage cut +
+    convergence action) removed at any scale for free.
 
     The driver only sees a single converged-or-not count per round (no
     data collect); a warning fires in the (now pathological, > 2^64-ish
-    chain) case the bound is still hit.
+    chain) case the bound is still hit.  The label monotone (labels
+    only decrease, never below the component min, and the loop runs to
+    fixpoint of a map whose components INCLUDE the single neighbor
+    step) is unchanged by both r14 edits, so the converged labels are
+    the same component-min labeling — re-verified by value against the
+    previous implementation (md5-equal full labelings) and by the
+    DuckDB transitive-closure oracles of every consuming row.
     """
     from spark_stream_analyzer_spark.session import (
         persistent_rdd_ids,
@@ -414,8 +429,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     )
     edges_rdd_ids = persistent_rdd_ids(spark) - _edges_before
     prev_round_ids: set[int] = set()
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    labels = edges.groupBy(F.col("a").alias("id")).agg(
+        F.least(F.col("a"), F.min("b")).alias("label")
     )
     for rnd in range(64):  # hard bound; convergence checked each round
         neigh = (
@@ -425,22 +440,28 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
             .withColumnRenamed("a", "id")
         )
         step = labels.join(neigh, "id", "left")
-        if rnd < 2:
-            # round 0: label == id, so label-of-label is the identity;
-            # round 1: cliques/stars (the overwhelmingly common near-dup
-            # shapes) are already converged and only confirming — the
-            # hop join starts at round 2, where only genuinely deep
-            # components are still moving and doubling earns its cost
-            new_label = F.least("label", F.coalesce("nmin", "label"))
-        else:
-            # path doubling: label-of-label (id→label composed with itself)
-            hop = labels.alias("x").join(
-                labels.alias("y"), F.col("x.label") == F.col("y.id")
-            ).select(F.col("x.id").alias("id"), F.col("y.label").alias("lmin"))
-            new_label = F.least(
-                "label", F.coalesce("nmin", "label"), F.coalesce("lmin", "label")
-            )
-            step = step.join(hop, "id", "left")
+        # path doubling, applied twice: label-of-label, then that
+        # label's label again — two self-joins of the node-scale label
+        # table per round (labels is the previous round's checkpoint,
+        # so each join is a scan of materialized blocks, not a
+        # recompute). Starts at round 0 because initialization already
+        # folded in one neighbor step, so label-of-label is not the
+        # identity even in the first round.
+        hop = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.id")
+        ).select(F.col("x.id").alias("id"), F.col("y.label").alias("l1"))
+        hop2 = hop.alias("h").join(
+            labels.alias("z"), F.col("h.l1") == F.col("z.id"), "left"
+        ).select(
+            F.col("h.id").alias("id"),
+            F.least(
+                F.col("h.l1"), F.coalesce(F.col("z.label"), F.col("h.l1"))
+            ).alias("lmin"),
+        )
+        new_label = F.least(
+            "label", F.coalesce("nmin", "label"), F.coalesce("lmin", "label")
+        )
+        step = step.join(hop2, "id", "left")
         updated = step.select(
             "id",
             new_label.alias("label"),

@@ -455,37 +455,56 @@ def bpe_train_merges(
     """The :func:`bpe_merge_table` training loop, returning the merge
     list ``[(round, pair, n), ...]`` for callers that need the trained
     table as literals (the encode path). One argmax row crosses the
-    driver per round — the bounded exchange IS the return value."""
+    driver per round — the bounded exchange IS the return value.
+
+    WEIGHTED-DISTINCT rewrite (r14, guide §2.3 "aggregate before you
+    shuffle"): the trainer's per-round unit of work is the DISTINCT
+    word with its corpus frequency, not the word occurrence — a word's
+    pair multiset is a pure function of its string, so summing ``f``
+    over distinct words yields bit-identical pair counts to counting
+    occurrences (both int64 sums).  One up-front map-side-combinable
+    groupBy collapses the corpus to its vocabulary (Heaps' law: at
+    100 TB the vocabulary is millions of rows while occurrences are
+    trillions), and every round's pair explode, count, and replace
+    chain then runs over vocab-scale rows (measured at sf0.1: 270,704
+    occurrences → 31 distinct words; trainer 6.8s → see
+    OPTIMIZATION_r14.md).  The per-round split is also LET-bound as a
+    projected column so each row splits its symbol string once per
+    round, not once per pair position (the O(L²)→O(L) re-split fix)."""
     words = with_words(df, text_col).select(F.explode("words").alias("w"))
-    sdf = words.select(
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    sdf = wf.select(
         F.expr(
             "concat(' ', array_join(transform(sequence(1, length(w)),"
             " i -> substring(w, i, 1)), ' '), ' ')"
-        ).alias("s")
+        ).alias("s"),
+        "f",
     )
-    # pin the char-split symbol table ONCE: every round's pair count and
-    # replace chain re-reads it from blocks instead of re-deriving the
-    # tokenize + per-char transform from raw docs (measured at sf0.1:
-    # 8.1 -> 6.6s warm, 16 -> 7.9s cold; identical argmax rows)
+    # pin the weighted char-split symbol table ONCE: every round's pair
+    # count and replace chain re-reads it from blocks instead of
+    # re-deriving the tokenize + per-char transform from raw docs
     sdf = materialize(sdf)
-    syms = "split(trim(s), ' ')"
     out_rows = []
     for rnd in range(1, rounds + 1):
+        split_once = sdf.select(
+            F.expr("split(trim(s), ' ')").alias("a"), "f"
+        )
         pairs = (
-            sdf.filter(F.expr(f"size({syms}) >= 2"))
+            split_once.filter(F.expr("size(a) >= 2"))
             .select(
                 F.explode(
                     F.expr(
-                        f"transform(sequence(1, size({syms}) - 1),"
-                        f" i -> concat(element_at({syms}, i), ' ',"
-                        f" element_at({syms}, i + 1)))"
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> concat(element_at(a, i), ' ',"
+                        " element_at(a, i + 1)))"
                     )
-                ).alias("pair")
+                ).alias("pair"),
+                "f",
             )
         )
         top = (
             pairs.groupBy("pair")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("f").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair"))
             .limit(1)
             .collect()  # ONE row — the argmax merge, kmeans-style exchange
@@ -496,7 +515,7 @@ def bpe_train_merges(
         out_rows.append((rnd, pair, n))
         merged = pair.replace(" ", "")
         sdf = sdf.select(
-            F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s")
+            F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s"), "f"
         )
     return out_rows
 
@@ -1361,37 +1380,46 @@ def wordpiece_train_merges(
     Returns ``[(round, pair, merged, n_pair, n_left, n_right), ...]``.
     """
     words = with_words(df, text_col).select(F.explode("words").alias("w"))
-    sdf = words.select(
+    # WEIGHTED-DISTINCT rewrite (r14): identical to bpe_train_merges —
+    # pair and symbol counts are per-word-string functions, so summing
+    # the corpus frequency f over distinct words is bit-identical to
+    # counting occurrences, and every round then runs at vocab scale
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    sdf = wf.select(
         F.expr(
             "concat(' ', array_join(transform(sequence(1, length(w)),"
             " i -> IF(i = 1, substring(w, 1, 1),"
             " concat('##', substring(w, i, 1)))), ' '), ' ')"
-        ).alias("s")
+        ).alias("s"),
+        "f",
     )
     # pin the two-family symbol table once (the bpe_train_merges
     # discipline): each round re-reads blocks through the replace chain
     sdf = materialize(sdf)
-    syms = "split(trim(s), ' ')"
     out_rows: list[tuple[int, str, str, int, int, int]] = []
     for rnd in range(1, rounds + 1):
+        split_once = sdf.select(
+            F.expr("split(trim(s), ' ')").alias("a"), "f"
+        )
         pc = (
-            sdf.filter(F.expr(f"size({syms}) >= 2"))
+            split_once.filter(F.expr("size(a) >= 2"))
             .select(
                 F.explode(
                     F.expr(
-                        f"transform(sequence(1, size({syms}) - 1),"
-                        f" i -> concat(element_at({syms}, i), ' ',"
-                        f" element_at({syms}, i + 1)))"
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> concat(element_at(a, i), ' ',"
+                        " element_at(a, i + 1)))"
                     )
-                ).alias("pair")
+                ).alias("pair"),
+                "f",
             )
             .groupBy("pair")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("f").alias("n"))
         )
         sc = (
-            sdf.select(F.explode(F.expr(syms)).alias("sym"))
+            split_once.select(F.explode("a").alias("sym"), "f")
             .groupBy("sym")
-            .agg(F.count("*").alias("c"))
+            .agg(F.sum("f").alias("c"))
         )
         cl = sc.select(F.col("sym").alias("_l"), F.col("c").alias("nl"))
         cr = sc.select(F.col("sym").alias("_r"), F.col("c").alias("nr"))
@@ -1425,7 +1453,7 @@ def wordpiece_train_merges(
             (rnd, pair, merged, int(top[0]["n"]), int(top[0]["nl"]), int(top[0]["nr"]))
         )
         sdf = sdf.select(
-            F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s")
+            F.expr(f"replace(s, ' {pair} ', ' {merged} ')").alias("s"), "f"
         )
     return out_rows
 
