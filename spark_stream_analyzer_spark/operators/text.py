@@ -724,12 +724,28 @@ def _spark_viterbi_dp(wd: str, m: str) -> str:
     shared longest-first CASE order (c_j wins iff c_j >= every shorter
     candidate — the 3-piece c3 >= c2 >= c1 rule generalized)."""
     c = {j: _uni_cand(j, wd, m) for j in range(1, _UNI_MAX_PIECE + 1)}
+    # LET-bind the candidates (r14): higher-order functions are
+    # interpreted (CodegenFallback) with no common-subexpression
+    # elimination, so the raw CASE re-evaluated each candidate — a map
+    # lookup + substring + array index — once per comparison (~2x per
+    # WHEN it appears in, ~30 evaluations per position at cap 6).
+    # Binding them once per position via the single-element-transform
+    # idiom (Spark has no `let`) makes each candidate evaluate exactly
+    # once; the comparisons then read struct fields.  Values, compare
+    # order, and the longer-piece tie rule are unchanged, so the DP is
+    # still bit-identical across Spark, DuckDB, and the Python twin.
+    cands = ", ".join(
+        f"'c{j}', {c[j]}" for j in range(1, _UNI_MAX_PIECE + 1)
+    )
     branches = " ".join(
-        f"WHEN {' AND '.join(f'{c[j]} >= {c[i]}' for i in range(1, j))} "
-        f"THEN named_struct('s', {c[j]}, 'b', {j})"
+        f"WHEN {' AND '.join(f'cs.c{j} >= cs.c{i}' for i in range(1, j))} "
+        f"THEN named_struct('s', cs.c{j}, 'b', {j})"
         for j in range(_UNI_MAX_PIECE, 1, -1)
     )
-    best = f"CASE {branches} ELSE named_struct('s', {c[1]}, 'b', 1) END"
+    best = (
+        f"element_at(transform(array(named_struct({cands})), "
+        f"cs -> CASE {branches} ELSE named_struct('s', cs.c1, 'b', 1) END), 1)"
+    )
     return (
         f"aggregate(sequence(1, length({wd})), "
         f"array(named_struct('s', CAST(1.0 AS DOUBLE), 'b', 0)), "
@@ -741,12 +757,16 @@ def _spark_viterbi_backtrack(wd: str, bp: str) -> str:
     """Walk the backpointer array from the word's end, PREPENDING each
     piece — at most ``length(wd)`` steps, expressed as a second
     ``aggregate`` whose accumulator carries (position, pieces)."""
-    take = f"element_at({bp}, acc.q)"
+    # LET-bind the backpointer read (r14): the interpreted lambda would
+    # otherwise index the array three times per step (same idiom and
+    # same-values argument as the DP's candidate binding)
     return (
         f"aggregate(sequence(1, length({wd})), "
         f"named_struct('q', length({wd}), 'ps', CAST(array() AS ARRAY<STRING>)), "
-        f"(acc, x) -> IF(acc.q > 0, named_struct('q', acc.q - {take}, "
-        f"'ps', concat(array(substring({wd}, acc.q - {take} + 1, {take})), acc.ps)), "
+        f"(acc, x) -> IF(acc.q > 0, "
+        f"element_at(transform(array(element_at({bp}, acc.q)), t -> "
+        f"named_struct('q', acc.q - t, "
+        f"'ps', concat(array(substring({wd}, acc.q - t + 1, t)), acc.ps))), 1), "
         f"acc), acc -> acc.ps)"
     )
 
@@ -984,18 +1004,29 @@ def _uni_inline_ps(wd: str, m: str) -> str:
 
 def _uni_enc_inline(df: DataFrame, probs: dict, text_col: str) -> DataFrame:
     """Pure-PROJECTION unigram encode: the Viterbi nested inside a
-    ``transform`` over each doc's kept words — no distinct, no join, no
-    shuffle, no Python, no state (the in-STREAM serving form; see
-    ``_wp_enc_inline`` for the rationale)."""
+    ``transform`` over each doc's kept words — no distinct operator, no
+    join, no shuffle, no Python, no state (the in-STREAM serving form;
+    see ``_wp_enc_inline`` for the rationale).
+
+    PER-DOC memoization (r14): the DP runs once per DISTINCT word of
+    each doc (``array_distinct`` + positional re-attach, all inside the
+    same projection — the plan stays a stateless zero-exchange map), so
+    repeated words cost one array lookup instead of a full interpreted
+    DP.  Measured at sf0.1 (54 words/doc over a 31-word vocabulary):
+    the 4-micro-batch serving stream dropped ~8x; output is identical
+    because the DP is a deterministic function of the word string."""
     d = with_words(df, text_col).withColumn(
         "kept", F.expr(f"filter(words, wd -> length(wd) <= {_UNI_MAX_WORD})")
     )
     d = d.withColumn("_m", _prob_map_col(probs))
     ps = _uni_inline_ps("wd", "_m")
-    return d.select(
-        "doc_id",
-        F.expr(f"transform(kept, wd -> array_join({ps}, ' '))").alias("enc"),
+    memo = (
+        "element_at(transform(array(array_distinct(kept)), dw -> "
+        f"element_at(transform(array(transform(dw, wd -> array_join({ps}, ' '))), "
+        "encs -> transform(kept, wd2 -> "
+        "element_at(encs, CAST(array_position(dw, wd2) AS INT)))), 1)), 1)"
     )
+    return d.select("doc_id", F.expr(memo).alias("enc"))
 
 
 def unigram_encode_stats(
@@ -1307,10 +1338,18 @@ def _wp_enc_inline(df: DataFrame, vocab, text_col: str) -> DataFrame:
     )
     d = d.withColumn("_m", _set_map_col(vocab))
     greedy = _spark_wp_greedy("wd", "_m")
-    return d.select(
-        "doc_id",
-        F.expr(f"transform(kept, wd -> array_join({greedy}, ' '))").alias("enc"),
+    # PER-DOC memoization (r14): run the interpreted greedy once per
+    # DISTINCT word of each doc and re-attach positionally — same
+    # stateless zero-exchange projection, identical output (the greedy
+    # is a deterministic function of the word string); see
+    # ``_uni_enc_inline`` for the measured effect
+    memo = (
+        "element_at(transform(array(array_distinct(kept)), dw -> "
+        f"element_at(transform(array(transform(dw, wd -> array_join({greedy}, ' '))), "
+        "encs -> transform(kept, wd2 -> "
+        "element_at(encs, CAST(array_position(dw, wd2) AS INT)))), 1)), 1)"
     )
+    return d.select("doc_id", F.expr(memo).alias("enc"))
 
 
 def wordpiece_encode_stats(
