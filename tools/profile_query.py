@@ -59,14 +59,14 @@ def main() -> None:
                 print(f"## warm {name} failed: {e}")
             unpersist_rdds(spark)
         for r in range(args.runs):
-            j0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j0 = sc._jsc.sc().dagScheduler().nextJobId()
             t0 = time.perf_counter()
             df = fn(spark, args.sf)
             t1 = time.perf_counter()
-            j1 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j1 = sc._jsc.sc().dagScheduler().nextJobId()
             n = len(df.collect())
             t2 = time.perf_counter()
-            j2 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j2 = sc._jsc.sc().dagScheduler().nextJobId()
             print(
                 f"{name}: run{r} build={t1 - t0:.2f}s ({j1 - j0} jobs) "
                 f"collect={t2 - t1:.2f}s ({j2 - j1} jobs) total={t2 - t0:.2f}s "
