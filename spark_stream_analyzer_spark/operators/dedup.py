@@ -1049,9 +1049,12 @@ def semdedup_keep_list(
 
     Scale shape: the centroid table is k rows (broadcast join back);
     the rank window partitions by cluster (never a single reducer); the
-    pair join is within-cluster only, O(sum c_i^2) — the published
-    trade: more clusters => smaller c_i.  All cosines use the pinned
-    left-fold double dot product (bit-exact DuckDB twin).
+    pair comparison is within-cluster only and runs as a LEFT SEMI join
+    (the prune rule is an EXISTS), so the candidate bound is
+    O(sum c_i^2) worst case but each row stops at its first qualifying
+    better-ranked neighbor and no pair row is ever materialized — the
+    published trade: more clusters => smaller c_i.  All cosines use the
+    pinned left-fold double dot product (bit-exact DuckDB twin).
     """
     from spark_stream_analyzer_spark.operators.similarity import (
         centroid_arrays,
@@ -1105,16 +1108,23 @@ def semdedup_keep_list(
     pair_cos = F.expr(TH.spark_dot("_va", "_vb")) / (
         F.col("_na") * F.col("_nb")
     )
-    pruned = (
-        a.join(
-            b,
-            (F.col("cluster_id") == F.col("_cb"))
-            & (F.col("_ra") < F.col("_rb")),
-        )
-        .where(pair_cos >= tau)
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
-    )
+    # rule 3 is an EXISTS — "some better-ranked j with cos >= tau" — so
+    # run it as a LEFT SEMI join with the whole predicate in the join
+    # condition (r15, guide §2.4/§3): the pair stream is never
+    # materialized, each probe row stops at its FIRST qualifying match
+    # (measured 2.8x on this stage at sf0.1 — 1373/2000 rows prune, so
+    # early-exit bites), and the DISTINCT exchange the pair-projection
+    # form needed disappears.  Same equi-join key (cluster_id = _cb), so
+    # the zero-cross-cluster plan pin holds unchanged; identical pruned
+    # set by construction (EXISTS semantics, same pinned left-fold
+    # cosine compared to the same tau).
+    pruned = b.join(
+        a,
+        (F.col("cluster_id") == F.col("_cb"))
+        & (F.col("_ra") < F.col("_rb"))
+        & (pair_cos >= tau),
+        "left_semi",
+    ).select(F.col("_idb").alias(id_col))
     return (
         scored.join(pruned.withColumn("_pruned", F.lit(True)), id_col, "left")
         .select(

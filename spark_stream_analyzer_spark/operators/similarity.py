@@ -343,7 +343,18 @@ def kmeans_assign_join(
         [(int(r[0]), [float(x) for x in r[1]]) for r in init],
         "cid long, cvec array<double>",
     )
-    dist = F.expr(TH.spark_l2sq(vec_col, "cvec"))
+    # r15 (guide §4.2): the per-pair squared-L2 runs as the Arrow-batched
+    # FOLD-ORDER-EXACT kernel instead of the interpreted HOF fold —
+    # bit-identical by construction (functions/veckernels.py pins the
+    # left-fold add chain; property-tested), same join/argmin shape, one
+    # ArrowEvalPython stage between the N x k join and the aggregate.
+    # Time-paired at sf0.1: 1.27 -> 1.00 s median per assignment round
+    # (the join+sort machinery floor is ~0.4 s of that); the precondition
+    # (non-null array elements) holds for the embedding columns and the
+    # mean-derived centroids by schema/construction.
+    from spark_stream_analyzer_spark.functions.veckernels import arrow_l2sq
+
+    dist = arrow_l2sq(vec_col, "cvec")
     assign = None
     for t in range(iters):
         pairs = e.join(F.broadcast(cents)).withColumn("_d", dist)

@@ -60,6 +60,14 @@ ARROW_PYTHON_OK = {
     # recursive-CTE oracle (the <512 expression/join form is Python-free;
     # test_round14_ops pins the two paths output-identical)
     "text_wordpiece_encode_bigvocab",
+    # round-15 (optimization): the scalable-k Lloyd's assignment computes
+    # its N x k squared-L2 stream through the Arrow-batched
+    # fold-order-exact kernel (functions/veckernels.py) instead of the
+    # interpreted HOF fold — bit-identical by construction and
+    # property-pinned (test_round15_opt); the join/argmin shape is
+    # unchanged, so the Python stage is a deliberate guide-§4.2 batch
+    # kernel, not a row-at-a-time escape hatch
+    "embedding_kmeans_bigk_assign",
 }
 
 # r9: the grouped-agg pandas UDAF class (AggregateInPandas) — allowed

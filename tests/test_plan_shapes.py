@@ -418,16 +418,27 @@ def test_cdc_merge_windows_delta_only_and_outer_joins_on_key(spark):
 
 def test_semdedup_pair_join_is_cluster_equijoin(spark):
     """SemDeDup's zero-cross-cluster claim, pinned from the plan: the
-    within-cluster pair join must be a hash/sort-merge EQUI-join keyed
-    on the cluster id — never BroadcastNestedLoopJoin/CartesianProduct
+    within-cluster pair comparison must be an EQUI-join keyed on the
+    cluster id — never BroadcastNestedLoopJoin/CartesianProduct
     (the r10 build caught exactly this: a self-join equality on the
     un-renamed cluster_id resolved trivially true and degraded to a
-    filtered cross join)."""
+    filtered cross join).  Since r15 the prune runs as a LEFT SEMI join
+    (the rule is an EXISTS; no pair materialization, early exit per
+    probe row), so the pin now reads the semi-join node itself: join
+    type LeftSemi with both equi-join key sides on the cluster id."""
+    import re
+
     plan = plan_of(spark, "dedup_semantic_keep_list")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the pair join keys on cluster_id = _cb (an equi-join)
-    assert "_cb" in plan
+    m = re.search(
+        r"Left keys \[1\]: \[(\w+)#\d+L?\]\n"
+        r"Right keys \[1\]: \[(\w+)#\d+L?\]\n"
+        r"Join type: LeftSemi",
+        plan,
+    )
+    assert m, "no LeftSemi equi-join in the semdedup plan"
+    assert m.group(1) == m.group(2) == "cluster_id"
 
 
 def test_weighted_median_bisect_windows_are_group_partitioned(spark):
