@@ -128,16 +128,21 @@ def _grouped_value_at_ranks(
     _before = persistent_rdd_ids(spark)
     bounds = lineage_cut(bounds, chain=0)
     prev_round_ids = persistent_rdd_ids(spark) - _before
+    # loop-exit count over the just-materialized bounds (bounded: ONE
+    # row to the driver).  Inside the loop the same count is FUSED with
+    # each pass's lineage cut (r15, verdict task 8): the cut is lazy and
+    # the count action materializes it, so one driver action per pass
+    # replaces the previous eager-cut + separate-count pair.
+    _active_pred = ~F.col("_done") & (F.col("_n") > finish_threshold)
+    # bounded: one row — loop-exit decision for the iterative bisection
+    remaining = bounds.where(_active_pred).agg(F.count(F.lit(1))).first()[0]
+
+    from spark_stream_analyzer_spark.session import loop_aqe_scope
 
     for _pass in range(max_passes):
-        active = bounds.where(
-            ~F.col("_done") & (F.col("_n") > finish_threshold)
-        )
-        # bounded collect: ONE row — loop-exit decision for the
-        # iterative bisection (same discipline as the BPE merge loop)
-        remaining = active.agg(F.count(F.lit(1))).first()[0]
         if not remaining:
             break
+        active = bounds.where(_active_pred)
 
         width = (F.col("_maxv") - F.col("_minv")) / F.lit(float(buckets))
         bucket = F.least(
@@ -189,8 +194,17 @@ def _grouped_value_at_ranks(
             F.col("_done") | (F.col("_n") <= finish_threshold)
         )
         _b = persistent_rdd_ids(spark)
-        new_bounds = lineage_cut(crossed.unionByName(rest), chain=_pass + 1)
-        this_round_ids = persistent_rdd_ids(spark) - _b
+        # AQE policy scope (SSA_LOOP_AQE, session.py — default no-op):
+        # the pass's plans execute at these two statements
+        with loop_aqe_scope(spark):
+            new_bounds = lineage_cut(
+                crossed.unionByName(rest), chain=_pass + 1, eager=False
+            )
+            this_round_ids = persistent_rdd_ids(spark) - _b
+            # fused cut + loop-exit count: this full-scan action
+            # computes and caches every partition of the lazy cut and
+            # returns next pass's decision (bounded: one long)
+            remaining = new_bounds.where(_active_pred).count()
         # free the previous round's lineage-cut blocks (RDD-id diff —
         # Dataset.unpersist does not release localCheckpoint blocks)
         unpersist_rdds(spark, prev_round_ids)

@@ -407,6 +407,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
     DuckDB transitive-closure oracles of every consuming row.
     """
     from spark_stream_analyzer_spark.session import (
+        loop_aqe_scope,
         persistent_rdd_ids,
         unpersist_rdds,
     )
@@ -428,10 +429,18 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         .distinct()
     )
     edges_rdd_ids = persistent_rdd_ids(spark) - _edges_before
-    prev_round_ids: set[int] = set()
     labels = edges.groupBy(F.col("a").alias("id")).agg(
         F.least(F.col("a"), F.min("b")).alias("label")
     )
+    # cut the INITIAL labels too (r15, ADVICE r14): round 0 references
+    # `labels` ~5 times (neighbor join, step, and the x/y/z self-joins),
+    # so without a cut the init aggregation over the full edge list runs
+    # ~5x in the first round; after this, "labels is a checkpoint" holds
+    # from round 0 on.  Tracked like the per-round cuts so round 0's cut
+    # frees these blocks.
+    _b0 = persistent_rdd_ids(spark)
+    labels = lineage_cut(labels)
+    prev_round_ids: set[int] = persistent_rdd_ids(spark) - _b0
     for rnd in range(64):  # hard bound; convergence checked each round
         neigh = (
             edges.join(labels, edges.b == labels.id)
@@ -474,10 +483,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b
         # would still compound analysis time — chain=rnd selects the
         # hybrid strategy: fast localCheckpoint most rounds, a reliable
         # deep cut() every _DEEP_CUT_EVERY rounds (always reliable when
-        # the deployment configured an external checkpoint dir)
-        updated = lineage_cut(updated, chain=rnd)
-        this_round_ids = persistent_rdd_ids(spark) - _before
-        changed = updated.filter("moved").limit(1).count()
+        # the deployment configured an external checkpoint dir).
+        # FUSED with the convergence check (r15, verdict task 8 class):
+        # the cut is LAZY and the moved-count action materializes it —
+        # the count's full scan computes and caches every partition, so
+        # one driver action per round does both jobs the previous
+        # eager-cut + limit(1)-probe pair did (bounded: one long to the
+        # driver).
+        # AQE policy scope (r15, SSA_LOOP_AQE — session.py): the round's
+        # plans execute at these two statements, so the scope around
+        # them covers the whole round's planning; default is a no-op.
+        with loop_aqe_scope(spark):
+            updated = lineage_cut(updated, chain=rnd, eager=False)
+            this_round_ids = persistent_rdd_ids(spark) - _before
+            # bounded: one long to the driver (convergence decision)
+            changed = updated.filter("moved").count()
         # the new checkpoint is materialized — last round's blocks are dead
         unpersist_rdds(spark, prev_round_ids)
         prev_round_ids = this_round_ids

@@ -193,3 +193,57 @@ def test_semdedup_semi_join_prune_matches_brute_force(spark):
     assert out[6][0] is True
     # and at least one planted duplicate must actually prune
     assert not all(v[0] for v in out.values())
+
+
+def test_loop_aqe_toggle_is_value_invisible(spark, monkeypatch):
+    """SSA_LOOP_AQE=off must change ONLY the physical execution of the
+    iterative loop bodies (fewer runtime-replanning jobs), never a
+    value: CC labelings and bisection medians must be identical under
+    both settings."""
+    import os
+
+    from spark_stream_analyzer_spark.functions.median import (
+        grouped_weighted_median,
+    )
+    from spark_stream_analyzer_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]  # 20 two-node components
+        + [(i, i + 2) for i in range(100, 140)],  # one long chain
+        "doc_a long, doc_b long",
+    )
+    df = spark.createDataFrame(
+        [(i % 7, float((i * 37) % 101), 1 + i % 3) for i in range(500)],
+        "g long, v double, w long",
+    )
+
+    def run_both(fn):
+        monkeypatch.delenv("SSA_LOOP_AQE", raising=False)
+        on = fn()
+        monkeypatch.setenv("SSA_LOOP_AQE", "off")
+        try:
+            off = fn()
+        finally:
+            monkeypatch.delenv("SSA_LOOP_AQE", raising=False)
+        return on, off
+
+    on, off = run_both(
+        lambda: {
+            (r.doc_id, r.cluster_id)
+            for r in duplicate_clusters(pairs).collect()
+        }
+    )
+    assert on == off and len(on) > 0
+    # AQE conf restored after the loops
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    on, off = run_both(
+        lambda: {
+            (r.g, r.wm)
+            for r in grouped_weighted_median(
+                df, ["g"], "v", "w", buckets=4, finish_threshold=2,
+                median_col="wm",
+            ).collect()
+        }
+    )
+    assert on == off and len(on) == 7
