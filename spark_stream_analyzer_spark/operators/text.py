@@ -788,6 +788,17 @@ def _prob_map_col(probs: dict):
     construction and the seeding never emits them."""
     by_len: dict[int, list] = {}
     for k, v in sorted(probs.items()):
+        # pin the unreachability assumption in code (ADVICE r14): a
+        # piece outside 1.._UNI_MAX_PIECE would be silently dropped from
+        # the length buckets below and diverge from a naive full-map
+        # membership expectation — the DP can never probe it, but a
+        # vocab source emitting one means the MODEL is out of contract
+        if not 1 <= len(k) <= _UNI_MAX_PIECE:
+            raise ValueError(
+                f"unigram model piece {k!r} has length {len(k)} outside "
+                f"1..{_UNI_MAX_PIECE} — unreachable by the DP and "
+                "unrepresentable in the length-partitioned model map"
+            )
         by_len.setdefault(len(k), []).append((k, float(v)))
     maps = []
     for j in range(1, _UNI_MAX_PIECE + 1):
@@ -1049,7 +1060,11 @@ def _uni_enc_inline(df: DataFrame, probs: dict, text_col: str) -> DataFrame:
         "element_at(transform(array(array_distinct(kept)), dw -> "
         f"element_at(transform(array(transform(dw, wd -> array_join({ps}, ' '))), "
         "encs -> transform(kept, wd2 -> "
-        "element_at(encs, CAST(array_position(dw, wd2) AS INT)))), 1)), 1)"
+        # try_element_at (ADVICE r14): dw = array_distinct(kept) makes
+        # every wd2 findable (position >= 1) by construction; `try_`
+        # degrades a broken invariant to NULL instead of a runtime
+        # error — identical results while the invariant holds
+        "try_element_at(encs, CAST(array_position(dw, wd2) AS INT)))), 1)), 1)"
     )
     return d.select("doc_id", F.expr(memo).alias("enc"))
 
@@ -1260,6 +1275,17 @@ def _set_map_col(pieces) -> "F.Column":
     by_len: dict[int, list] = {}
     for p in sorted(pieces):
         j = len(p) - 2 if p.startswith("##") else len(p)
+        # same contract pin as _prob_map_col (ADVICE r14): the greedy
+        # never probes content lengths outside 1.._WP_MAX_PIECE, so a
+        # piece out there cannot be represented in the length buckets —
+        # fail loudly instead of silently dropping it
+        if not 1 <= j <= _WP_MAX_PIECE:
+            raise ValueError(
+                f"WordPiece vocab piece {p!r} has content length {j} "
+                f"outside 1..{_WP_MAX_PIECE} — unreachable by the "
+                "greedy and unrepresentable in the length-partitioned "
+                "membership map"
+            )
         by_len.setdefault(j, []).append(p)
     maps = []
     for j in range(1, _WP_MAX_PIECE + 1):
@@ -1392,7 +1418,9 @@ def _wp_enc_inline(df: DataFrame, vocab, text_col: str) -> DataFrame:
         "element_at(transform(array(array_distinct(kept)), dw -> "
         f"element_at(transform(array(transform(dw, wd -> array_join({greedy}, ' '))), "
         "encs -> transform(kept, wd2 -> "
-        "element_at(encs, CAST(array_position(dw, wd2) AS INT)))), 1)), 1)"
+        # try_element_at (ADVICE r14) — same invariant note as the
+        # unigram memo in _uni_enc_inline
+        "try_element_at(encs, CAST(array_position(dw, wd2) AS INT)))), 1)), 1)"
     )
     return d.select("doc_id", F.expr(memo).alias("enc"))
 
